@@ -11,6 +11,8 @@ import graft.ops._
 object SparkEntry {
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
+      (Scans.queries, Scans.oracle),
+      (Relational.queries, Relational.oracle),
       (Aggregates.queries, Aggregates.oracle)
     )
 

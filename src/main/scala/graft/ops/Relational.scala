@@ -1,0 +1,392 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.Tables._
+
+/** SURVEY.md §2.2 (filter/project), §2.3 (joins), §2.6 (sort/limit),
+  * §2.7 (set ops).
+  *
+  * Scale notes per operator group:
+  *  - Filters/projections compile to pushed parquet predicates +
+  *    whole-stage codegen — embarrassingly parallel at any scale.
+  *  - Large-large equi joins shuffle both sides on the key (sort-merge
+  *    or shuffled-hash, AQE picks); dim-table joins use an explicit
+  *    broadcast() hint so the 100 TB fact side never shuffles.
+  *  - The as-of join avoids the quadratic range-join blowup by
+  *    broadcasting the (small-cardinality) sorted key set and doing a
+  *    per-row array search — valid because distinct dates stay ~10^3
+  *    regardless of fact rows; high-cardinality as-of would use a
+  *    range-partitioned merge instead.
+  *  - The interval join is an equi join on user_id with a range
+  *    residual — never a broadcast-nested-loop over the cross product.
+  */
+object Relational {
+
+  private def revenue(df: DataFrame): Column =
+    asD(sum(money(col("l_extendedprice")) *
+      (lit(1) - money(col("l_discount"))).cast("decimal(8,4)")))
+
+  // ---------------------------------------------------------------- §2.2
+
+  private val filterQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "proj_arith" -> ((s, dir) => {
+      val l = load(s, dir, "lineitem")
+      l.select(
+        col("l_orderkey"), col("l_linenumber"),
+        asD(money(col("l_extendedprice")) *
+          (lit(1) - money(col("l_discount"))).cast("decimal(8,4)")).as("disc_price"),
+        asD(money(col("l_extendedprice")) *
+          ((lit(1) - money(col("l_discount"))) * (lit(1) + money(col("l_tax"))))
+            .cast("decimal(8,4)")).as("charge"),
+        (col("l_quantity") * 2 + col("l_linenumber")).as("qty2"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "filter_compare" -> ((s, dir) =>
+      load(s, dir, "lineitem")
+        .filter(col("l_quantity") > 30 && col("l_discount") <= 0.05 &&
+          col("l_extendedprice") >= 1000 && col("l_linenumber") =!= 1 &&
+          col("l_tax") < 0.08)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "filter_in_between_like" -> ((s, dir) =>
+      load(s, dir, "part")
+        .filter(col("p_brand").isin("Brand#11", "Brand#22", "Brand#33") &&
+          col("p_size").between(5, 35) &&
+          (col("p_type").like("S%") || col("p_name").like("%bolt%")))
+        .select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+        .orderBy("p_partkey")),
+
+    // No nulls exist on disk; derive nullable cols with nullif, then
+    // exercise IS NULL / IS NOT NULL / null-safe equality (<=>).
+    "filter_null_safe" -> ((s, dir) => {
+      val l = load(s, dir, "lineitem")
+        .withColumn("rf", expr("nullif(l_returnflag, 'N')"))
+        .withColumn("ls", expr("nullif(l_linestatus, 'F')"))
+      l.filter(col("rf").isNull && col("ls").isNotNull || col("rf") <=> col("ls"))
+        .select("l_orderkey", "l_linenumber", "rf", "ls")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "filter_conditional" -> ((s, dir) =>
+      load(s, dir, "orders").select(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 200000, "big")
+          .when(col("o_totalprice") > 100000, "mid")
+          .otherwise("small").as("band"),
+        coalesce(expr("nullif(o_orderstatus, 'O')"), lit("open")).as("status2"))
+        .orderBy("o_orderkey"))
+  )
+
+  private val filterOracle: Map[String, String] = Map(
+    "proj_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(15,2)) * CAST(1 - CAST(l_discount AS DECIMAL(15,2)) AS DECIMAL(8,4)) AS DOUBLE) AS disc_price,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(15,2)) * CAST((1 - CAST(l_discount AS DECIMAL(15,2))) * (1 + CAST(l_tax AS DECIMAL(15,2))) AS DECIMAL(8,4)) AS DOUBLE) AS charge,
+        |  l_quantity * 2 + l_linenumber AS qty2
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "filter_compare" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+        |WHERE l_quantity > 30 AND l_discount <= 0.05 AND l_extendedprice >= 1000
+        |  AND l_linenumber <> 1 AND l_tax < 0.08
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "filter_in_between_like" ->
+      """SELECT p_partkey, p_name, p_brand, p_type, p_size FROM part
+        |WHERE p_brand IN ('Brand#11','Brand#22','Brand#33')
+        |  AND p_size BETWEEN 5 AND 35
+        |  AND (p_type LIKE 'S%' OR p_name LIKE '%bolt%')
+        |ORDER BY p_partkey""".stripMargin,
+    "filter_null_safe" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  nullif(l_returnflag,'N') AS rf, nullif(l_linestatus,'F') AS ls
+        |FROM lineitem
+        |WHERE (nullif(l_returnflag,'N') IS NULL AND nullif(l_linestatus,'F') IS NOT NULL)
+        |   OR nullif(l_returnflag,'N') IS NOT DISTINCT FROM nullif(l_linestatus,'F')
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "filter_conditional" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice > 200000 THEN 'big'
+        |       WHEN o_totalprice > 100000 THEN 'mid' ELSE 'small' END AS band,
+        |  coalesce(nullif(o_orderstatus,'O'), 'open') AS status2
+        |FROM orders ORDER BY o_orderkey""".stripMargin
+  )
+
+  // ---------------------------------------------------------------- §2.3
+
+  private val joinQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // large-large: both sides shuffle on the key (SMJ / shuffled-hash
+    // via AQE) — the shape that scales to 100 TB fact-fact joins.
+    "join_inner_equi" -> ((s, dir) => {
+      val l = load(s, dir, "lineitem")
+      val o = load(s, dir, "orders")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .select("l_orderkey", "l_linenumber", "o_custkey", "o_totalprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // fact x dim: pin broadcast so the fact side never shuffles.
+    "join_broadcast" -> ((s, dir) => {
+      val l = load(s, dir, "lineitem")
+      val p = load(s, dir, "part")
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .select("l_orderkey", "l_linenumber", "p_partkey", "p_brand")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "join_left_outer" -> ((s, dir) => {
+      val o = load(s, dir, "orders")
+      val l = load(s, dir, "lineitem").filter(col("l_quantity") > 47)
+      o.join(l, o("o_orderkey") === l("l_orderkey"), "left")
+        .select(col("o_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(asc_nulls_first("o_orderkey"), asc_nulls_first("l_linenumber"))
+    }),
+
+    "join_right_outer" -> ((s, dir) => {
+      val o = load(s, dir, "orders")
+      val l = load(s, dir, "lineitem").filter(col("l_quantity") > 47)
+      l.join(o, o("o_orderkey") === l("l_orderkey"), "right")
+        .select(col("o_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(asc_nulls_first("o_orderkey"), asc_nulls_first("l_linenumber"))
+    }),
+
+    "join_full_outer" -> ((s, dir) => {
+      val c = load(s, dir, "customer").filter(col("c_acctbal") > 0)
+      val o = load(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "full")
+        .select(col("c_custkey"), col("o_orderkey"))
+        .orderBy(asc_nulls_first("c_custkey"), asc_nulls_first("o_orderkey"))
+    }),
+
+    "join_left_semi" -> ((s, dir) => {
+      val c = load(s, dir, "customer")
+      val o = load(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }),
+
+    "join_left_anti" -> ((s, dir) => {
+      val c = load(s, dir, "customer")
+      val o = load(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }),
+
+    "join_cross" -> ((s, dir) =>
+      load(s, dir, "region").crossJoin(load(s, dir, "nation"))
+        .select("r_regionkey", "r_name", "n_nationkey", "n_name")
+        .orderBy("r_regionkey", "n_nationkey")),
+
+    // equi key + inequality residual: planned as a hash/merge join with
+    // a post-join filter, NOT a nested loop.
+    "join_theta_range" -> ((s, dir) => {
+      val l = load(s, dir, "lineitem")
+      val p = load(s, dir, "part")
+      l.join(broadcast(p),
+        l("l_partkey") === p("p_partkey") && l("l_extendedprice") > p("p_retailprice"))
+        .select("l_orderkey", "l_linenumber", "p_partkey", "p_retailprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // As-of: each order matched to the greatest distinct l_shipdate <=
+    // o_orderdate. Distinct ship dates are low-cardinality (~2.5k for
+    // any SF), so broadcast them as one sorted array and binary-search
+    // per row via higher-order functions — zero shuffle on the fact side.
+    "join_asof" -> ((s, dir) => {
+      val o = load(s, dir, "orders")
+      val dates = load(s, dir, "lineitem")
+        .agg(sort_array(collect_set(col("l_shipdate"))).as("ds"))
+      o.crossJoin(broadcast(dates))
+        .select(col("o_orderkey"), col("o_orderdate"),
+          expr("array_max(filter(ds, d -> d <= o_orderdate))").as("asof_shipdate"))
+        .filter(col("asof_shipdate").isNotNull)
+        .orderBy("o_orderkey")
+    }),
+
+    // Interval join: clicks within +/-1 hour of each purchase by the
+    // same user — equi join on user_id, range residual on ts.
+    "join_interval" -> ((s, dir) => {
+      val e = load(s, dir, "events")
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("c_id"), col("ts").as("c_ts"))
+      p.join(c, "user_id")
+        .filter(col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts") + expr("INTERVAL 1 HOUR"))
+        .select("p_id", "c_id").orderBy("p_id", "c_id")
+    }),
+
+    // 4-table chain; nation is a broadcast dim, the fact joins shuffle.
+    "join_multiway" -> ((s, dir) => {
+      val l = load(s, dir, "lineitem")
+      val o = load(s, dir, "orders")
+      val c = load(s, dir, "customer")
+      val n = load(s, dir, "nation")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(revenue(l).as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    })
+  )
+
+  private val joinOracle: Map[String, String] = Map(
+    "join_inner_equi" ->
+      """SELECT l_orderkey, l_linenumber, o_custkey, o_totalprice
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "join_broadcast" ->
+      """SELECT l_orderkey, l_linenumber, p_partkey, p_brand
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "join_left_outer" ->
+      """SELECT o_orderkey, l_linenumber, l_quantity
+        |FROM orders LEFT JOIN (SELECT * FROM lineitem WHERE l_quantity > 47) l
+        |  ON o_orderkey = l.l_orderkey
+        |ORDER BY o_orderkey NULLS FIRST, l_linenumber NULLS FIRST""".stripMargin,
+    "join_right_outer" ->
+      """SELECT o_orderkey, l_linenumber, l_quantity
+        |FROM (SELECT * FROM lineitem WHERE l_quantity > 47) l RIGHT JOIN orders
+        |  ON o_orderkey = l.l_orderkey
+        |ORDER BY o_orderkey NULLS FIRST, l_linenumber NULLS FIRST""".stripMargin,
+    "join_full_outer" ->
+      """SELECT c_custkey, o_orderkey
+        |FROM (SELECT * FROM customer WHERE c_acctbal > 0) c
+        |FULL JOIN orders ON c.c_custkey = o_custkey
+        |ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST""".stripMargin,
+    "join_left_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_left_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_cross" ->
+      """SELECT r_regionkey, r_name, n_nationkey, n_name
+        |FROM region CROSS JOIN nation
+        |ORDER BY r_regionkey, n_nationkey""".stripMargin,
+    "join_theta_range" ->
+      """SELECT l_orderkey, l_linenumber, p_partkey, p_retailprice
+        |FROM lineitem JOIN part
+        |  ON l_partkey = p_partkey AND l_extendedprice > p_retailprice
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "join_asof" ->
+      """SELECT o.o_orderkey, o.o_orderdate, s.l_shipdate AS asof_shipdate
+        |FROM orders o ASOF JOIN (SELECT DISTINCT l_shipdate FROM lineitem) s
+        |  ON o.o_orderdate >= s.l_shipdate
+        |ORDER BY o_orderkey""".stripMargin,
+    "join_interval" ->
+      """SELECT p.event_id AS p_id, c.event_id AS c_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts + INTERVAL 1 HOUR
+        |ORDER BY p_id, c_id""".stripMargin,
+    "join_multiway" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2)) * CAST(1 - CAST(l_discount AS DECIMAL(15,2)) AS DECIMAL(8,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin
+  )
+
+  // ---------------------------------------------------------------- §2.6
+
+  private val sortQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sort_multikey" -> ((s, dir) =>
+      load(s, dir, "lineitem")
+        .select("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber")
+        .orderBy(asc("l_returnflag"), desc_nulls_last("l_extendedprice"),
+          asc("l_orderkey"), asc("l_linenumber"))),
+
+    "limit_k" -> ((s, dir) =>
+      load(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(100)),
+
+    // Global top-k: planned as TakeOrderedAndProject — per-partition
+    // heaps + single merge, never a full sort of 100 TB.
+    "topk_global" -> ((s, dir) =>
+      load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          asD(money(col("l_extendedprice")) *
+            (lit(1) - money(col("l_discount"))).cast("decimal(8,4)")).as("revenue"))
+        .orderBy(desc("revenue"), asc("l_orderkey"), asc("l_linenumber"))
+        .limit(10)),
+
+    // Seeded Bernoulli sample: RNG differs across engines, so no oracle
+    // (rows-only driver check + unit-test tolerance assertion).
+    "sample_deterministic" -> ((s, dir) =>
+      load(s, dir, "lineitem").sample(withReplacement = false, 0.01, 42)
+        .agg(count(lit(1)).as("n")))
+  )
+
+  private val sortOracle: Map[String, String] = Map(
+    "sort_multikey" ->
+      """SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber
+        |FROM lineitem
+        |ORDER BY l_returnflag ASC, l_extendedprice DESC NULLS LAST,
+        |  l_orderkey ASC, l_linenumber ASC""".stripMargin,
+    "limit_k" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+    "topk_global" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(15,2)) * CAST(1 - CAST(l_discount AS DECIMAL(15,2)) AS DECIMAL(8,4)) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |ORDER BY revenue DESC, l_orderkey ASC, l_linenumber ASC LIMIT 10""".stripMargin
+  )
+
+  // ---------------------------------------------------------------- §2.7
+
+  private val setQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "set_union_all" -> ((s, dir) =>
+      load(s, dir, "orders").select(col("o_custkey").as("custkey"))
+        .union(load(s, dir, "customer").select(col("c_custkey").as("custkey")))
+        .orderBy("custkey")),
+
+    "set_union_distinct" -> ((s, dir) =>
+      load(s, dir, "orders").select(col("o_custkey").as("custkey"))
+        .union(load(s, dir, "customer").select(col("c_custkey").as("custkey")))
+        .distinct()
+        .orderBy("custkey")),
+
+    "set_intersect" -> ((s, dir) =>
+      load(s, dir, "customer").select(col("c_custkey").as("custkey"))
+        .intersect(load(s, dir, "orders").select(col("o_custkey").as("custkey")))
+        .orderBy("custkey")),
+
+    "set_except" -> ((s, dir) =>
+      load(s, dir, "customer").select(col("c_custkey").as("custkey"))
+        .except(load(s, dir, "orders").select(col("o_custkey").as("custkey")))
+        .orderBy("custkey"))
+  )
+
+  private val setOracle: Map[String, String] = Map(
+    "set_union_all" ->
+      """SELECT o_custkey AS custkey FROM orders
+        |UNION ALL SELECT c_custkey FROM customer ORDER BY custkey""".stripMargin,
+    "set_union_distinct" ->
+      """SELECT o_custkey AS custkey FROM orders
+        |UNION SELECT c_custkey FROM customer ORDER BY custkey""".stripMargin,
+    "set_intersect" ->
+      """SELECT c_custkey AS custkey FROM customer
+        |INTERSECT SELECT o_custkey FROM orders ORDER BY custkey""".stripMargin,
+    "set_except" ->
+      """SELECT c_custkey AS custkey FROM customer
+        |EXCEPT SELECT o_custkey FROM orders ORDER BY custkey""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    filterQueries ++ joinQueries ++ sortQueries ++ setQueries
+  val oracle: Map[String, String] =
+    filterOracle ++ joinOracle ++ sortOracle ++ setOracle
+}

@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.util.Tables._
+
+/** SURVEY.md §2.1 — scans, sources, sinks.
+  *
+  * Scale notes: parquet scans are vectorized and benefit from column
+  * pruning + predicate pushdown (verified via explain: ReadSchema /
+  * PushedFilters). The roundtrip queries write to a per-sf /tmp path
+  * so Verify (sf0.01) and Bench (sf0.1) never collide.
+  */
+object Scans {
+
+  private def tmp(dir: String, tag: String): String =
+    s"/tmp/graft_${tag}_${new java.io.File(dir).getName}"
+
+  /** Columns safe to round-trip through text formats: integral,
+    * double (Java shortest-roundtrip formatting), and string. */
+  private val rtCols = Seq("l_orderkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_returnflag")
+
+  private val rtSchema = StructType(Seq(
+    StructField("l_orderkey", LongType),
+    StructField("l_linenumber", IntegerType),
+    StructField("l_quantity", DoubleType),
+    StructField("l_extendedprice", DoubleType),
+    StructField("l_returnflag", StringType)))
+
+  private val rtOracle =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_parquet" -> ((s, dir) =>
+      load(s, dir, "lineitem").orderBy("l_orderkey", "l_linenumber")),
+
+    // Only 2 of 11 columns: the parquet reader prunes (ReadSchema shows
+    // just these two). Ordering by the full projected tuple keeps the
+    // output deterministic without extra columns.
+    "scan_parquet_pruned" -> ((s, dir) =>
+      load(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+        .orderBy("l_orderkey", "l_quantity")),
+
+    "scan_csv_roundtrip" -> ((s, dir) => {
+      val p = tmp(dir, "csv")
+      load(s, dir, "lineitem").select(rtCols.map(col): _*)
+        .write.mode(SaveMode.Overwrite).csv(p)
+      s.read.schema(rtSchema).csv(p).orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "scan_json_roundtrip" -> ((s, dir) => {
+      val p = tmp(dir, "json")
+      load(s, dir, "lineitem").select(rtCols.map(col): _*)
+        .write.mode(SaveMode.Overwrite).json(p)
+      // schema inference path (long/double/string all infer losslessly)
+      s.read.json(p)
+        .select(rtCols.map(col): _*) // inferred schemas sort fields; restore order
+        .withColumn("l_linenumber", col("l_linenumber").cast("int"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // Hive-style partitioned write, then read back and count per
+    // partition — the count survives the value->directory roundtrip.
+    "sink_parquet" -> ((s, dir) => {
+      val p = tmp(dir, "sinkpart")
+      load(s, dir, "lineitem")
+        .write.mode(SaveMode.Overwrite).partitionBy("l_returnflag").parquet(p)
+      s.read.parquet(p).groupBy("l_returnflag").agg(count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Partition pruning: the filter on the partition column selects one
+    // directory; explain shows PartitionFilters, not a full scan.
+    "sink_partition_prune" -> ((s, dir) => {
+      val p = tmp(dir, "sinkprune")
+      load(s, dir, "lineitem").select("l_orderkey", "l_quantity", "l_returnflag")
+        .write.mode(SaveMode.Overwrite).partitionBy("l_returnflag").parquet(p)
+      s.read.parquet(p).filter(col("l_returnflag") === "R")
+        .agg(count(lit(1)).as("cnt"), asD(sum(money(col("l_quantity")))).as("qty"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "scan_parquet" ->
+      "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "scan_parquet_pruned" ->
+      "SELECT l_orderkey, l_quantity FROM lineitem ORDER BY l_orderkey, l_quantity",
+    "scan_csv_roundtrip" -> rtOracle,
+    "scan_json_roundtrip" -> rtOracle,
+    "sink_parquet" ->
+      "SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    "sink_partition_prune" ->
+      """SELECT count(*) AS cnt,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) AS qty
+        |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin
+  )
+}

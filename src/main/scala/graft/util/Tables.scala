@@ -23,6 +23,24 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
+    * read as a timestamp; read it as nanos-since-epoch and convert to
+    * the session µs timestamp. DuckDB keeps ns — queries exposing or
+    * comparing ts must truncate to ms on both sides (SURVEY §1.5 r3).
+    */
+  def loadEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** NOTE (data reality, verified): lineitem's (l_orderkey,
+    * l_linenumber) is NOT unique in this corpus — any deterministic
+    * ordering over lineitem rows must sort by the FULL output tuple. */
+  val lineitemCols: Seq[String] = Seq("l_orderkey", "l_partkey",
+    "l_suppkey", "l_linenumber", "l_quantity", "l_extendedprice",
+    "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
+
   /** Exact fixed-point view of a money/rate double column. 15,2 keeps
     * products of two/three operands inside DECIMAL(38,_) in both Spark
     * and DuckDB (their precision-propagation rules differ above that).
