@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.ArrayMaxLE
 import graft.util.Tables._
 
 /** SURVEY.md §2.2 (filter/project), §2.3 (joins), §2.6 (sort/limit),
@@ -14,10 +15,11 @@ import graft.util.Tables._
   *    or shuffled-hash, AQE picks); dim-table joins use an explicit
   *    broadcast() hint so the 100 TB fact side never shuffles.
   *  - The as-of join avoids the quadratic range-join blowup by
-  *    broadcasting the (small-cardinality) sorted key set and doing a
-  *    per-row array search — valid because distinct dates stay ~10^3
-  *    regardless of fact rows; high-cardinality as-of would use a
-  *    range-partitioned merge instead.
+  *    broadcasting the (small-cardinality) sorted key set and doing an
+  *    O(log n) binary-search probe per fact row (ArrayMaxLE, a custom
+  *    codegen Expression) — zero shuffle and zero allocation on the
+  *    fact side; high-cardinality as-of would use a range-partitioned
+  *    merge instead.
   *  - The interval join is an equi join on user_id with a range
   *    residual — never a broadcast-nested-loop over the cross product.
   */
@@ -40,7 +42,9 @@ object Relational {
           ((lit(1) - money(col("l_discount"))) * (lit(1) + money(col("l_tax"))))
             .cast("decimal(8,4)")).as("charge"),
         (col("l_quantity") * 2 + col("l_linenumber")).as("qty2"))
-        .orderBy("l_orderkey", "l_linenumber")
+        // full output tuple: (l_orderkey, l_linenumber) alone is not
+        // unique in this corpus (see Tables.lineitemCols note)
+        .orderBy("l_orderkey", "l_linenumber", "disc_price", "charge", "qty2")
     }),
 
     "filter_compare" -> ((s, dir) =>
@@ -49,7 +53,7 @@ object Relational {
           col("l_extendedprice") >= 1000 && col("l_linenumber") =!= 1 &&
           col("l_tax") < 0.08)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
-        .orderBy("l_orderkey", "l_linenumber")),
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount")),
 
     "filter_in_between_like" -> ((s, dir) =>
       load(s, dir, "part")
@@ -67,7 +71,8 @@ object Relational {
         .withColumn("ls", expr("nullif(l_linestatus, 'F')"))
       l.filter(col("rf").isNull && col("ls").isNotNull || col("rf") <=> col("ls"))
         .select("l_orderkey", "l_linenumber", "rf", "ls")
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy(asc("l_orderkey"), asc("l_linenumber"),
+          asc_nulls_first("rf"), asc_nulls_first("ls"))
     }),
 
     "filter_conditional" -> ((s, dir) =>
@@ -86,12 +91,13 @@ object Relational {
         |  CAST(CAST(l_extendedprice AS DECIMAL(15,2)) * CAST(1 - CAST(l_discount AS DECIMAL(15,2)) AS DECIMAL(8,4)) AS DOUBLE) AS disc_price,
         |  CAST(CAST(l_extendedprice AS DECIMAL(15,2)) * CAST((1 - CAST(l_discount AS DECIMAL(15,2))) * (1 + CAST(l_tax AS DECIMAL(15,2))) AS DECIMAL(8,4)) AS DOUBLE) AS charge,
         |  l_quantity * 2 + l_linenumber AS qty2
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, disc_price, charge, qty2""".stripMargin,
     "filter_compare" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
         |WHERE l_quantity > 30 AND l_discount <= 0.05 AND l_extendedprice >= 1000
         |  AND l_linenumber <> 1 AND l_tax < 0.08
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount""".stripMargin,
     "filter_in_between_like" ->
       """SELECT p_partkey, p_name, p_brand, p_type, p_size FROM part
         |WHERE p_brand IN ('Brand#11','Brand#22','Brand#33')
@@ -104,7 +110,7 @@ object Relational {
         |FROM lineitem
         |WHERE (nullif(l_returnflag,'N') IS NULL AND nullif(l_linestatus,'F') IS NOT NULL)
         |   OR nullif(l_returnflag,'N') IS NOT DISTINCT FROM nullif(l_linestatus,'F')
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, rf NULLS FIRST, ls NULLS FIRST""".stripMargin,
     "filter_conditional" ->
       """SELECT o_orderkey,
         |  CASE WHEN o_totalprice > 200000 THEN 'big'
@@ -123,7 +129,7 @@ object Relational {
       val o = load(s, dir, "orders")
       l.join(o, l("l_orderkey") === o("o_orderkey"))
         .select("l_orderkey", "l_linenumber", "o_custkey", "o_totalprice")
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "o_custkey", "o_totalprice")
     }),
 
     // fact x dim: pin broadcast so the fact side never shuffles.
@@ -132,7 +138,7 @@ object Relational {
       val p = load(s, dir, "part")
       l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
         .select("l_orderkey", "l_linenumber", "p_partkey", "p_brand")
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "p_partkey", "p_brand")
     }),
 
     "join_left_outer" -> ((s, dir) => {
@@ -140,7 +146,8 @@ object Relational {
       val l = load(s, dir, "lineitem").filter(col("l_quantity") > 47)
       o.join(l, o("o_orderkey") === l("l_orderkey"), "left")
         .select(col("o_orderkey"), col("l_linenumber"), col("l_quantity"))
-        .orderBy(asc_nulls_first("o_orderkey"), asc_nulls_first("l_linenumber"))
+        .orderBy(asc_nulls_first("o_orderkey"), asc_nulls_first("l_linenumber"),
+          asc_nulls_first("l_quantity"))
     }),
 
     "join_right_outer" -> ((s, dir) => {
@@ -148,7 +155,8 @@ object Relational {
       val l = load(s, dir, "lineitem").filter(col("l_quantity") > 47)
       l.join(o, o("o_orderkey") === l("l_orderkey"), "right")
         .select(col("o_orderkey"), col("l_linenumber"), col("l_quantity"))
-        .orderBy(asc_nulls_first("o_orderkey"), asc_nulls_first("l_linenumber"))
+        .orderBy(asc_nulls_first("o_orderkey"), asc_nulls_first("l_linenumber"),
+          asc_nulls_first("l_quantity"))
     }),
 
     "join_full_outer" -> ((s, dir) => {
@@ -186,28 +194,33 @@ object Relational {
       l.join(broadcast(p),
         l("l_partkey") === p("p_partkey") && l("l_extendedprice") > p("p_retailprice"))
         .select("l_orderkey", "l_linenumber", "p_partkey", "p_retailprice")
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "p_partkey", "p_retailprice")
     }),
 
     // As-of: each order matched to the greatest distinct l_shipdate <=
     // o_orderdate. Distinct ship dates are low-cardinality (~2.5k for
-    // any SF), so broadcast them as one sorted array and binary-search
-    // per row via higher-order functions — zero shuffle on the fact side.
+    // any SF), so broadcast them as ONE sorted array and binary-search
+    // per fact row with the custom codegen ArrayMaxLE expression —
+    // O(log n) per row, zero allocation, zero shuffle on the fact side
+    // (round 1's array_max(filter(...)) allocated per row: 20 s).
     "join_asof" -> ((s, dir) => {
       val o = load(s, dir, "orders")
       val dates = load(s, dir, "lineitem")
         .agg(sort_array(collect_set(col("l_shipdate"))).as("ds"))
       o.crossJoin(broadcast(dates))
         .select(col("o_orderkey"), col("o_orderdate"),
-          expr("array_max(filter(ds, d -> d <= o_orderdate))").as("asof_shipdate"))
+          ArrayMaxLE(col("ds"), col("o_orderdate")).as("asof_shipdate"))
         .filter(col("asof_shipdate").isNotNull)
         .orderBy("o_orderkey")
     }),
 
     // Interval join: clicks within +/-1 hour of each purchase by the
-    // same user — equi join on user_id, range residual on ts.
+    // same user — equi join on user_id, range residual on ts. Events
+    // must come through loadEvents (nanos parquet); ts is µs-resolution
+    // in this corpus so the ns->µs read is lossless and the BETWEEN
+    // bounds agree exactly with DuckDB's ns evaluation.
     "join_interval" -> ((s, dir) => {
-      val e = load(s, dir, "events")
+      val e = loadEvents(s, dir)
       val p = e.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
       val c = e.filter(col("event_type") === "click")
@@ -237,21 +250,23 @@ object Relational {
     "join_inner_equi" ->
       """SELECT l_orderkey, l_linenumber, o_custkey, o_totalprice
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, o_custkey, o_totalprice""".stripMargin,
     "join_broadcast" ->
       """SELECT l_orderkey, l_linenumber, p_partkey, p_brand
         |FROM lineitem JOIN part ON l_partkey = p_partkey
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, p_partkey, p_brand""".stripMargin,
     "join_left_outer" ->
       """SELECT o_orderkey, l_linenumber, l_quantity
         |FROM orders LEFT JOIN (SELECT * FROM lineitem WHERE l_quantity > 47) l
         |  ON o_orderkey = l.l_orderkey
-        |ORDER BY o_orderkey NULLS FIRST, l_linenumber NULLS FIRST""".stripMargin,
+        |ORDER BY o_orderkey NULLS FIRST, l_linenumber NULLS FIRST,
+        |  l_quantity NULLS FIRST""".stripMargin,
     "join_right_outer" ->
       """SELECT o_orderkey, l_linenumber, l_quantity
         |FROM (SELECT * FROM lineitem WHERE l_quantity > 47) l RIGHT JOIN orders
         |  ON o_orderkey = l.l_orderkey
-        |ORDER BY o_orderkey NULLS FIRST, l_linenumber NULLS FIRST""".stripMargin,
+        |ORDER BY o_orderkey NULLS FIRST, l_linenumber NULLS FIRST,
+        |  l_quantity NULLS FIRST""".stripMargin,
     "join_full_outer" ->
       """SELECT c_custkey, o_orderkey
         |FROM (SELECT * FROM customer WHERE c_acctbal > 0) c
@@ -273,7 +288,7 @@ object Relational {
       """SELECT l_orderkey, l_linenumber, p_partkey, p_retailprice
         |FROM lineitem JOIN part
         |  ON l_partkey = p_partkey AND l_extendedprice > p_retailprice
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, p_partkey, p_retailprice""".stripMargin,
     "join_asof" ->
       """SELECT o.o_orderkey, o.o_orderdate, s.l_shipdate AS asof_shipdate
         |FROM orders o ASOF JOIN (SELECT DISTINCT l_shipdate FROM lineitem) s

@@ -31,11 +31,14 @@ object Scans {
 
   private val rtOracle =
     """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
-      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // (l_orderkey, l_linenumber) is NOT unique in this corpus — order
+    // by the full output tuple so the hash compare can't tie-flake.
     "scan_parquet" -> ((s, dir) =>
-      load(s, dir, "lineitem").orderBy("l_orderkey", "l_linenumber")),
+      load(s, dir, "lineitem").orderBy(lineitemCols.head, lineitemCols.tail: _*)),
 
     // Only 2 of 11 columns: the parquet reader prunes (ReadSchema shows
     // just these two). Ordering by the full projected tuple keeps the
@@ -48,7 +51,7 @@ object Scans {
       val p = tmp(dir, "csv")
       load(s, dir, "lineitem").select(rtCols.map(col): _*)
         .write.mode(SaveMode.Overwrite).csv(p)
-      s.read.schema(rtSchema).csv(p).orderBy("l_orderkey", "l_linenumber")
+      s.read.schema(rtSchema).csv(p).orderBy(rtCols.head, rtCols.tail: _*)
     }),
 
     "scan_json_roundtrip" -> ((s, dir) => {
@@ -59,7 +62,7 @@ object Scans {
       s.read.json(p)
         .select(rtCols.map(col): _*) // inferred schemas sort fields; restore order
         .withColumn("l_linenumber", col("l_linenumber").cast("int"))
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy(rtCols.head, rtCols.tail: _*)
     }),
 
     // Hive-style partitioned write, then read back and count per
@@ -85,7 +88,7 @@ object Scans {
 
   val oracle: Map[String, String] = Map(
     "scan_parquet" ->
-      "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber",
+      ("SELECT * FROM lineitem ORDER BY " + lineitemCols.mkString(", ")),
     "scan_parquet_pruned" ->
       "SELECT l_orderkey, l_quantity FROM lineitem ORDER BY l_orderkey, l_quantity",
     "scan_csv_roundtrip" -> rtOracle,

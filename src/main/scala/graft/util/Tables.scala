@@ -24,9 +24,16 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
 
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-    * read as a timestamp; read it as nanos-since-epoch and convert to
-    * the session µs timestamp. DuckDB keeps ns — queries exposing or
-    * comparing ts must truncate to ms on both sides (SURVEY §1.5 r3).
+    * read as a timestamp; read it as nanos-since-epoch (the
+    * `nanosAsLong` flag, set once in the Verify/Bench session
+    * builders) and convert to the session µs timestamp. The corpus'
+    * ts values are µs-resolution [verified: every ns value % 1000 ==
+    * 0], so the ns->µs conversion is LOSSLESS and DuckDB (which keeps
+    * ns) agrees exactly; oracles exposing ts cast to TIMESTAMP (µs).
+    *
+    * The conf.set below is a defensive no-op under our own sessions
+    * (builders already set it) and exists for driver-owned sessions;
+    * it always sets the same constant, so there is no read-order race.
     */
   def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

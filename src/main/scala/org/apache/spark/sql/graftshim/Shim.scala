@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into Spark 4's `private[sql]` Column <-> Expression
+  * converters so graft can plan custom Catalyst expressions from the
+  * public DataFrame API (the Spark-extension-library idiom: live in an
+  * `org.apache.spark.sql` subpackage). Nothing here is proprietary —
+  * it calls the stock Spark 4.1.2 classic converters.
+  */
+object Shim {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
