@@ -13,7 +13,8 @@ object SparkEntry {
     Seq(
       (Scans.queries, Scans.oracle),
       (Relational.queries, Relational.oracle),
-      (Aggregates.queries, Aggregates.oracle)
+      (Aggregates.queries, Aggregates.oracle),
+      (Windows.queries, Windows.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -37,8 +37,93 @@ object Aggregates {
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
+  /** §2.4 `agg_stats` — distribution statistics with hash-exact
+    * determinism: raw double stddev/var/corr are accumulation-order
+    * dependent, so accumulate exact DECIMAL power sums (order-free)
+    * and evaluate ONE deterministic double formula, written
+    * identically in the oracle SQL. IEEE 754 ops are deterministic, so
+    * both engines produce bit-identical results with no rounding
+    * fudge. Scale: the shuffle moves 6 decimal partials per group.
+    */
+  private def aggStats(s: SparkSession, dir: String): DataFrame = {
+    val l = load(s, dir, "lineitem")
+    val g = l.groupBy(col("l_returnflag")).agg(
+      count(lit(1)).cast("double").as("n"),
+      asD(sum(money(col("l_extendedprice")))).as("sx"),
+      asD(sum(money(col("l_extendedprice")) * money(col("l_extendedprice")))).as("sxx"),
+      asD(sum(money(col("l_quantity")))).as("sy"),
+      asD(sum(money(col("l_quantity")) * money(col("l_quantity")))).as("syy"),
+      asD(sum(money(col("l_extendedprice")) * money(col("l_quantity")))).as("sxy"))
+    val mxx = col("n") * col("sxx") - col("sx") * col("sx")
+    val myy = col("n") * col("syy") - col("sy") * col("sy")
+    g.select(col("l_returnflag"),
+      (mxx / (col("n") * (col("n") - lit(1.0)))).as("var_price"),
+      sqrt(mxx / (col("n") * (col("n") - lit(1.0)))).as("stddev_price"),
+      ((col("n") * col("sxy") - col("sx") * col("sy")) /
+        (sqrt(mxx) * sqrt(myy))).as("corr_price_qty"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "agg_pricing_summary" -> (aggPricingSummary _)
+    "agg_pricing_summary" -> (aggPricingSummary _),
+
+    "agg_global" -> ((s, dir) =>
+      load(s, dir, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity")).as("sum_qty"), // integral-valued: exact
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        asD(sum(money(col("l_extendedprice")))).as("sum_price"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"))),
+
+    "agg_count_distinct" -> ((s, dir) =>
+      load(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_partkey")),
+
+    // HLL sketch: approximate by design, so no oracle (SURVEY §1.5 r4);
+    // the ScalaTest suite asserts ±5% of the exact distinct count.
+    "agg_approx_distinct" -> ((s, dir) =>
+      load(s, dir, "lineitem")
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))),
+
+    "agg_grouping_sets" -> ((s, dir) =>
+      load(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+
+    "agg_cube" -> ((s, dir) =>
+      load(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"),
+          count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+
+    "agg_rollup" -> ((s, dir) => {
+      val n = load(s, dir, "nation")
+      val r = load(s, dir, "region")
+      n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+    }),
+
+    "agg_stats" -> (aggStats _),
+
+    // Per-group sorted list, surfaced as a canonical joined string so
+    // the compare is list-order-proof on both engines.
+    "agg_collect_sorted" -> ((s, dir) =>
+      load(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(array_join(sort_array(collect_list(col("o_orderpriority"))), ",")
+          .as("priorities"))
+        .orderBy("o_custkey"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -55,6 +140,61 @@ object Aggregates {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "agg_global" ->
+      """SELECT count(*) AS n_rows,
+        |  sum(l_quantity) AS sum_qty,
+        |  min(l_quantity) AS min_qty,
+        |  max(l_quantity) AS max_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) AS sum_price,
+        |  min(l_extendedprice) AS min_price,
+        |  max(l_extendedprice) AS max_price
+        |FROM lineitem""".stripMargin,
+
+    "agg_count_distinct" ->
+      """SELECT l_partkey, count(DISTINCT l_suppkey) AS n_supp, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_partkey ORDER BY l_partkey""".stripMargin,
+
+    "agg_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "agg_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  count(*) AS cnt, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "agg_rollup" ->
+      """SELECT r_name, n_name, count(*) AS cnt
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "agg_stats" ->
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2)) * CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(15,2)) * CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2)) * CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  (n * sxx - sx * sx) / (n * (n - 1.0)) AS var_price,
+        |  sqrt((n * sxx - sx * sx) / (n * (n - 1.0))) AS stddev_price,
+        |  (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_price_qty
+        |FROM s ORDER BY l_returnflag""".stripMargin,
+
+    "agg_collect_sorted" ->
+      """SELECT o_custkey,
+        |  array_to_string(list_sort(list(o_orderpriority)), ',') AS priorities
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
   )
 }

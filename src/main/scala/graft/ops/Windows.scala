@@ -1,0 +1,160 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.util.Tables._
+
+/** SURVEY.md §2.5 — window functions.
+  *
+  * Scale notes: every window here is PARTITIONED (by customer, by
+  * priority, by user) — the shuffle hashes on the partition key and
+  * each partition sorts independently, the shape that scales to any
+  * data size. No window uses a global ORDER BY without partitioning
+  * except via the final presentation sort, which the hash contract
+  * demands anyway. Determinism: every window ORDER BY includes a
+  * unique tiebreaker key; ranking functions over non-unique orderings
+  * are only used where ties produce identical outputs (rank/dense_rank
+  * peers), and running frames always order on a unique key.
+  */
+object Windows {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Top-3 orders per customer: rank-then-filter. The window shuffle
+    // partitions by o_custkey; per-partition sort only.
+    "win_row_number_topk" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      load(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // rank/dense_rank/percent_rank over price alone (ties share ranks,
+    // so output is deterministic); ntile needs a total order, so its
+    // window adds the unique key tiebreak.
+    "win_ranks" -> ((s, dir) => {
+      val byPrice = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(desc("o_totalprice"))
+      val total = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      load(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+          rank().over(byPrice).as("rnk"),
+          dense_rank().over(byPrice).as("drnk"),
+          percent_rank().over(byPrice).as("prnk"),
+          ntile(4).over(total).as("quartile"))
+        .orderBy(asc("o_orderpriority"), desc("o_totalprice"), asc("o_orderkey"))
+    }),
+
+    // Previous/next value per user ordered by event time (unique
+    // tiebreak event_id both in the frame order and the final sort).
+    "win_lag_lead" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(asc("ts"), asc("event_id"))
+      loadEvents(s, dir)
+        .select(col("user_id"), col("event_id"), col("value"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          lead(col("value"), 1).over(w).as("next_value"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // Running 3-row sum over a unique order key; decimal accumulation
+    // keeps the 3-term sum exact on both engines.
+    "win_running_frame" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(asc("o_orderkey")).rowsBetween(-2, 0)
+      load(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          asD(sum(money(col("o_totalprice"))).over(w)).as("run3"),
+          count(lit(1)).over(w).as("run3_n"))
+        .orderBy("o_orderpriority", "o_orderkey")
+    }),
+
+    // Value-range frame: peers share frames, so ties are harmless by
+    // construction. RANGE boundaries need the SQL form for a double
+    // ordering column.
+    "win_range_frame" -> ((s, dir) =>
+      load(s, dir, "orders")
+        .selectExpr("o_orderpriority", "o_orderkey", "o_totalprice",
+          """CAST(sum(CAST(o_totalprice AS DECIMAL(15,2))) OVER (
+            |  PARTITION BY o_orderpriority ORDER BY o_totalprice
+            |  RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+            |  AS near_sum""".stripMargin,
+          """count(*) OVER (
+            |  PARTITION BY o_orderpriority ORDER BY o_totalprice
+            |  RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW) AS near_n""".stripMargin)
+        .orderBy("o_orderpriority", "o_orderkey")),
+
+    "win_first_last" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      load(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          first(col("o_orderkey")).over(w).as("first_key"),
+          last(col("o_orderkey")).over(w).as("last_key"),
+          first(col("o_totalprice")).over(w).as("first_price"))
+        .orderBy("o_orderpriority", "o_orderkey")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "win_row_number_topk" ->
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "win_ranks" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  CAST(rank() OVER wp AS INT) AS rnk,
+        |  CAST(dense_rank() OVER wp AS INT) AS drnk,
+        |  percent_rank() OVER wp AS prnk,
+        |  CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS quartile
+        |FROM orders
+        |WINDOW wp AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC)
+        |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin,
+
+    "win_lag_lead" ->
+      """SELECT user_id, event_id, value,
+        |  lag(value, 1) OVER w AS prev_value,
+        |  lead(value, 1) OVER w AS next_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "win_running_frame" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(15,2))) OVER w AS DOUBLE) AS run3,
+        |  count(*) OVER w AS run3_n
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
+        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+
+    "win_range_frame" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(15,2))) OVER w AS DOUBLE) AS near_sum,
+        |  count(*) OVER w AS near_n
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice
+        |  RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+
+    "win_first_last" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |  first_value(o_orderkey) OVER w AS first_key,
+        |  last_value(o_orderkey) OVER w AS last_key,
+        |  first_value(o_totalprice) OVER w AS first_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin
+  )
+}
