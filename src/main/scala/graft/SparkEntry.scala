@@ -14,7 +14,11 @@ object SparkEntry {
       (Scans.queries, Scans.oracle),
       (Relational.queries, Relational.oracle),
       (Aggregates.queries, Aggregates.oracle),
-      (Windows.queries, Windows.oracle)
+      (Windows.queries, Windows.oracle),
+      (Scalars.queries, Scalars.oracle),
+      (Events.queries, Events.oracle),
+      (Udx.queries, Udx.oracle),
+      (LlmOps.queries, LlmOps.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

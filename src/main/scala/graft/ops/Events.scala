@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.Tables._
+
+/** SURVEY.md §2.9 — event-time operators, batch forms.
+  *
+  * Each operator is a batch event-time query over the `events` stream
+  * surrogate (oracle-checkable); the identical DataFrame algebra runs
+  * under Structured Streaming via the builders in
+  * [[graft.streaming.Streams]], unit-tested with MemoryStream replay
+  * (same semantics by construction — Spark plans both from one
+  * logical algebra).
+  *
+  * Scale notes: event-time windows group by (window, key) — the
+  * shuffle key includes the window bucket, so state is bounded per
+  * bucket and the plan parallelizes over time × key. Session windows
+  * shuffle by user then sort per user — bounded by per-user event
+  * counts. Aggregating `value` (a full-precision double) is
+  * order-dependent, so oracle-checked aggregates use count + exact
+  * integer sums of floor(value) (SURVEY §1.5 r2).
+  */
+object Events {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_tumbling_window" -> ((s, dir) =>
+      loadEvents(s, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(floor(col("value")).cast("long")).as("sum_floor_value"))
+        .select(col("window.start").as("wstart"), col("window.end").as("wend"),
+          col("event_type"), col("cnt"), col("sum_floor_value"))
+        .orderBy("wstart", "event_type")),
+
+    // 1-hour windows sliding every 15 min: each event lands in 4
+    // windows; the oracle reconstructs the same assignment with four
+    // shifted time_buckets UNION ALL'd.
+    "evt_sliding_window" -> ((s, dir) =>
+      loadEvents(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(floor(col("value")).cast("long")).as("sum_floor_value"))
+        .select(col("window.start").as("wstart"), col("window.end").as("wend"),
+          col("cnt"), col("sum_floor_value"))
+        .orderBy("wstart")),
+
+    // Sessions close after 30 min of inactivity; Spark merges windows
+    // that overlap, i.e. a new session starts when the gap is >= the
+    // timeout — mirrored exactly by the lag-gap cumulative-sum oracle.
+    "evt_session_window" -> ((s, dir) =>
+      loadEvents(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("user_id"), col("session_window.start").as("sstart"),
+          col("session_window.end").as("send"), col("cnt"))
+        .orderBy("user_id", "sstart")),
+
+    // Watermark semantics are streaming-only (no DuckDB analogue): the
+    // batch form plans the same windowed count (EventTimeWatermark is
+    // eliminated in batch); the MemoryStream ScalaTest injects late
+    // rows and asserts they are dropped.
+    "evt_watermark_late" -> ((s, dir) =>
+      loadEvents(s, dir)
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "10 minutes"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("window.start").as("wstart"), col("cnt"))
+        .orderBy("wstart")),
+
+    // Batch twin of dropDuplicatesWithinWatermark: survivors projected
+    // to the dedup key only, so the arbitrary-survivor choice cannot
+    // leak into the compare.
+    "evt_stateful_dedup" -> ((s, dir) =>
+      loadEvents(s, dir)
+        .dropDuplicates("user_id", "event_type")
+        .select("user_id", "event_type")
+        .orderBy("user_id", "event_type")),
+
+    // Stream-static enrichment join: the static dim is broadcast so a
+    // 100 TB event stream never shuffles for the join.
+    "evt_stream_join" -> ((s, dir) => {
+      val e = loadEvents(s, dir)
+      val c = load(s, dir, "customer")
+      e.join(broadcast(c), e("user_id") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("c_mktsegment", "event_type")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "evt_tumbling_window" ->
+      """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS wstart,
+        |  time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS wend,
+        |  event_type, count(*) AS cnt,
+        |  sum(CAST(floor(value) AS BIGINT)) AS sum_floor_value
+        |FROM events GROUP BY wstart, event_type
+        |ORDER BY wstart, event_type""".stripMargin,
+
+    "evt_sliding_window" ->
+      """WITH buck AS (
+        |  SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP)) AS b,
+        |    value FROM events),
+        |w AS (
+        |  SELECT b - INTERVAL 0 MINUTE AS wstart, value FROM buck
+        |  UNION ALL SELECT b - INTERVAL 15 MINUTE, value FROM buck
+        |  UNION ALL SELECT b - INTERVAL 30 MINUTE, value FROM buck
+        |  UNION ALL SELECT b - INTERVAL 45 MINUTE, value FROM buck)
+        |SELECT wstart, wstart + INTERVAL 1 HOUR AS wend, count(*) AS cnt,
+        |  sum(CAST(floor(value) AS BIGINT)) AS sum_floor_value
+        |FROM w GROUP BY wstart ORDER BY wstart""".stripMargin,
+
+    "evt_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |m AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, min(ts) AS sstart,
+        |  max(ts) + INTERVAL 30 MINUTE AS send, count(*) AS cnt
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, sstart""".stripMargin,
+
+    "evt_stateful_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "evt_stream_join" ->
+      """SELECT c_mktsegment, event_type, count(*) AS cnt,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment, event_type
+        |ORDER BY c_mktsegment, event_type""".stripMargin
+  )
+}

@@ -1,0 +1,268 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.CosineSim
+import graft.util.Tables._
+
+/** SURVEY.md §2.11 — LLM-training-data pipeline operators: dedup
+  * (exact + MinHash-LSH near-dup), similarity search, text analysis,
+  * TF-IDF, multimodal projection.
+  *
+  * Scale design (the point of this module):
+  *  - Exact dedup groups on a content hash — shuffle key is the hash,
+  *    perfectly balanced, no all-pairs anything.
+  *  - Near-dup is MinHash + LSH *banding*: candidate generation is an
+  *    equi-join on (band_idx, band_hash) — the only pairs ever
+  *    materialized are hash-bucket collisions, never the O(n²) cross
+  *    product. Signatures are fixed-seed (no RNG), so results are
+  *    deterministic and re-runnable.
+  *  - Similarity search uses the fused codegen kernel
+  *    [[graft.functions.CosineSim]] (no per-pair allocation). The
+  *    brute-force pair scan is the small-SF baseline; the 100 TB path
+  *    is the same kernel behind an LSH/IVF bucketing join exactly like
+  *    the near-dup banding (bucket on coarse quantization, compare
+  *    within buckets).
+  *  - k-NN broadcasts the (small) query set so the corpus never
+  *    shuffles.
+  *  - TF-IDF / text stats are explode → hash-aggregate pipelines;
+  *    vocabulary cardinality grows sub-linearly with corpus size.
+  */
+object LlmOps {
+
+  // ---------------------------------------------------------- minhash
+
+  private val NumHashes = 32
+  private val BandRows = 4
+  private val NumBands = NumHashes / BandRows
+
+  /** Fixed splitmix64/golden-ratio constants — deterministic across
+    * runs and executors (SURVEY §7.4: no Math.random anywhere). */
+  private def seedA(i: Int): Long = 0x9E3779B97F4A7C15L * (2 * i + 1)
+  private def seedB(i: Int): Long = 0xBF58476D1CE4E5B9L * (i + 1)
+
+  /** doc_id + distinct hashed 3-word shingles. */
+  private def shingleSets(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"),
+        expr("""array_distinct(transform(sequence(0, size(split(text, ' ')) - 3),
+               |  i -> xxhash64(concat_ws(' ',
+               |    element_at(split(text, ' '), i + 1),
+               |    element_at(split(text, ' '), i + 2),
+               |    element_at(split(text, ' '), i + 3)))))""".stripMargin)
+          .as("sh"))
+
+  /** 32-element MinHash signature over the shingle-hash set. Each
+    * hash family member is xxhash64 re-keyed by a fixed seed pair —
+    * overflow-free under ANSI mode and a proper independent family. */
+  private def signature: Column =
+    array((0 until NumHashes).map { i =>
+      array_min(transform(col("sh"),
+        h => xxhash64(lit(seedA(i)), h, lit(seedB(i)))))
+    }: _*)
+
+  /** One hash per 4-row band of the signature. */
+  private def bandHashes: Column =
+    array((0 until NumBands).map { b =>
+      xxhash64(concat_ws(",", (0 until BandRows).map(r =>
+        element_at(col("sig"), b * BandRows + r + 1).cast("string")): _*))
+    }: _*)
+
+  // ---------------------------------------------------------- queries
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup on md5(text): deterministic survivor = min doc_id
+    // per hash (dropDuplicates' arbitrary pick would leak into the
+    // per-source counts), then survivors per source.
+    "llm_dedup_exact" -> ((s, dir) => {
+      val d = load(s, dir, "documents")
+      val survivors = d.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      d.join(survivors, "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("source")
+    }),
+
+    // MinHash + LSH banding; candidates only from band-bucket
+    // collisions; exact Jaccard verification on the candidate set.
+    // No oracle (algorithmic, SURVEY §1.5 r4) — the ScalaTest property
+    // suite plants near-duplicates and asserts recall.
+    "llm_dedup_near" -> ((s, dir) => {
+      val sets = shingleSets(s, dir)
+      val banded = sets.withColumn("sig", signature)
+        .select(col("doc_id"), posexplode(bandHashes))
+        .toDF("doc_id", "band_idx", "band_hash")
+      val cand = banded.as("x").join(banded.as("y"),
+          col("x.band_idx") === col("y.band_idx") &&
+            col("x.band_hash") === col("y.band_hash") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+        .filter(col("jaccard") >= 0.8)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Brute-force top-10 most similar pairs (small-SF baseline; see
+    // scale note above). The fused kernel keeps the pair scan inside
+    // codegen with zero allocation.
+    "llm_simsearch_topk" -> ((s, dir) => {
+      val e = load(s, dir, "embeddings").select("vec_id", "embedding")
+      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          round(CosineSim(col("a.embedding"), col("b.embedding")), 6).as("cos_sim"))
+        .orderBy(desc("cos_sim"), asc("vec_a"), asc("vec_b"))
+        .limit(10)
+    }),
+
+    // k-NN (k=5) for a deterministic query subset; the query side is
+    // broadcast so the corpus scan never shuffles.
+    "llm_simsearch_knn" -> ((s, dir) => {
+      val e = load(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(desc("cos_sim"), asc("vec_id"))
+      e.join(broadcast(q), col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("vec_id"),
+          round(CosineSim(col("q_emb"), col("embedding")), 6).as("cos_sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .orderBy("q_id", "rn")
+    }),
+
+    // Per-language corpus profile + most frequent token.
+    "llm_text_stats" -> ((s, dir) => {
+      val d = load(s, dir, "documents")
+      val stats = d.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        (sum(col("n_chars")).cast("double") / count(lit(1)).cast("double"))
+          .as("avg_chars"),
+        countDistinct(col("source")).as("n_sources"))
+      val tokCnt = d.select(col("lang"), explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("lang")).orderBy(desc("cnt"), asc("word"))
+      val top = tokCnt.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("lang"), col("word").as("top_token"), col("cnt").as("top_token_cnt"))
+      stats.join(top, "lang").orderBy("lang")
+    }),
+
+    // TF-IDF, top-3 terms per doc. idf = ln(N/df) evaluated as one
+    // deterministic double formula from exact longs; 6-dp rounding on
+    // both sides absorbs libm last-ulp differences.
+    "llm_tfidf" -> ((s, dir) => {
+      val d = load(s, dir, "documents")
+      val toks = d.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      val tf = toks.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tcnt"))
+      val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      val n = d.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dfreq, "word").crossJoin(broadcast(n))
+        .select(col("doc_id"), col("word"),
+          round(col("tcnt").cast("double") *
+            log(col("n_docs").cast("double") / col("df").cast("double")), 6)
+            .as("tfidf"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(desc("tfidf"), asc("word"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .orderBy("doc_id", "rn")
+    }),
+
+    // One relation carrying text + vector + scalar modalities, with
+    // cross-modal filter and projections.
+    "llm_multimodal_cols" -> ((s, dir) => {
+      val d = load(s, dir, "documents")
+      val e = load(s, dir, "embeddings")
+      d.join(e, d("doc_id") === e("vec_id"))
+        .filter(col("lang").isin("en", "fr") && col("n_chars") > 100)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          size(split(col("text"), " ")).as("n_tokens"),
+          size(col("embedding")).as("dim"),
+          round(expr(
+            "aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+          ), 4).as("norm_sq"),
+          col("label"))
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "llm_dedup_exact" ->
+      """WITH s AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+        |SELECT source, count(*) AS n_docs
+        |FROM documents JOIN s USING (doc_id)
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "llm_simsearch_topk" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |ORDER BY cos_sim DESC, vec_a, vec_b LIMIT 10""".stripMargin,
+
+    "llm_simsearch_knn" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+        |  FROM embeddings WHERE vec_id % 100 = 0),
+        |c AS (SELECT q_id, vec_id,
+        |  round(list_cosine_similarity(CAST(q_emb AS DOUBLE[]),
+        |    CAST(embedding AS DOUBLE[])), 6) AS cos_sim
+        |  FROM q JOIN embeddings ON q_id <> vec_id),
+        |r AS (SELECT *, CAST(row_number() OVER (
+        |  PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INT) AS rn FROM c)
+        |SELECT q_id, vec_id, cos_sim, rn FROM r WHERE rn <= 5
+        |ORDER BY q_id, rn""".stripMargin,
+
+    "llm_text_stats" ->
+      """WITH stats AS (
+        |  SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+        |    CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_chars,
+        |    count(DISTINCT source) AS n_sources
+        |  FROM documents GROUP BY lang),
+        |tok AS (
+        |  SELECT lang, word, count(*) AS cnt FROM (
+        |    SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
+        |  GROUP BY lang, word),
+        |top AS (
+        |  SELECT lang, word AS top_token, cnt AS top_token_cnt FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY lang
+        |      ORDER BY cnt DESC, word) AS rn FROM tok) WHERE rn = 1)
+        |SELECT lang, n_docs, sum_chars, avg_chars, n_sources,
+        |  top_token, top_token_cnt
+        |FROM stats JOIN top USING (lang) ORDER BY lang""".stripMargin,
+
+    "llm_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tcnt FROM toks GROUP BY doc_id, word),
+        |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, tf.word AS word,
+        |    round(CAST(tcnt AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS tfidf
+        |  FROM tf JOIN dfreq ON tf.word = dfreq.word CROSS JOIN n),
+        |r AS (SELECT *, CAST(row_number() OVER (
+        |  PARTITION BY doc_id ORDER BY tfidf DESC, word) AS INT) AS rn FROM scored)
+        |SELECT doc_id, word, tfidf, rn FROM r WHERE rn <= 3
+        |ORDER BY doc_id, rn""".stripMargin,
+
+    "llm_multimodal_cols" ->
+      """SELECT doc_id, lang, source, n_chars,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        |  CAST(len(embedding) AS INT) AS dim,
+        |  round(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)), 4) AS norm_sq,
+        |  label
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |WHERE lang IN ('en', 'fr') AND n_chars > 100
+        |ORDER BY doc_id""".stripMargin
+  )
+}
