@@ -43,8 +43,8 @@ object LlmOps {
   private def seedB(i: Int): Long = 0xBF58476D1CE4E5B9L * (i + 1)
 
   /** doc_id + distinct hashed 3-word shingles. */
-  private def shingleSets(s: SparkSession, dir: String): DataFrame =
-    load(s, dir, "documents")
+  private[graft] def shingleSets(docs: DataFrame): DataFrame =
+    docs
       .filter(size(split(col("text"), " ")) >= 3)
       .select(col("doc_id"),
         expr("""array_distinct(transform(sequence(0, size(split(text, ' ')) - 3),
@@ -76,7 +76,24 @@ object LlmOps {
     // Exact dedup on md5(text): deterministic survivor = min doc_id
     // per hash (dropDuplicates' arbitrary pick would leak into the
     // per-source counts), then survivors per source.
-    "llm_dedup_exact" -> ((s, dir) => {
+    "llm_dedup_exact" -> (dedupExact _),
+    // MinHash + LSH banding; candidates only from band-bucket
+    // collisions; exact Jaccard verification on the candidate set.
+    // No oracle (algorithmic, SURVEY §1.5 r4) — the ScalaTest property
+    // suite plants near-duplicates and asserts recall.
+    "llm_dedup_near" -> ((s: SparkSession, dir: String) =>
+      nearDupPairs(load(s, dir, "documents"))),
+    "llm_simsearch_topk" -> (simsearchTopK _),
+    "llm_simsearch_knn" -> (simsearchKnn _),
+    "llm_text_stats" -> (textStats _),
+    "llm_tfidf" -> (tfidf _),
+    "llm_multimodal_cols" -> (multimodal _)
+  )
+
+  // Exact dedup on md5(text): deterministic survivor = min doc_id per
+  // hash (dropDuplicates' arbitrary pick would leak into the
+  // per-source counts), then survivors per source.
+  private def dedupExact(s: SparkSession, dir: String): DataFrame = {
       val d = load(s, dir, "documents")
       val survivors = d.groupBy(md5(col("text")).as("h"))
         .agg(min(col("doc_id")).as("doc_id"))
@@ -84,14 +101,13 @@ object LlmOps {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("source")
-    }),
+  }
 
-    // MinHash + LSH banding; candidates only from band-bucket
-    // collisions; exact Jaccard verification on the candidate set.
-    // No oracle (algorithmic, SURVEY §1.5 r4) — the ScalaTest property
-    // suite plants near-duplicates and asserts recall.
-    "llm_dedup_near" -> ((s, dir) => {
-      val sets = shingleSets(s, dir)
+  /** MinHash + LSH banded near-duplicate detection over any relation
+    * with (doc_id, text). Candidates come only from band-bucket
+    * collisions; exact Jaccard >= 0.8 verification on candidates. */
+  private[graft] def nearDupPairs(docs: DataFrame): DataFrame = {
+      val sets = shingleSets(docs)
       val banded = sets.withColumn("sig", signature)
         .select(col("doc_id"), posexplode(bandHashes))
         .toDF("doc_id", "band_idx", "band_hash")
@@ -110,23 +126,23 @@ object LlmOps {
         .filter(col("jaccard") >= 0.8)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("doc_a", "doc_b")
-    }),
+  }
 
-    // Brute-force top-10 most similar pairs (small-SF baseline; see
-    // scale note above). The fused kernel keeps the pair scan inside
-    // codegen with zero allocation.
-    "llm_simsearch_topk" -> ((s, dir) => {
+  // Brute-force top-10 most similar pairs (small-SF baseline; see
+  // scale note above). The fused kernel keeps the pair scan inside
+  // codegen with zero allocation.
+  private def simsearchTopK(s: SparkSession, dir: String): DataFrame = {
       val e = load(s, dir, "embeddings").select("vec_id", "embedding")
       e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
           round(CosineSim(col("a.embedding"), col("b.embedding")), 6).as("cos_sim"))
         .orderBy(desc("cos_sim"), asc("vec_a"), asc("vec_b"))
         .limit(10)
-    }),
+  }
 
-    // k-NN (k=5) for a deterministic query subset; the query side is
-    // broadcast so the corpus scan never shuffles.
-    "llm_simsearch_knn" -> ((s, dir) => {
+  // k-NN (k=5) for a deterministic query subset; the query side is
+  // broadcast so the corpus scan never shuffles.
+  private def simsearchKnn(s: SparkSession, dir: String): DataFrame = {
       val e = load(s, dir, "embeddings")
       val q = e.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
@@ -138,10 +154,10 @@ object LlmOps {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
         .orderBy("q_id", "rn")
-    }),
+  }
 
-    // Per-language corpus profile + most frequent token.
-    "llm_text_stats" -> ((s, dir) => {
+  // Per-language corpus profile + most frequent token.
+  private def textStats(s: SparkSession, dir: String): DataFrame = {
       val d = load(s, dir, "documents")
       val stats = d.groupBy(col("lang")).agg(
         count(lit(1)).as("n_docs"),
@@ -156,12 +172,12 @@ object LlmOps {
         .filter(col("rn") === 1)
         .select(col("lang"), col("word").as("top_token"), col("cnt").as("top_token_cnt"))
       stats.join(top, "lang").orderBy("lang")
-    }),
+  }
 
-    // TF-IDF, top-3 terms per doc. idf = ln(N/df) evaluated as one
-    // deterministic double formula from exact longs; 6-dp rounding on
-    // both sides absorbs libm last-ulp differences.
-    "llm_tfidf" -> ((s, dir) => {
+  // TF-IDF, top-3 terms per doc. idf = ln(N/df) evaluated as one
+  // deterministic double formula from exact longs; 6-dp rounding on
+  // both sides absorbs libm last-ulp differences.
+  private def tfidf(s: SparkSession, dir: String): DataFrame = {
       val d = load(s, dir, "documents")
       val toks = d.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       val tf = toks.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tcnt"))
@@ -176,11 +192,11 @@ object LlmOps {
       scored.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .orderBy("doc_id", "rn")
-    }),
+  }
 
-    // One relation carrying text + vector + scalar modalities, with
-    // cross-modal filter and projections.
-    "llm_multimodal_cols" -> ((s, dir) => {
+  // One relation carrying text + vector + scalar modalities, with
+  // cross-modal filter and projections.
+  private def multimodal(s: SparkSession, dir: String): DataFrame = {
       val d = load(s, dir, "documents")
       val e = load(s, dir, "embeddings")
       d.join(e, d("doc_id") === e("vec_id"))
@@ -193,8 +209,7 @@ object LlmOps {
           ), 4).as("norm_sq"),
           col("label"))
         .orderBy("doc_id")
-    })
-  )
+  }
 
   val oracle: Map[String, String] = Map(
     "llm_dedup_exact" ->

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.9 streaming twins (§1.4: Structured Streaming, never
+  * DStream). Each builder applies the SAME DataFrame algebra as its
+  * batch form in [[graft.ops.Events]] — Spark plans batch and
+  * streaming from one logical algebra, so semantics carry over by
+  * construction; the ScalaTest MemoryStream suite replays events
+  * through these and asserts equality with the batch results plus the
+  * streaming-only behaviors (late-drop, within-watermark dedup).
+  *
+  * Scale notes: event-time state is keyed by (window, key) with
+  * watermark-bounded retention — the state store never grows beyond
+  * (keys x open windows), the shape that survives unbounded streams.
+  */
+object Streams {
+
+  /** Twin of `evt_tumbling_window` (counts only — streaming sinks
+    * aggregate incrementally; sums of doubles stay batch-only). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("wstart"), col("event_type"), col("cnt"))
+
+  /** Twin of `evt_sliding_window`. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("wstart"), col("cnt"))
+
+  /** Twin of `evt_session_window`. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("user_id"), col("session_window.start").as("sstart"),
+        col("session_window.end").as("send"), col("cnt"))
+
+  /** `evt_watermark_late`: 30-min watermark over 10-min tumbling
+    * counts; in append mode a window is emitted once finalized and
+    * events older than the watermark are dropped. */
+  def windowedWithWatermark(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("wstart"), col("cnt"))
+
+  /** `evt_stateful_dedup` streaming form: exactly-once survivors per
+    * event_id with watermark-bounded state. */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** `evt_stream_join`: stream-static broadcast enrichment. */
+  def enrich(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(broadcast(customers),
+      events("user_id") === customers("c_custkey"))
+}

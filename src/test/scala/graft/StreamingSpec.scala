@@ -1,0 +1,109 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Streams
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** MemoryStream replay tests (SURVEY §5.3): streaming twins equal
+  * their batch forms, watermarks drop late rows, within-watermark
+  * dedup emits exactly-once. */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private def t(hhmm: String): Timestamp =
+    Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+
+  private def runStream(name: String, events: Seq[Ev],
+      build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      mode: String): Unit = {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    ms.addData(events)
+    val q = build(ms.toDF()).writeStream
+      .format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable(); q.stop()
+  }
+
+  test("tumbling window: streaming result equals batch twin") {
+    val events = Seq(
+      Ev(1, t("10:05"), 1, "click", 1.0), Ev(2, t("10:55"), 1, "click", 2.0),
+      Ev(3, t("11:05"), 2, "view", 3.0), Ev(4, t("10:15"), 2, "click", 4.0))
+    import spark.implicits._
+    runStream("tumb", events, Streams.tumblingCounts, "complete")
+    val streamed = spark.table("tumb").orderBy("wstart", "event_type").collect()
+    val batch = Streams.tumblingCounts(events.toDF())
+      .orderBy("wstart", "event_type").collect()
+    assert(streamed.sameElements(batch))
+  }
+
+  test("session window: streaming result equals batch twin") {
+    val events = Seq(
+      Ev(1, t("10:00"), 1, "a", 0), Ev(2, t("10:10"), 1, "a", 0), // one session
+      Ev(3, t("11:30"), 1, "a", 0),                               // new session
+      Ev(4, t("10:00"), 2, "a", 0))
+    import spark.implicits._
+    runStream("sess", events, Streams.sessionCounts, "complete")
+    val streamed = spark.table("sess").orderBy("user_id", "sstart").collect()
+    val batch = Streams.sessionCounts(events.toDF())
+      .orderBy("user_id", "sstart").collect()
+    assert(streamed.sameElements(batch))
+    assert(streamed.length == 3)
+  }
+
+  test("watermark: late event beyond 30-min watermark is dropped") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = Streams.windowedWithWatermark(ms.toDF()).writeStream
+      .format("memory").queryName("late").outputMode("append").start()
+    // batch 1: events at 10:05 and 12:00 -> watermark advances to 11:30
+    ms.addData(Seq(Ev(1, t("10:05"), 1, "a", 0), Ev(2, t("12:00"), 1, "a", 0)))
+    q.processAllAvailable()
+    // batch 2: late event at 10:06 (< watermark) must be dropped;
+    // 13:00 advances the watermark so the 12:00 window finalizes too.
+    ms.addData(Seq(Ev(3, t("10:06"), 1, "a", 0), Ev(4, t("13:00"), 1, "a", 0)))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("late").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1))).toMap
+    // the 10:00-10:10 window finalized with ONLY the on-time event
+    assert(out(t("10:00")) == 1L, s"late row leaked into $out")
+  }
+
+  test("dropDuplicatesWithinWatermark: duplicate event_id emitted once") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = Streams.dedupWithinWatermark(ms.toDF()).writeStream
+      .format("memory").queryName("dedup").outputMode("append").start()
+    ms.addData(Seq(
+      Ev(1, t("10:00"), 1, "a", 0), Ev(1, t("10:01"), 1, "a", 0),
+      Ev(2, t("10:02"), 1, "a", 0)))
+    q.processAllAvailable()
+    ms.addData(Seq(Ev(1, t("10:03"), 1, "a", 0))) // still within watermark
+    q.processAllAvailable(); q.stop()
+    val ids = spark.table("dedup").select("event_id").collect().map(_.getLong(0))
+    assert(ids.sorted.sameElements(Array(1L, 2L)), s"got ${ids.mkString(",")}")
+  }
+
+  test("stream-static enrichment join equals batch join") {
+    import spark.implicits._
+    val customers = Seq((1L, "ALPHA"), (2L, "BETA"))
+      .toDF("c_custkey", "c_mktsegment")
+    val events = Seq(Ev(1, t("10:00"), 1, "a", 0), Ev(2, t("10:01"), 2, "b", 0),
+      Ev(3, t("10:02"), 99, "c", 0)) // 99 unmatched -> dropped
+    runStream("enrich", events,
+      df => Streams.enrich(df, customers).select(col("event_id"), col("c_mktsegment")),
+      "append")
+    val got = spark.table("enrich").orderBy("event_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.sameElements(Array((1L, "ALPHA"), (2L, "BETA"))))
+  }
+}
