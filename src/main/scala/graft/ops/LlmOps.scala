@@ -42,16 +42,20 @@ object LlmOps {
   private def seedA(i: Int): Long = 0x9E3779B97F4A7C15L * (2 * i + 1)
   private def seedB(i: Int): Long = 0xBF58476D1CE4E5B9L * (i + 1)
 
-  /** doc_id + distinct hashed 3-word shingles. */
+  /** doc_id + distinct hashed 3-word shingles. The token array is
+    * materialized ONCE per row before the shingle transform —
+    * inlining `split` into the lambda would re-tokenize the text per
+    * shingle element, turning an O(tokens) row into O(tokens²). */
   private[graft] def shingleSets(docs: DataFrame): DataFrame =
     docs
-      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
       .select(col("doc_id"),
-        expr("""array_distinct(transform(sequence(0, size(split(text, ' ')) - 3),
+        expr("""array_distinct(transform(sequence(0, size(w) - 3),
                |  i -> xxhash64(concat_ws(' ',
-               |    element_at(split(text, ' '), i + 1),
-               |    element_at(split(text, ' '), i + 2),
-               |    element_at(split(text, ' '), i + 3)))))""".stripMargin)
+               |    element_at(w, i + 1),
+               |    element_at(w, i + 2),
+               |    element_at(w, i + 3)))))""".stripMargin)
           .as("sh"))
 
   /** 32-element MinHash signature over the shingle-hash set. Each
