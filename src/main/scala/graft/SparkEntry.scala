@@ -18,7 +18,8 @@ object SparkEntry {
       (Scalars.queries, Scalars.oracle),
       (Events.queries, Events.oracle),
       (Udx.queries, Udx.oracle),
-      (LlmOps.queries, LlmOps.oracle)
+      (LlmOps.queries, LlmOps.oracle),
+      (LlmOps2.queries, LlmOps2.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -58,20 +58,25 @@ object LlmOps {
                |    element_at(w, i + 3)))))""".stripMargin)
           .as("sh"))
 
-  /** 32-element MinHash signature over the shingle-hash set. Each
-    * hash family member is xxhash64 re-keyed by a fixed seed pair —
-    * overflow-free under ANSI mode and a proper independent family. */
-  private def signature: Column =
-    array((0 until NumHashes).map { i =>
-      array_min(transform(col("sh"),
-        h => xxhash64(lit(seedA(i)), h, lit(seedB(i)))))
-    }: _*)
+  /** 32-column MinHash signature via explode -> 32 min() hash
+    * aggregates (whole-stage codegen'd, map-side combined; the HOF
+    * array_min-of-transform formulation interpreted 32 lambdas per
+    * doc). Each family member is xxhash64 re-keyed by a fixed seed
+    * pair — overflow-free under ANSI mode and a proper independent
+    * family. Shuffle rows = docs, not shingles. */
+  private def signatures(sets: DataFrame): DataFrame = {
+    val minCols = (0 until NumHashes).map(i =>
+      min(xxhash64(lit(seedA(i)), col("h"), lit(seedB(i)))).as(s"m$i"))
+    sets.select(col("doc_id"), explode(col("sh")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+  }
 
-  /** One hash per 4-row band of the signature. */
+  /** One hash per 4-column band of the signature. */
   private def bandHashes: Column =
     array((0 until NumBands).map { b =>
       xxhash64(concat_ws(",", (0 until BandRows).map(r =>
-        element_at(col("sig"), b * BandRows + r + 1).cast("string")): _*))
+        col(s"m${b * BandRows + r}").cast("string")): _*))
     }: _*)
 
   // ---------------------------------------------------------- queries
@@ -112,7 +117,7 @@ object LlmOps {
     * collisions; exact Jaccard >= 0.8 verification on candidates. */
   private[graft] def nearDupPairs(docs: DataFrame): DataFrame = {
       val sets = shingleSets(docs)
-      val banded = sets.withColumn("sig", signature)
+      val banded = signatures(sets)
         .select(col("doc_id"), posexplode(bandHashes))
         .toDF("doc_id", "band_idx", "band_hash")
       val cand = banded.as("x").join(banded.as("y"),

@@ -1,0 +1,323 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.CosineSim
+import graft.util.Tables._
+
+/** SURVEY.md §2.11 wave 2 — the remaining training-data-pipeline
+  * operators: SimHash and n-gram-Jaccard dedup variants,
+  * embedding-space near-dup, language-ID heuristic, quality scoring,
+  * token counting, document fingerprinting, and the multimodal binary
+  * column plumbing.
+  *
+  * Scale notes:
+  *  - Both extra dedup variants block before comparing: n-gram Jaccard
+  *    equi-joins on the language key, SimHash equi-joins on 16-bit
+  *    signature bands — never an unblocked all-pairs product.
+  *  - Embedding near-dup equi-joins on the label (an IVF-style coarse
+  *    bucket): candidate pairs shrink ~bucket-count-fold, the standard
+  *    ANN scale path; the in-bucket compare reuses the fused
+  *    [[graft.functions.CosineSim]] codegen kernel.
+  *  - Everything else is per-row scalar work or explode + hash-agg.
+  */
+object LlmOps2 {
+
+  /** Marker-token lists per language (tiny public stopword samples).
+    * The corpus' synthetic text shares one vocabulary across langs, so
+    * this demonstrates the operator shape (deterministic n-gram
+    * scoring + argmax) rather than real classifier accuracy. */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of"),
+    "de" -> Seq("der", "und", "die"),
+    "es" -> Seq("el", "los", "una"),
+    "fr" -> Seq("le", "et", "les"),
+    "zh" -> Seq("de5", "shi4", "le0")) // pinyin-style placeholders
+
+  private def tokenized(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"),
+        split(col("text"), " ").as("w"))
+
+  /** Hashed word-bigram sets per doc (materialized token array — see
+    * LlmOps.shingleSets on why split must not inline). Bigrams are
+    * hashed to longs so the pairwise set ops hash 8-byte values
+    * instead of strings (~5x cheaper in the hot pair loop); the oracle
+    * compares RAW string bigram sets — identical Jaccard barring a
+    * 64-bit collision (~1e-13 at this vocabulary size). */
+  private def bigramSets(s: SparkSession, dir: String): DataFrame =
+    tokenized(s, dir)
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), col("lang"), size(col("w")).as("n_tok"),
+        expr("""array_distinct(transform(sequence(0, size(w) - 2),
+               |  i -> xxhash64(concat_ws(' ', element_at(w, i + 1), element_at(w, i + 2)))))"""
+          .stripMargin).as("bg"))
+
+  /** 64-bit SimHash over distinct token hashes: bit j is set when at
+    * least half the tokens have bit j set in xxhash64(token).
+    * Computed as explode -> 64-column bit-count hash-aggregate -> one
+    * packing projection: everything stays in whole-stage codegen (the
+    * HOF formulation — 64 interpreted filter lambdas per doc — was
+    * ~10x slower), and the aggregate is the map-side-combine shape
+    * that scales: shuffle rows = docs, not tokens. */
+  private[graft] def simhash(docs: DataFrame): DataFrame = {
+    val tokenHashes = docs.select(col("doc_id"),
+      explode(expr("array_distinct(transform(split(text, ' '), t -> xxhash64(t)))"))
+        .as("h"))
+    val bitCounts = (0 until 64).map(j =>
+      sum(expr(s"(h >> $j) & 1")).as(s"c$j")) :+ count(lit(1)).as("n")
+    val packed = (0 until 64).map(j =>
+      when(col(s"c$j") * 2 >= col("n"), shiftleft(lit(1L), j)).otherwise(0L))
+      .reduce(_ + _)
+    tokenHashes.groupBy(col("doc_id"))
+      .agg(bitCounts.head, bitCounts.tail: _*)
+      .select(col("doc_id"), packed.as("sim"))
+  }
+
+  /** SimHash near-dup pairs: 4 x 16-bit band blocking, then exact
+    * Hamming distance <= maxHamming on candidates. */
+  private[graft] def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val sims = simhash(docs)
+    val banded = sims.select(col("doc_id"), col("sim"),
+      posexplode(expr(
+        "transform(sequence(0, 3), b -> (sim >> (b * 16)) & 65535)")))
+      .toDF("doc_id", "sim", "band_idx", "band_val")
+    banded.as("x").join(banded.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        expr("bit_count(x.sim ^ y.sim)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---------------------------------------------------------- queries
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Word-bigram Jaccard >= 0.5, blocked by (language, token-count
+    // bucket): a Jaccard-0.5 pair can differ by at most 2x in size, so
+    // same-size blocking keeps recall while shrinking blocks ~bucket
+    // -count-fold (edits that change token count can straddle a bucket
+    // boundary — the documented recall/scale trade; LSH banding is the
+    // unblocked-recall path, see llm_dedup_near).
+    "llm_dedup_ngram" -> ((s: SparkSession, dir: String) => {
+      val g = bigramSets(s, dir)
+        .withColumn("bucket", floor(col("n_tok").cast("double") / 8.0))
+      g.as("a").join(g.as("b"),
+          col("a.lang") === col("b.lang") &&
+            col("a.bucket") === col("b.bucket") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          (size(array_intersect(col("a.bg"), col("b.bg"))).cast("double") /
+            size(array_union(col("a.bg"), col("b.bg"))).cast("double"))
+            .as("jaccard"))
+        .filter(round(col("jaccard"), 6) >= 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // SimHash banding + Hamming <= 3 (signature-space near-dup).
+    // No oracle (algorithmic); planted-pair recall in LlmSpec.
+    "llm_dedup_simhash" -> ((s: SparkSession, dir: String) =>
+      simhashPairs(load(s, dir, "documents"), maxHamming = 3)),
+
+    // Embedding-space near-dup: label = IVF-style coarse bucket; pairs
+    // only within a bucket, compared with the fused cosine kernel.
+    "llm_embed_neardup" -> ((s: SparkSession, dir: String) => {
+      val e = load(s, dir, "embeddings")
+      e.as("a").join(e.as("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          col("a.label").as("label"),
+          round(CosineSim(col("a.embedding"), col("b.embedding")), 6).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.2)
+        .orderBy("vec_a", "vec_b")
+    }),
+
+    // Deterministic marker-token language guess (argmax with fixed
+    // tie-break order), mirrored formula in the oracle.
+    "llm_lang_id" -> ((s: SparkSession, dir: String) => {
+      val scored = markers.foldLeft(tokenized(s, dir)) { case (df, (lang, ms)) =>
+        df.withColumn(s"s_$lang",
+          size(array_intersect(array_distinct(col("w")),
+            array(ms.map(lit): _*))))
+      }
+      val langs = markers.map(_._1)
+      val guess = langs.foldRight(lit("und"): org.apache.spark.sql.Column) {
+        case (lang, elseCol) =>
+          val best = langs.filter(_ != lang)
+            .map(o => col(s"s_$lang") >= col(s"s_$o"))
+            .reduce(_ && _) && col(s"s_$lang") > 0
+          when(best, lang).otherwise(elseCol)
+      }
+      scored.select(col("doc_id") +: col("lang") +:
+          langs.map(l => col(s"s_$l")) :+ guess.as("guessed"): _*)
+        .orderBy("doc_id")
+    }),
+
+    // Composite quality score from token statistics — one
+    // deterministic double formula, identical in the oracle.
+    "llm_quality_score" -> ((s: SparkSession, dir: String) =>
+      tokenized(s, dir)
+        .select(col("doc_id"), col("w"), col("text"),
+          size(col("w")).as("n_tok"),
+          size(array_distinct(col("w"))).as("n_distinct"),
+          size(expr(
+            "filter(w, t -> array_contains(array('the', 'a', 'of', 'and'), t))"))
+            .as("n_stop"))
+        .select(col("doc_id"), col("n_tok"),
+          round(col("n_distinct").cast("double") / col("n_tok").cast("double"), 6)
+            .as("ttr"),
+          round((length(col("text")) - (col("n_tok") - 1)).cast("double") /
+            col("n_tok").cast("double"), 6).as("avg_wlen"),
+          round(col("n_stop").cast("double") / col("n_tok").cast("double"), 6)
+            .as("stop_ratio"),
+          round(
+            (col("n_distinct").cast("double") / col("n_tok").cast("double")) * 0.5 +
+              (lit(1.0) - col("n_stop").cast("double") / col("n_tok").cast("double")) * 0.3 +
+              least((length(col("text")) - (col("n_tok") - 1)).cast("double") /
+                col("n_tok").cast("double") / 10.0, lit(1.0)) * 0.2, 6)
+            .as("quality"))
+        .orderBy("doc_id")),
+
+    // Whitespace tokens vs BPE-ish regex tokens per doc.
+    "llm_token_count" -> ((s: SparkSession, dir: String) =>
+      load(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("n_ws_tokens"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0)))
+            .as("n_re_tokens"),
+          length(col("text")).as("n_chars_seen"))
+        .orderBy("doc_id")),
+
+    // Content fingerprint over the sorted distinct-token set (md5 so
+    // both engines produce identical digests).
+    "llm_fingerprint" -> ((s: SparkSession, dir: String) =>
+      load(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(array_join(sort_array(array_distinct(split(col("text"), " "))), " "))
+            .as("fingerprint"))
+        .select(col("doc_id"), col("fingerprint"),
+          substring(col("fingerprint"), 1, 8).as("fp8"))
+        .orderBy("doc_id")),
+
+    // Multimodal binary plumbing: text re-encoded as an opaque binary
+    // payload + typed metadata, pushed through a partition-local
+    // "decode" that is a clearly-marked deterministic STUB for the
+    // image/audio decoders this container lacks (the Spark-side shape
+    // — binary column, metadata struct, per-partition batch iteration,
+    // typed output schema — is the real, tested part). No oracle
+    // (binary + stub); asserted in LlmSpec.
+    "llm_multimodal_binary" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      load(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
+          col("lang"), col("n_chars"))
+        .as[(Long, Array[Byte], String, Long)]
+        .mapPartitions { it =>
+          it.map { case (id, payload, lang, nChars) =>
+            // STUB decode: real pipelines would decode image/audio
+            // here; this deterministic fake extracts byte statistics.
+            var checksum = 0L
+            var i = 0
+            while (i < payload.length) { checksum = checksum * 31 + (payload(i) & 0xff); i += 1 }
+            val head = payload.take(8).map(b => f"${b & 0xff}%02x").mkString
+            (id, payload.length, checksum, head, lang, nChars)
+          }
+        }
+        .toDF("doc_id", "n_bytes", "checksum", "head_hex", "lang", "n_chars")
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "llm_dedup_ngram" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+        |g AS (
+        |  SELECT doc_id, lang, floor(CAST(len(w) AS DOUBLE) / 8.0) AS bucket,
+        |    list_distinct(list_transform(range(1, len(w)),
+        |      i -> w[i] || ' ' || w[i + 1])) AS bg
+        |  FROM t WHERE len(w) >= 2),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE) /
+        |      CAST(len(list_distinct(list_concat(a.bg, b.bg))) AS DOUBLE) AS jaccard
+        |  FROM g a JOIN g b ON a.lang = b.lang AND a.bucket = b.bucket
+        |    AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard
+        |FROM p WHERE round(jaccard, 6) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "llm_embed_neardup" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |  CAST(b.embedding AS DOUBLE[])), 6) >= 0.2
+        |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "llm_lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS dw
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_intersect(dw, ['the', 'a', 'of'])) AS INT) AS s_en,
+        |    CAST(len(list_intersect(dw, ['der', 'und', 'die'])) AS INT) AS s_de,
+        |    CAST(len(list_intersect(dw, ['el', 'los', 'una'])) AS INT) AS s_es,
+        |    CAST(len(list_intersect(dw, ['le', 'et', 'les'])) AS INT) AS s_fr,
+        |    CAST(len(list_intersect(dw, ['de5', 'shi4', 'le0'])) AS INT) AS s_zh
+        |  FROM t)
+        |SELECT doc_id, lang, s_en, s_de, s_es, s_fr, s_zh,
+        |  CASE
+        |    WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh AND s_en > 0 THEN 'en'
+        |    WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh AND s_de > 0 THEN 'de'
+        |    WHEN s_es >= s_fr AND s_es >= s_zh AND s_es > 0 THEN 'es'
+        |    WHEN s_fr >= s_zh AND s_fr > 0 THEN 'fr'
+        |    WHEN s_zh > 0 THEN 'zh'
+        |    ELSE 'und' END AS guessed
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "llm_quality_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS INT) AS n_tok,
+        |    CAST(len(list_distinct(w)) AS INT) AS n_distinct,
+        |    CAST(len(list_filter(w,
+        |      t2 -> list_contains(['the', 'a', 'of', 'and'], t2))) AS INT) AS n_stop,
+        |    length(text) AS n_chars
+        |  FROM t)
+        |SELECT doc_id, n_tok,
+        |  round(CAST(n_distinct AS DOUBLE) / CAST(n_tok AS DOUBLE), 6) AS ttr,
+        |  round(CAST(n_chars - (n_tok - 1) AS DOUBLE) / CAST(n_tok AS DOUBLE), 6) AS avg_wlen,
+        |  round(CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE), 6) AS stop_ratio,
+        |  round(
+        |    (CAST(n_distinct AS DOUBLE) / CAST(n_tok AS DOUBLE)) * 0.5 +
+        |    (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE)) * 0.3 +
+        |    least(CAST(n_chars - (n_tok - 1) AS DOUBLE) / CAST(n_tok AS DOUBLE) / 10.0, 1.0) * 0.2,
+        |    6) AS quality
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "llm_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INT) AS n_re_tokens,
+        |  CAST(length(text) AS INT) AS n_chars_seen
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "llm_fingerprint" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+        |  FROM documents)
+        |SELECT doc_id, fingerprint, substring(fingerprint, 1, 8) AS fp8
+        |FROM f ORDER BY doc_id""".stripMargin
+  )
+}

@@ -46,6 +46,49 @@ class LlmSpec extends AnyFunSuite {
     assert(sims.sameElements(sims.sortBy(-_)))
   }
 
+  test("llm_dedup_simhash: identical docs pair at hamming 0; unrelated do not") {
+    val t = (0 until 50).map(i => s"s$i").mkString(" ")
+    val other = (0 until 50).map(i => s"q${i}x").mkString(" ")
+    val pairs = graft.ops.LlmOps2.simhashPairs(
+      mkDocs(Seq((1L, t), (2L, t), (3L, other))), maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.sameElements(Array((1L, 2L, 0))), s"got ${pairs.mkString(",")}")
+  }
+
+  test("llm_dedup_simhash: one-word edit stays within small hamming distance") {
+    val base = (0 until 60).map(i => s"m$i").mkString(" ")
+    val nearDup = (0 until 60).map(i => if (i == 30) "CHANGED" else s"m$i").mkString(" ")
+    val pairs = graft.ops.LlmOps2.simhashPairs(
+      mkDocs(Seq((1L, base), (2L, nearDup))), maxHamming = 16)
+      .collect()
+    assert(pairs.length == 1 && pairs(0).getInt(2) <= 16,
+      s"near-dup not recalled: ${pairs.mkString(",")}")
+  }
+
+  test("llm_multimodal_binary: stub decode yields consistent byte stats") {
+    val rows = SparkEntry.queries("llm_multimodal_binary")(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      // ASCII corpus: utf-8 byte count == char count
+      assert(r.getInt(1) == r.getLong(5).toInt, s"n_bytes != n_chars for $r")
+      assert(r.getString(3).length == 16) // 8 head bytes -> 16 hex chars
+    }
+  }
+
+  test("llm_fingerprint: permuted token order gives identical fingerprint") {
+    import spark.implicits._
+    val a = SparkEntry.queries("llm_fingerprint")(spark, sf)
+      .filter(col("doc_id") === 0).collect()(0).getString(1)
+    // fingerprint is over the SORTED DISTINCT token set: recompute
+    // from the raw text independently and compare
+    val text = graft.util.Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") === 0).collect()(0).getAs[String]("text")
+    val canon = text.split(" ").distinct.sorted.mkString(" ")
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    assert(a == expected)
+  }
+
   test("llm_simsearch_knn: exactly k=5 neighbours per query, none self") {
     val rows = SparkEntry.queries("llm_simsearch_knn")(spark, sf).collect()
     val byQ = rows.groupBy(_.getLong(0))
