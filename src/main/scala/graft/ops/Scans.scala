@@ -14,8 +14,11 @@ import graft.util.Tables._
   */
 object Scans {
 
-  private def tmp(dir: String, tag: String): String =
-    s"/tmp/graft_${tag}_${new java.io.File(dir).getName}"
+  /** Per-run unique (applicationId) so two concurrent runs against
+    * the same scale factor can't clobber each other's roundtrip
+    * files between write and read-back. */
+  private[graft] def tmp(s: SparkSession, dir: String, tag: String): String =
+    s"/tmp/graft_${s.sparkContext.applicationId}_${tag}_${new java.io.File(dir).getName}"
 
   /** Columns safe to round-trip through text formats: integral,
     * double (Java shortest-roundtrip formatting), and string. */
@@ -48,14 +51,14 @@ object Scans {
         .orderBy("l_orderkey", "l_quantity")),
 
     "scan_csv_roundtrip" -> ((s, dir) => {
-      val p = tmp(dir, "csv")
+      val p = tmp(s, dir, "csv")
       load(s, dir, "lineitem").select(rtCols.map(col): _*)
         .write.mode(SaveMode.Overwrite).csv(p)
       s.read.schema(rtSchema).csv(p).orderBy(rtCols.head, rtCols.tail: _*)
     }),
 
     "scan_json_roundtrip" -> ((s, dir) => {
-      val p = tmp(dir, "json")
+      val p = tmp(s, dir, "json")
       load(s, dir, "lineitem").select(rtCols.map(col): _*)
         .write.mode(SaveMode.Overwrite).json(p)
       // schema inference path (long/double/string all infer losslessly)
@@ -68,7 +71,7 @@ object Scans {
     // Hive-style partitioned write, then read back and count per
     // partition — the count survives the value->directory roundtrip.
     "sink_parquet" -> ((s, dir) => {
-      val p = tmp(dir, "sinkpart")
+      val p = tmp(s, dir, "sinkpart")
       load(s, dir, "lineitem")
         .write.mode(SaveMode.Overwrite).partitionBy("l_returnflag").parquet(p)
       s.read.parquet(p).groupBy("l_returnflag").agg(count(lit(1)).as("cnt"))
@@ -78,7 +81,7 @@ object Scans {
     // Partition pruning: the filter on the partition column selects one
     // directory; explain shows PartitionFilters, not a full scan.
     "sink_partition_prune" -> ((s, dir) => {
-      val p = tmp(dir, "sinkprune")
+      val p = tmp(s, dir, "sinkprune")
       load(s, dir, "lineitem").select("l_orderkey", "l_quantity", "l_returnflag")
         .write.mode(SaveMode.Overwrite).partitionBy("l_returnflag").parquet(p)
       s.read.parquet(p).filter(col("l_returnflag") === "R")

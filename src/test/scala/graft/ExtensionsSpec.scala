@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SparkSessionExtensions registration path: custom expressions
+  * callable from plain SQL in an extension-built session. */
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("GraftExtensions registers array_max_le and cosine_sim for SQL") {
+    // getOrCreate() would return any already-active session and skip
+    // the extensions, so clear the active/default handles first; the
+    // builder then creates a fresh session (reusing the JVM's
+    // SparkContext) with the extensions applied.
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    try {
+      val r1 = spark.sql(
+        "SELECT array_max_le(array(1L, 5L, 9L), 6L) AS v").collect()(0)
+      assert(r1.getLong(0) == 5L)
+      val r2 = spark.sql(
+        """SELECT cosine_sim(
+          |  array(CAST(1 AS FLOAT), CAST(0 AS FLOAT)),
+          |  array(CAST(1 AS FLOAT), CAST(0 AS FLOAT))) AS v""".stripMargin)
+        .collect()(0)
+      assert(math.abs(r2.getDouble(0) - 1.0) < 1e-12)
+    } finally {
+      // don't stop() (the SparkContext is shared); restore handles
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+}

@@ -33,7 +33,7 @@ class OpsSpec extends AnyFunSuite {
 
   test("sink_parquet: hive-style partition directory layout on disk") {
     SparkEntry.queries("sink_parquet")(spark, sf).collect()
-    val base = new java.io.File(s"/tmp/graft_sinkpart_${new java.io.File(sf).getName}")
+    val base = new java.io.File(graft.ops.Scans.tmp(spark, sf, "sinkpart"))
     val dirs = base.listFiles().filter(_.isDirectory).map(_.getName).sorted
     assert(dirs.sameElements(Array("l_returnflag=A", "l_returnflag=N", "l_returnflag=R")),
       s"got ${dirs.mkString(",")}")
