@@ -214,6 +214,35 @@ object Relational {
         .orderBy("o_orderkey")
     }),
 
+    // High-cardinality as-of: latest order date <= event time PER
+    // USER. The broadcast-array probe above needs a small global key
+    // set; here the key set is (user x order-date) — too big to
+    // broadcast at scale — so this is the partitioned merge-as-of:
+    // union both sides, shuffle once on user_id, one per-user sort,
+    // and a running last(ignoreNulls) picks the latest order at or
+    // before each event. Orders sort before events at equal times so
+    // the >= (inclusive) as-of semantics match DuckDB's ASOF JOIN.
+    "join_asof_partitioned" -> ((s, dir) => {
+      val e = loadEvents(s, dir).select(col("user_id"),
+        col("ts").cast("timestamp_ntz").as("t"),
+        col("event_id"), lit(1).as("is_evt"),
+        lit(null).cast("timestamp_ntz").as("odate"))
+      val o = load(s, dir, "orders").select(col("o_custkey").as("user_id"),
+        col("o_orderdate").as("t"),
+        lit(null).cast("long").as("event_id"), lit(0).as("is_evt"),
+        col("o_orderdate").as("odate")).distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(asc("t"), asc("is_evt"))
+        .rowsBetween(Long.MinValue, 0)
+      e.unionByName(o)
+        .withColumn("asof_orderdate", last(col("odate"), ignoreNulls = true).over(w))
+        .filter(col("is_evt") === 1 && col("asof_orderdate").isNotNull)
+        .select(col("event_id"), col("user_id"), col("t").as("ts"),
+          col("asof_orderdate"))
+        .orderBy("event_id")
+    }),
+
     // Interval join: clicks within +/-1 hour of each purchase by the
     // same user — equi join on user_id, range residual on ts. Events
     // must come through loadEvents (nanos parquet); ts is µs-resolution
@@ -294,6 +323,14 @@ object Relational {
         |FROM orders o ASOF JOIN (SELECT DISTINCT l_shipdate FROM lineitem) s
         |  ON o.o_orderdate >= s.l_shipdate
         |ORDER BY o_orderkey""".stripMargin,
+    "join_asof_partitioned" ->
+      """SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+        |  o.o_orderdate AS asof_orderdate
+        |FROM events e ASOF JOIN
+        |  (SELECT DISTINCT o_custkey, o_orderdate FROM orders) o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY event_id""".stripMargin,
+
     "join_interval" ->
       """SELECT p.event_id AS p_id, c.event_id AS c_id
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
