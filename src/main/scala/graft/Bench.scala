@@ -25,6 +25,10 @@ object Bench {
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (k, _) => only(k) }
     val results = selected.map { case (name, fn) =>
+      // GC outside the timed window: heap pressure from a previous
+      // query otherwise bleeds into the next timing (observed 2-3x
+      // swings on the heavy dedup queries).
+      System.gc()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
