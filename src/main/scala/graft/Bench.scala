@@ -25,9 +25,13 @@ object Bench {
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (k, _) => only(k) }
     val results = selected.map { case (name, fn) =>
-      // GC outside the timed window: heap pressure from a previous
-      // query otherwise bleeds into the next timing (observed 2-3x
-      // swings on the heavy dedup queries).
+      // Warm once per query (plan compilation + whole-stage codegen
+      // class generation are one-time costs, ~2.5s for the widest
+      // plans), GC outside the timed window (heap pressure from a
+      // previous query otherwise bleeds 2-3x swings into the heavy
+      // dedup timings), then time the warm execution — mirroring how
+      // the DuckDB baseline numbers in BASELINE.md were taken.
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       System.gc()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -90,6 +90,18 @@ object Aggregates {
       load(s, dir, "lineitem")
         .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))),
 
+    // Mergeable Datasketches HLL (SURVEY §4.3): per-group sketch
+    // binaries union-merged into one global estimate — the shape that
+    // lets 100 TB of per-file/per-partition sketches combine without
+    // rescanning. No oracle (sketches are engine-specific); ScalaTest
+    // asserts the merged estimate within 5% of exact.
+    "agg_hll_mergeable" -> ((s, dir) =>
+      load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("hll_sketch_agg(l_partkey)").as("sketch"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sketch))")
+          .as("merged_distinct"))),
+
     "agg_grouping_sets" -> ((s, dir) =>
       load(s, dir, "lineitem")
         .groupingSets(

@@ -62,11 +62,15 @@ object LlmOps {
           .as("sh"))
 
   /** 32-column MinHash signature via explode -> 32 min() hash
-    * aggregates (whole-stage codegen'd, map-side combined; the HOF
-    * array_min-of-transform formulation interpreted 32 lambdas per
-    * doc). Each family member is xxhash64 re-keyed by a fixed seed
-    * pair — overflow-free under ANSI mode and a proper independent
-    * family. Shuffle rows = docs, not shingles. */
+    * aggregates (whole-stage codegen'd, map-side combined: shuffle
+    * rows = docs, not shingles). Each family member is xxhash64
+    * re-keyed by a fixed seed pair — overflow-free under ANSI mode
+    * and a properly independent family. Two cheaper families were
+    * measured and REJECTED: one-permutation bucketing (short docs
+    * leave empty slots whose shared sentinel manufactures false
+    * candidates) and xor+rotate bijections (correlated minima across
+    * members collapse band diversity) — both exploded the candidate
+    * join; independence is what keeps the band join small. */
   private def signatures(sets: DataFrame): DataFrame = {
     val minCols = (0 until NumHashes).map(i =>
       min(xxhash64(lit(seedA(i)), col("h"), lit(seedB(i)))).as(s"m$i"))

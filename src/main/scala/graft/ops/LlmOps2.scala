@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.CosineSim
 import graft.util.Tables._
@@ -93,6 +94,75 @@ object LlmOps2 {
       .orderBy("doc_a", "doc_b")
   }
 
+  // ------------------------------------------------- ANN (sign-LSH)
+
+  private val AnnTables = 4
+  private val AnnBits = 8
+
+  /** Sign-random-projection buckets, one per table: bit b of table t
+    * = sign of the dot product with a deterministic pseudo-random
+    * projection vector (components derived from
+    * xxhash64(t*bits+b, dim) — fixed seeds, no RNG). Computed as
+    * explode → 32 codegen'd sum() aggregates → one packing projection
+    * (the same shape as the SimHash signature; the HOF-fold
+    * formulation interpreted 32 lambdas per row). */
+  private[graft] def annBuckets(embeddings: DataFrame): DataFrame = {
+    val dotCols = (0 until AnnTables * AnnBits).map { i =>
+      sum(col("v").cast("double") *
+        (expr(s"CAST(pmod(xxhash64(${i}L, CAST(d AS BIGINT)), 1000L) AS DOUBLE)")
+          / 1000.0 - 0.5)).as(s"dot$i")
+    }
+    val dots = embeddings
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .toDF("vec_id", "d", "v")
+      .groupBy(col("vec_id"))
+      .agg(dotCols.head, dotCols.tail: _*)
+    val buckets = (0 until AnnTables).map { t =>
+      (0 until AnnBits).map(b =>
+        when(col(s"dot${t * AnnBits + b}") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _).as(s"bucket$t")
+    }
+    dots.select(col("vec_id") +: buckets: _*)
+  }
+
+  /** LSH-bucketed approximate top-k: candidates are vectors sharing
+    * any (table, bucket) with the query — the ANN scale path for the
+    * brute-force `llm_simsearch_topk`/`knn` baselines. Candidate
+    * generation is an equi-join on (table, bucket); only in-bucket
+    * pairs are ranked (with the fused CosineSim kernel), so cost
+    * follows bucket occupancy, not n². Recall depends on data
+    * clustering; identical/near-identical vectors share all buckets
+    * by construction (asserted with planted duplicates in LlmSpec). */
+  private[graft] def annTopK(embeddings: DataFrame,
+      isQuery: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    val bucketed = annBuckets(embeddings)
+      .join(embeddings.select(col("vec_id"), col("embedding")), "vec_id")
+      .select(col("vec_id"), col("embedding"),
+        posexplode(array((0 until AnnTables).map(t => col(s"bucket$t")): _*)))
+      .toDF("vec_id", "embedding", "tbl", "bucket")
+    // Dedup multi-table hits on the bare key pair BEFORE re-attaching
+    // the vectors: deduping rows that carry array columns degrades the
+    // aggregate to a sort-based one over the array buffers.
+    val cand = bucketed.select(col("tbl"), col("bucket"), col("vec_id"))
+      .join(bucketed.filter(isQuery)
+        .select(col("tbl"), col("bucket"), col("vec_id").as("q_id")),
+        Seq("tbl", "bucket"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"))
+      .distinct()
+    val vecs = embeddings.select(col("vec_id"), col("embedding"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+    cand
+      .join(broadcast(vecs.toDF("q_id", "q_emb")), "q_id")
+      .join(broadcast(vecs), "vec_id")
+      .select(col("q_id"), col("vec_id"),
+        round(CosineSim(col("q_emb"), col("embedding")), 6).as("cos_sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .orderBy("q_id", "rn")
+  }
+
   // ---------------------------------------------------------- queries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -122,6 +192,12 @@ object LlmOps2 {
     // No oracle (algorithmic); planted-pair recall in LlmSpec.
     "llm_dedup_simhash" -> ((s: SparkSession, dir: String) =>
       simhashPairs(load(s, dir, "documents"), maxHamming = 3)),
+
+    // LSH-bucketed ANN top-5 for the deterministic query subset — the
+    // scale path beside the brute-force knn baseline. No oracle
+    // (approximate by design); planted-duplicate recall in LlmSpec.
+    "llm_simsearch_ann" -> ((s: SparkSession, dir: String) =>
+      annTopK(load(s, dir, "embeddings"), col("vec_id") % 100 === 0, k = 5)),
 
     // Embedding-space near-dup: label = IVF-style coarse bucket; pairs
     // only within a bucket, compared with the fused cosine kernel.

@@ -56,4 +56,24 @@ object Streams {
   def enrich(events: DataFrame, customers: DataFrame): DataFrame =
     events.join(broadcast(customers),
       events("user_id") === customers("c_custkey"))
+
+  /** Arbitrary custom state via mapGroupsWithState (§1.4): a running
+    * per-user event count that survives across micro-batches. State is
+    * keyed by user — the KeyValueGroupedDataset shuffle partitions the
+    * state store exactly like any keyed aggregation, so it scales with
+    * the key space, not the stream length. */
+  def runningCountPerUser(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import org.apache.spark.sql.streaming.GroupState
+    events.selectExpr("user_id", "event_id").as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Long, (Long, Long)](GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          (user, n)
+      }
+      .toDF("user_id", "n_events")
+  }
 }

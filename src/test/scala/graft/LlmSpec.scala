@@ -89,6 +89,24 @@ class LlmSpec extends AnyFunSuite {
     assert(a == expected)
   }
 
+  test("llm_simsearch_ann: planted identical vectors always recalled (share all buckets)") {
+    import spark.implicits._
+    // deterministic pseudo-random corpus + 3 planted exact duplicates
+    // of the query vectors (ids 1000+q)
+    def vec(seed: Int): Array[Float] =
+      (0 until 64).map(d => math.sin(seed * 64.0 + d).toFloat).toArray
+    val corpus = (0 until 40).map(i => (i.toLong, vec(i)))
+    val planted = Seq(0, 7, 21).map(q => (1000L + q, vec(q)))
+    val df = (corpus ++ planted).toDF("vec_id", "embedding")
+    val got = graft.ops.LlmOps2.annTopK(df, col("vec_id").isin(0L, 7L, 21L), k = 5)
+      .collect().groupBy(_.getLong(0))
+    Seq(0L, 7L, 21L).foreach { q =>
+      val hits = got.getOrElse(q, Array.empty)
+      assert(hits.exists(r => r.getLong(1) == 1000L + q && r.getDouble(2) == 1.0),
+        s"planted duplicate of $q not recalled: ${hits.mkString(",")}")
+    }
+  }
+
   test("llm_simsearch_knn: exactly k=5 neighbours per query, none self") {
     val rows = SparkEntry.queries("llm_simsearch_knn")(spark, sf).collect()
     val byQ = rows.groupBy(_.getLong(0))

@@ -31,6 +31,15 @@ class OpsSpec extends AnyFunSuite {
       s"approx=$approx exact=$exact")
   }
 
+  test("agg_hll_mergeable: union-merged per-group sketches within 5% of exact") {
+    val merged = SparkEntry.queries("agg_hll_mergeable")(spark, sf)
+      .collect()(0).getLong(0)
+    val exact = graft.util.Tables.load(spark, sf, "lineitem")
+      .agg(countDistinct(col("l_partkey"))).collect()(0).getLong(0)
+    assert(math.abs(merged - exact).toDouble / exact < 0.05,
+      s"merged=$merged exact=$exact")
+  }
+
   test("sink_parquet: hive-style partition directory layout on disk") {
     SparkEntry.queries("sink_parquet")(spark, sf).collect()
     val base = new java.io.File(graft.ops.Scans.tmp(spark, sf, "sinkpart"))

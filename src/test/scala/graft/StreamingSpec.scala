@@ -93,6 +93,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.sorted.sameElements(Array(1L, 2L)), s"got ${ids.mkString(",")}")
   }
 
+  test("mapGroupsWithState: per-user running count accumulates across batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = Streams.runningCountPerUser(ms.toDF()).writeStream
+      .format("memory").queryName("runcount").outputMode("update").start()
+    ms.addData(Seq(Ev(1, t("10:00"), 1, "a", 0), Ev(2, t("10:01"), 1, "a", 0),
+      Ev(3, t("10:02"), 2, "a", 0)))
+    q.processAllAvailable()
+    ms.addData(Seq(Ev(4, t("10:03"), 1, "a", 0)))
+    q.processAllAvailable(); q.stop()
+    val byUser = spark.table("runcount").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    // user 1: 2 in batch one, then state carries to 3 in batch two
+    assert(byUser(1L) == 3L && byUser(2L) == 1L, s"got $byUser")
+  }
+
   test("stream-static enrichment join equals batch join") {
     import spark.implicits._
     val customers = Seq((1L, "ALPHA"), (2L, "BETA"))
