@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+/** Property-based algebraic laws (SURVEY §5.4) on generated
+  * in-memory relations: dedup idempotence, top-k as sorted prefix,
+  * set-op cardinality identities, running-frame totals. Generators
+  * stay small and cases few — each case runs real Spark jobs. */
+object PropertiesSpec extends Properties("graft-laws") {
+  import Prop.forAll
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(5).withMaxSize(30)
+
+  private lazy val spark = TestSpark.spark
+
+  private val rows: Gen[List[(Long, Int)]] =
+    Gen.listOf(Gen.zip(Gen.chooseNum(0L, 20L), Gen.chooseNum(-100, 100)))
+
+  property("exact dedup idempotent: dedup(dedup(x)) == dedup(x)") =
+    forAll(Gen.nonEmptyListOf(Gen.oneOf("alpha", "beta", "gamma", "delta"))) { texts =>
+      import spark.implicits._
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      def dedup(d: org.apache.spark.sql.DataFrame) =
+        d.withColumn("h", md5(col("text"))).dropDuplicates("h").drop("h")
+      val once = dedup(df)
+      dedup(once).count() == once.count() &&
+        once.count() == texts.distinct.size
+    }
+
+  property("top-k == prefix of the full sort") =
+    forAll(rows.suchThat(_.nonEmpty), Gen.chooseNum(1, 10)) { (xs, k) =>
+      import spark.implicits._
+      val df = xs.toDF("id", "v")
+      val topk = df.orderBy(desc("v"), asc("id")).limit(k)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+      val full = xs.sortBy { case (id, v) => (-v, id) }.take(k).sorted
+      // duplicate (id, v) tuples make the prefix ambiguous only among
+      // equal rows, so multiset equality is the right check
+      topk == full
+    }
+
+  property("set-op cardinalities: union-all adds, except == set difference") =
+    forAll(rows, rows) { (as, bs) =>
+      import spark.implicits._
+      val a = as.map(_._1).toDF("k")
+      val b = bs.map(_._1).toDF("k")
+      a.union(b).count() == as.size + bs.size &&
+        a.except(b).count() == (as.map(_._1).toSet -- bs.map(_._1).toSet).size
+    }
+
+  property("running ROWS frame ends at the group total") =
+    forAll(rows.suchThat(_.nonEmpty)) { xs =>
+      import spark.implicits._
+      val df = xs.zipWithIndex.map { case ((g, v), i) => (g % 3, i.toLong, v.toLong) }
+        .toDF("grp", "seq", "v")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("grp").orderBy("seq")
+        .rowsBetween(Long.MinValue, 0)
+      val lastRunning = df.withColumn("run", sum(col("v")).over(w))
+        .groupBy("grp").agg(max_by(col("run"), col("seq")).as("final_run"))
+      val totals = df.groupBy("grp").agg(sum(col("v")).as("total"))
+      lastRunning.join(totals, "grp")
+        .filter(col("final_run") =!= col("total")).count() == 0
+    }
+}
