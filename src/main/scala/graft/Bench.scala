@@ -32,7 +32,12 @@ object Bench {
       // dedup timings), then time the warm execution — mirroring how
       // the DuckDB baseline numbers in BASELINE.md were taken.
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      System.gc()
+      // Double GC with a settle pause: broadcast/shuffle blocks from
+      // prior queries are reclaimed by the ContextCleaner only after
+      // their driver references are collected, and the cleaner runs
+      // async — one gc() alone left blocks pinning executor memory
+      // and doubled the heavy queries' timings mid-run.
+      System.gc(); Thread.sleep(300); System.gc(); Thread.sleep(200)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

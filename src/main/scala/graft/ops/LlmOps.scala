@@ -40,7 +40,6 @@ object LlmOps {
   /** Fixed splitmix64/golden-ratio constants — deterministic across
     * runs and executors (SURVEY §7.4: no Math.random anywhere). */
   private def seedA(i: Int): Long = 0x9E3779B97F4A7C15L * (2 * i + 1)
-  private def seedB(i: Int): Long = 0xBF58476D1CE4E5B9L * (i + 1)
 
   /** doc_id + distinct hashed 3-word shingles. The token array is
     * materialized ONCE per row before the shingle transform —
@@ -61,22 +60,22 @@ object LlmOps {
                |    element_at(w, i + 3)))))""".stripMargin)
           .as("sh"))
 
-  /** 32-column MinHash signature via explode -> 32 min() hash
-    * aggregates (whole-stage codegen'd, map-side combined: shuffle
-    * rows = docs, not shingles). Each family member is xxhash64
-    * re-keyed by a fixed seed pair — overflow-free under ANSI mode
-    * and a properly independent family. Two cheaper families were
-    * measured and REJECTED: one-permutation bucketing (short docs
-    * leave empty slots whose shared sentinel manufactures false
-    * candidates) and xor+rotate bijections (correlated minima across
-    * members collapse band diversity) — both exploded the candidate
-    * join; independence is what keeps the band join small. */
+  /** 32-column MinHash signature, computed per row (array_min over a
+    * re-keyed xxhash64 of the shingle set) — no shuffle, no
+    * aggregation buffers. An explode -> 32 min() aggregate variant
+    * benchmarked the same in isolation but 2-4x slower inside a long
+    * benchmark run (its hash-aggregate state is the first casualty of
+    * executor-memory pressure); the per-row form is immune. Cheaper
+    * hash families were also measured and REJECTED: one-permutation
+    * bucketing (short docs leave empty slots whose shared sentinel
+    * manufactures false candidates) and xor+rotate bijections
+    * (correlated minima collapse band diversity) — independence is
+    * what keeps the band join small. */
   private def signatures(sets: DataFrame): DataFrame = {
-    val minCols = (0 until NumHashes).map(i =>
-      min(xxhash64(lit(seedA(i)), col("h"), lit(seedB(i)))).as(s"m$i"))
-    sets.select(col("doc_id"), explode(col("sh")).as("h"))
-      .groupBy(col("doc_id"))
-      .agg(minCols.head, minCols.tail: _*)
+    val sigCols = (0 until NumHashes).map(i =>
+      array_min(transform(col("sh"), h => xxhash64(lit(seedA(i)), h)))
+        .as(s"m$i"))
+    sets.select(col("doc_id") +: sigCols: _*)
   }
 
   /** One hash per 4-column band of the signature. */
@@ -133,9 +132,14 @@ object LlmOps {
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
-      cand
-        .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-        .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      // Verify joins stream the (large) shingle-set side and broadcast
+      // the (small, post-LSH) candidate side — pinned, because the set
+      // side hovers at the AQE broadcast threshold and a flip to
+      // shuffling the shingle arrays is the slow plan at any scale.
+      val withA = sets.join(broadcast(cand), col("doc_id") === col("doc_a"))
+        .select(col("doc_a"), col("doc_b"), col("sh").as("sh_a"))
+      sets.join(broadcast(withA), col("doc_id") === col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("sh").as("sh_b"), col("sh_a"))
         .select(col("doc_a"), col("doc_b"),
           (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
             size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
