@@ -175,13 +175,25 @@ object LlmOps2 {
     "llm_dedup_ngram" -> ((s: SparkSession, dir: String) => {
       val g = bigramSets(s, dir)
         .withColumn("bucket", floor(col("n_tok").cast("double") / 8.0))
-      g.as("a").join(g.as("b"),
+      // Pair on bare keys first, then attach the bigram sets through
+      // broadcast-pinned joins (same plan discipline as nearDupPairs:
+      // never push array payloads through the pair-generating join).
+      val keys = g.select(col("doc_id"), col("lang"), col("bucket"))
+      val pairs = keys.as("a").join(keys.as("b"),
           col("a.lang") === col("b.lang") &&
             col("a.bucket") === col("b.bucket") &&
             col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          (size(array_intersect(col("a.bg"), col("b.bg"))).cast("double") /
-            size(array_union(col("a.bg"), col("b.bg"))).cast("double"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      // broadcast only the bare pair keys (a few MB); the array-
+      // carrying intermediate is NOT broadcastable — its join shuffles
+      // on doc_id, which is the right plan at any scale.
+      val sets = g.select(col("doc_id"), col("bg"))
+      val withA = sets.join(broadcast(pairs), col("doc_id") === col("doc_a"))
+        .select(col("doc_a"), col("doc_b"), col("bg").as("bg_a"))
+      sets.join(withA, col("doc_id") === col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          (size(array_intersect(col("bg_a"), col("bg"))).cast("double") /
+            size(array_union(col("bg_a"), col("bg"))).cast("double"))
             .as("jaccard"))
         .filter(round(col("jaccard"), 6) >= 0.5)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
