@@ -128,6 +128,27 @@ object Aggregates {
 
     "agg_stats" -> (aggStats _),
 
+    // PIVOT with a pinned value list (never values-inference — that's
+    // an extra scan and nondeterministic column order at scale); long
+    // sums are exact.
+    "agg_pivot" -> ((s, dir) =>
+      load(s, dir, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(col("l_quantity").cast("long")))
+        .orderBy("l_linestatus")),
+
+    // Exact interpolated percentiles (sort-based, same linear
+    // interpolation rule as DuckDB quantile_cont); integral-valued
+    // quantities make the interpolation arithmetic exact.
+    "agg_percentile_cont" -> ((s, dir) =>
+      load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.9)").as("p90"),
+          expr("percentile(l_quantity, 0.99)").as("p99"))
+        .orderBy("l_returnflag")),
+
     // Per-group sorted list, surfaced as a canonical joined string so
     // the compare is list-order-proof on both engines.
     "agg_collect_sorted" -> ((s, dir) =>
@@ -207,6 +228,20 @@ object Aggregates {
     "agg_collect_sorted" ->
       """SELECT o_custkey,
         |  array_to_string(list_sort(list(o_orderpriority)), ',') AS priorities
-        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "agg_pivot" ->
+      """SELECT l_linestatus,
+        |  sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS BIGINT) END) AS A,
+        |  sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS BIGINT) END) AS N,
+        |  sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT) END) AS R
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "agg_percentile_cont" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.9) AS p90,
+        |  quantile_cont(l_quantity, 0.99) AS p99
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

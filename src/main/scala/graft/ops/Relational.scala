@@ -75,6 +75,19 @@ object Relational {
           asc_nulls_first("rf"), asc_nulls_first("ls"))
     }),
 
+    // Wide-to-long UNPIVOT (melt) — the Spark 3.4+ Dataset.unpivot
+    // operator; each input row fans out to one row per value column.
+    "proj_unpivot" -> ((s, dir) =>
+      load(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 1000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").as("qty"), col("l_extendedprice").as("price"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("qty"), col("price")),
+          "metric", "value")
+        .orderBy("l_orderkey", "l_linenumber", "metric", "value")),
+
     "filter_conditional" -> ((s, dir) =>
       load(s, dir, "orders").select(
         col("o_orderkey"),
@@ -111,6 +124,14 @@ object Relational {
         |WHERE (nullif(l_returnflag,'N') IS NULL AND nullif(l_linestatus,'F') IS NOT NULL)
         |   OR nullif(l_returnflag,'N') IS NOT DISTINCT FROM nullif(l_linestatus,'F')
         |ORDER BY l_orderkey, l_linenumber, rf NULLS FIRST, ls NULLS FIRST""".stripMargin,
+    "proj_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'qty' AS metric, l_quantity AS value
+        |FROM lineitem WHERE l_orderkey < 1000
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'price', l_extendedprice
+        |FROM lineitem WHERE l_orderkey < 1000
+        |ORDER BY l_orderkey, l_linenumber, metric, value""".stripMargin,
+
     "filter_conditional" ->
       """SELECT o_orderkey,
         |  CASE WHEN o_totalprice > 200000 THEN 'big'
