@@ -281,6 +281,28 @@ object Relational {
         .select("p_id", "c_id").orderBy("p_id", "c_id")
     }),
 
+    // Skew-safe salted join: event_type has only 5 values, so a plain
+    // shuffle join lands 1/5 of a 100 TB fact table on single reducer
+    // keys. Salt deterministically (pmod of the row key, never rand())
+    // on the fact side and replicate the dim side across all salts —
+    // the shuffle key becomes (event_type, salt), fanning each hot key
+    // over 16 reducers. AQE skew-split handles moderate skew
+    // automatically; explicit salting is the guaranteed form.
+    "join_skew_salted" -> ((s, dir) => {
+      val salts = 16
+      val fact = loadEvents(s, dir)
+        .select(col("event_id"), col("event_type"),
+          pmod(col("event_id"), lit(salts)).as("salt"))
+      val dim = loadEvents(s, dir)
+        .select(col("event_type")).distinct()
+        .withColumn("weight", length(col("event_type")))
+        .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+      fact.join(dim, Seq("event_type", "salt"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum(col("weight")).as("total_weight"))
+        .orderBy("event_type")
+    }),
+
     // 4-table chain; nation is a broadcast dim, the fact joins shuffle.
     "join_multiway" -> ((s, dir) => {
       val l = load(s, dir, "lineitem")
@@ -359,6 +381,11 @@ object Relational {
         |  ON p.user_id = c.user_id
         | AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts + INTERVAL 1 HOUR
         |ORDER BY p_id, c_id""".stripMargin,
+    "join_skew_salted" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  CAST(sum(length(event_type)) AS BIGINT) AS total_weight
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "join_multiway" ->
       """SELECT n_name,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2)) * CAST(1 - CAST(l_discount AS DECIMAL(15,2)) AS DECIMAL(8,4))) AS DOUBLE) AS revenue,
