@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{ArrayMaxLE, CosineSim}
+import graft.ops.{LlmOps, LlmOps2}
+
+/** User-facing facade: the engine's reusable operations as a plain
+  * library API over DataFrames (the driver-contract surface in
+  * [[SparkEntry]] wires these same building blocks to the fixed test
+  * corpus). Everything is lazy DataFrame algebra — callers compose
+  * further and Catalyst plans the whole.
+  *
+  * {{{
+  *   import graft.Graft
+  *   val dupes   = Graft.nearDuplicates(docs)            // MinHash-LSH
+  *   val sh      = Graft.simhashPairs(docs, maxHamming = 3)
+  *   val knn     = Graft.annTopK(embeddings, $"vec_id" < 100, k = 10)
+  *   val asOf    = Graft.asOfProbe($"sorted_times", $"event_time")
+  *   val cos     = Graft.cosine($"a.embedding", $"b.embedding")
+  * }}}
+  */
+object Graft {
+
+  /** MinHash-LSH near-duplicate pairs over (doc_id, text) with exact
+    * Jaccard >= 0.8 verification. Banded candidate generation — never
+    * an all-pairs product. */
+  def nearDuplicates(docs: DataFrame): DataFrame = LlmOps.nearDupPairs(docs)
+
+  /** SimHash near-duplicate pairs over (doc_id, text): 64-bit
+    * signatures, 16-bit band blocking, Hamming <= maxHamming. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame =
+    LlmOps2.simhashPairs(docs, maxHamming)
+
+  /** LSH-bucketed approximate top-k neighbours over
+    * (vec_id, embedding) for the rows matching isQuery. */
+  def annTopK(embeddings: DataFrame, isQuery: Column, k: Int): DataFrame =
+    LlmOps2.annTopK(embeddings, isQuery, k)
+
+  /** Fused cosine similarity of two float-vector columns (custom
+    * codegen expression — no per-row allocation). */
+  def cosine(a: Column, b: Column): Column = CosineSim(a, b)
+
+  /** As-of probe: greatest element of the sorted array column that is
+    * <= key (custom codegen binary search). Pair with a broadcast
+    * `sort_array(collect_set(...))` for broadcast-as-of joins; for
+    * high-cardinality keys use the union + partitioned-window merge
+    * (see SURVEY §2.3 `join_asof_partitioned`). */
+  def asOfProbe(sortedArray: Column, key: Column): Column =
+    ArrayMaxLE(sortedArray, key)
+
+  /** Exact-duplicate survivor keys for (keyCol, payload): the minimum
+    * key per distinct payload hash — deterministic, shuffle on the
+    * content hash. */
+  def exactDedupSurvivors(df: DataFrame, keyCol: Column, payload: Column): DataFrame =
+    df.groupBy(md5(payload).as("h")).agg(min(keyCol).as("survivor_key"))
+      .select("survivor_key")
+}
