@@ -39,8 +39,11 @@ object Bench {
       // and doubled the heavy queries' timings mid-run.
       System.gc(); Thread.sleep(300); System.gc(); Thread.sleep(200)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+      // -1 is the driver's failure sentinel — a throwing query must
+      // not report its time-to-exception as a legitimate timing
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

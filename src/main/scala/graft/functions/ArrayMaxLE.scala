@@ -34,11 +34,13 @@ case class ArrayMaxLE(left: Expression, right: Expression)
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
     left.dataType match {
-      case ArrayType(et, _)
+      // containsNull must be false: the binary search reads raw 8-byte
+      // slots, and a null element would silently read as 0
+      case ArrayType(et, false)
           if (et == TimestampType || et == TimestampNTZType || et == LongType)
             && et == right.dataType => TypeCheckSuccess
       case _ => TypeCheckFailure(
-        s"array_max_le needs (array<timestamp|bigint>, same-type key); " +
+        s"array_max_le needs (array<timestamp|bigint> without nulls, same-type key); " +
           s"got (${left.dataType.sql}, ${right.dataType.sql})")
     }
   }

@@ -132,13 +132,13 @@ object LlmOps {
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
-      // Verify joins stream the (large) shingle-set side and broadcast
-      // the (small, post-LSH) candidate side — pinned, because the set
-      // side hovers at the AQE broadcast threshold and a flip to
-      // shuffling the shingle arrays is the slow plan at any scale.
+      // Verify joins: broadcast only the BARE candidate key pairs
+      // (small post-LSH); the array-carrying intermediate then joins
+      // on doc_id and shuffles — the right plan at any scale
+      // (broadcasting shingle arrays would cap at the broadcast limit).
       val withA = sets.join(broadcast(cand), col("doc_id") === col("doc_a"))
         .select(col("doc_a"), col("doc_b"), col("sh").as("sh_a"))
-      sets.join(broadcast(withA), col("doc_id") === col("doc_b"))
+      sets.join(withA, col("doc_id") === col("doc_b"))
         .select(col("doc_a"), col("doc_b"), col("sh").as("sh_b"), col("sh_a"))
         .select(col("doc_a"), col("doc_b"),
           (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /

@@ -89,8 +89,10 @@ object LlmOps2 {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         expr("bit_count(x.sim ^ y.sim)").as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: hamming is a pure function of the
+      // pair, so the dedup shuffle only carries surviving pairs
       .filter(col("hamming") <= maxHamming)
+      .distinct()
       .orderBy("doc_a", "doc_b")
   }
 
@@ -150,12 +152,18 @@ object LlmOps2 {
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id"))
       .distinct()
+    // Only the QUERY vectors are broadcast (small by contract); the
+    // corpus side joins on vec_id and shuffles — broadcasting the full
+    // corpus would cap the operator at the 8 GB broadcast limit and
+    // contradict the scale path this operator exists to provide.
     val vecs = embeddings.select(col("vec_id"), col("embedding"))
+    val qVecs = embeddings.filter(isQuery)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(desc("cos_sim"), asc("vec_id"))
     cand
-      .join(broadcast(vecs.toDF("q_id", "q_emb")), "q_id")
-      .join(broadcast(vecs), "vec_id")
+      .join(broadcast(qVecs), "q_id")
+      .join(vecs, "vec_id")
       .select(col("q_id"), col("vec_id"),
         round(CosineSim(col("q_emb"), col("embedding")), 6).as("cos_sim"))
       .withColumn("rn", row_number().over(w))

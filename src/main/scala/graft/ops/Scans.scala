@@ -16,9 +16,25 @@ object Scans {
 
   /** Per-run unique (applicationId) so two concurrent runs against
     * the same scale factor can't clobber each other's roundtrip
-    * files between write and read-back. */
-  private[graft] def tmp(s: SparkSession, dir: String, tag: String): String =
-    s"/tmp/graft_${s.sparkContext.applicationId}_${tag}_${new java.io.File(dir).getName}"
+    * files between write and read-back; each path is deleted on JVM
+    * exit so repeated verify/bench loops don't fill /tmp. */
+  private val cleanupRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
+  private[graft] def tmp(s: SparkSession, dir: String, tag: String): String = {
+    val p = s"/tmp/graft_${s.sparkContext.applicationId}_${tag}_${new java.io.File(dir).getName}"
+    if (cleanupRegistered.add(p)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        deleteRecursively(new java.io.File(p))))
+    }
+    p
+  }
 
   /** Columns safe to round-trip through text formats: integral,
     * double (Java shortest-roundtrip formatting), and string. */
