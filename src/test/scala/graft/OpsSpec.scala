@@ -70,17 +70,19 @@ class OpsSpec extends AnyFunSuite {
     assert(got.sameElements(Array[Any](5L, 9L, null)))
   }
 
-  test("CosineSim: self-similarity 1, orthogonal 0, zero-vector null") {
+  test("CosineSim: self-similarity 1, orthogonal 0, zero-vector and dim-mismatch null") {
     import spark.implicits._
     val df = Seq(
       (Array(1f, 2f, 3f), Array(1f, 2f, 3f)),
       (Array(1f, 0f, 0f), Array(0f, 1f, 0f)),
-      (Array(0f, 0f, 0f), Array(1f, 2f, 3f))
+      (Array(0f, 0f, 0f), Array(1f, 2f, 3f)),
+      (Array(1f, 2f), Array(1f, 2f, 3f)) // mismatched dims -> null, never truncated-prefix
     ).toDF("a", "b")
     val got = df.select(graft.functions.CosineSim(col("a"), col("b"))).collect()
     assert(math.abs(got(0).getDouble(0) - 1.0) < 1e-12)
     assert(got(1).getDouble(0) == 0.0)
     assert(got(2).isNullAt(0))
+    assert(got(3).isNullAt(0))
   }
 
   test("topk_global is a prefix of the full sort (property)") {
