@@ -149,13 +149,19 @@ object LlmOps {
   }
 
   // Brute-force top-10 most similar pairs (small-SF baseline; see
-  // scale note above). The fused kernel keeps the pair scan inside
-  // codegen with zero allocation.
+  // scale note above). Norms are precomputed ONCE PER VECTOR, so the
+  // n² pair scan runs only the fused dot-product kernel —
+  // cos = dot * inv_norm_a * inv_norm_b, a third of the per-pair
+  // flops of recomputing both norms inside every pair.
   private def simsearchTopK(s: SparkSession, dir: String): DataFrame = {
-      val e = load(s, dir, "embeddings").select("vec_id", "embedding")
+      val e = load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          (lit(1.0) / sqrt(graft.functions.DotProduct(col("embedding"), col("embedding"))))
+            .as("inv_norm"))
       e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          round(CosineSim(col("a.embedding"), col("b.embedding")), 6).as("cos_sim"))
+          round(graft.functions.DotProduct(col("a.embedding"), col("b.embedding")) *
+            col("a.inv_norm") * col("b.inv_norm"), 6).as("cos_sim"))
         .orderBy(desc("cos_sim"), asc("vec_a"), asc("vec_b"))
         .limit(10)
   }

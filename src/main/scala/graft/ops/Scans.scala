@@ -73,6 +73,15 @@ object Scans {
       s.read.schema(rtSchema).csv(p).orderBy(rtCols.head, rtCols.tail: _*)
     }),
 
+    // Columnar non-parquet source: ORC roundtrip (types survive
+    // exactly; vectorized ORC reader on the way back).
+    "scan_orc_roundtrip" -> ((s, dir) => {
+      val p = tmp(s, dir, "orc")
+      load(s, dir, "lineitem").select(rtCols.map(col): _*)
+        .write.mode(SaveMode.Overwrite).orc(p)
+      s.read.orc(p).orderBy(rtCols.head, rtCols.tail: _*)
+    }),
+
     "scan_json_roundtrip" -> ((s, dir) => {
       val p = tmp(s, dir, "json")
       load(s, dir, "lineitem").select(rtCols.map(col): _*)
@@ -111,6 +120,7 @@ object Scans {
     "scan_parquet_pruned" ->
       "SELECT l_orderkey, l_quantity FROM lineitem ORDER BY l_orderkey, l_quantity",
     "scan_csv_roundtrip" -> rtOracle,
+    "scan_orc_roundtrip" -> rtOracle,
     "scan_json_roundtrip" -> rtOracle,
     "sink_parquet" ->
       "SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
