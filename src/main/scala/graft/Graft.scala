@@ -42,6 +42,11 @@ object Graft {
     * codegen expression — no per-row allocation). */
   def cosine(a: Column, b: Column): Column = CosineSim(a, b)
 
+  /** Fused double dot product of two float-vector columns. With
+    * per-vector norms precomputed, `dot * invNormA * invNormB` is the
+    * cheap form of cosine inside an n² pair scan. */
+  def dot(a: Column, b: Column): Column = graft.functions.DotProduct(a, b)
+
   /** As-of probe: greatest element of the sorted array column that is
     * <= key (custom codegen binary search). Pair with a broadcast
     * `sort_array(collect_set(...))` for broadcast-as-of joins; for

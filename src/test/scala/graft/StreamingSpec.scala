@@ -58,6 +58,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.length == 3)
   }
 
+  test("sliding window: streaming result equals batch twin") {
+    val events = Seq(
+      Ev(1, t("10:05"), 1, "a", 0), Ev(2, t("10:20"), 1, "a", 0),
+      Ev(3, t("11:02"), 2, "a", 0))
+    import spark.implicits._
+    runStream("slide", events, Streams.slidingCounts, "complete")
+    val streamed = spark.table("slide").orderBy("wstart").collect()
+    val batch = Streams.slidingCounts(events.toDF()).orderBy("wstart").collect()
+    assert(streamed.sameElements(batch))
+    // each event belongs to exactly 4 sliding windows (1h window, 15m slide)
+    assert(batch.map(_.getLong(1)).sum == events.size * 4)
+  }
+
   test("watermark: late event beyond 30-min watermark is dropped") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
