@@ -4,14 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.util.Sessions.local(cpus)
     // Warm-up: absorb JVM/codegen/session fixed cost so the first
     // timed query isn't charged ~8 s of warm-up (VERDICT r1: the
     // first-measured join absorbed it and looked like a plan defect).
@@ -20,10 +13,17 @@ object Bench {
     }
     // Optional comma-separated query filter for isolated timing runs.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").toSet).getOrElse(Set.empty[String])
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    if (unknown.nonEmpty)
+      System.err.println(
+        s"[bench] SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.mkString(", ")}")
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (k, _) => only(k) }
+    if (selected.isEmpty)
+      System.err.println("[bench] no queries selected — emitting empty result")
     val results = selected.map { case (name, fn) =>
       // Warm once per query (plan compilation + whole-stage codegen
       // class generation are one-time costs, ~2.5s for the widest

@@ -57,8 +57,8 @@ object Graft {
 
   /** Exact-duplicate survivor keys for (keyCol, payload): the minimum
     * key per distinct payload hash — deterministic, shuffle on the
-    * content hash. */
+    * content hash. (Same definition the oracle-checked
+    * `llm_dedup_exact` query uses.) */
   def exactDedupSurvivors(df: DataFrame, keyCol: Column, payload: Column): DataFrame =
-    df.groupBy(md5(payload).as("h")).agg(min(keyCol).as("survivor_key"))
-      .select("survivor_key")
+    LlmOps.exactSurvivorKeys(df, keyCol, payload)
 }

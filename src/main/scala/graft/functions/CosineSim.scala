@@ -46,6 +46,9 @@ case class CosineSim(left: Expression, right: Expression)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      // the corpus array type is containsNull=true (parquet list
+      // default) — a null element must poison the result, not read as 0
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = a.getFloat(i).toDouble
       val y = b.getFloat(i).toDouble
       dot += x * y; na += x * x; nb += y * y
@@ -70,12 +73,15 @@ case class CosineSim(left: Expression, right: Expression)
          |  int $n = $a.numElements();
          |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    double $x = (double) $a.getFloat($i);
          |    double $y = (double) $b.getFloat($i);
          |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |  }
-         |  if ($na == 0.0 || $nb == 0.0) { ${ev.isNull} = true; }
-         |  else { ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb)); }
+         |  if (!${ev.isNull}) {
+         |    if ($na == 0.0 || $nb == 0.0) { ${ev.isNull} = true; }
+         |    else { ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb)); }
+         |  }
          |}
        """.stripMargin
     })

@@ -40,6 +40,9 @@ case class DotProduct(left: Expression, right: Expression)
     var dot = 0.0
     var i = 0
     while (i < n) {
+      // null elements poison the result (corpus arrays are
+      // containsNull=true), never read as 0
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble
       i += 1
     }
@@ -57,9 +60,10 @@ case class DotProduct(left: Expression, right: Expression)
          |  int $n = $a.numElements();
          |  double $dot = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |  }
-         |  ${ev.value} = $dot;
+         |  if (!${ev.isNull}) { ${ev.value} = $dot; }
          |}
        """.stripMargin
     })

@@ -105,13 +105,22 @@ object LlmOps {
     "llm_multimodal_cols" -> (multimodal _)
   )
 
+  /** Deterministic exact-dedup survivor keys: the minimum key per
+    * distinct md5(payload). Single definition — the oracle-checked
+    * query below and the public [[graft.Graft.exactDedupSurvivors]]
+    * facade both delegate here. */
+  private[graft] def exactSurvivorKeys(df: DataFrame, keyCol: Column,
+      payload: Column): DataFrame =
+    df.groupBy(md5(payload).as("h")).agg(min(keyCol).as("survivor_key"))
+      .select("survivor_key")
+
   // Exact dedup on md5(text): deterministic survivor = min doc_id per
   // hash (dropDuplicates' arbitrary pick would leak into the
   // per-source counts), then survivors per source.
   private def dedupExact(s: SparkSession, dir: String): DataFrame = {
       val d = load(s, dir, "documents")
-      val survivors = d.groupBy(md5(col("text")).as("h"))
-        .agg(min(col("doc_id")).as("doc_id"))
+      val survivors = exactSurvivorKeys(d, col("doc_id"), col("text"))
+        .withColumnRenamed("survivor_key", "doc_id")
       d.join(survivors, "doc_id")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"))

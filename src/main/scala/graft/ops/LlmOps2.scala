@@ -138,14 +138,13 @@ object LlmOps2 {
   private[graft] def annTopK(embeddings: DataFrame,
       isQuery: org.apache.spark.sql.Column, k: Int): DataFrame = {
     val bucketed = annBuckets(embeddings)
-      .join(embeddings.select(col("vec_id"), col("embedding")), "vec_id")
-      .select(col("vec_id"), col("embedding"),
+      .select(col("vec_id"),
         posexplode(array((0 until AnnTables).map(t => col(s"bucket$t")): _*)))
-      .toDF("vec_id", "embedding", "tbl", "bucket")
+      .toDF("vec_id", "tbl", "bucket")
     // Dedup multi-table hits on the bare key pair BEFORE re-attaching
     // the vectors: deduping rows that carry array columns degrades the
     // aggregate to a sort-based one over the array buffers.
-    val cand = bucketed.select(col("tbl"), col("bucket"), col("vec_id"))
+    val cand = bucketed
       .join(bucketed.filter(isQuery)
         .select(col("tbl"), col("bucket"), col("vec_id").as("q_id")),
         Seq("tbl", "bucket"))

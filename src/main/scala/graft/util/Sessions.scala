@@ -1,0 +1,23 @@
+package graft.util
+
+import org.apache.spark.sql.SparkSession
+
+/** Single definition of the engine's session config — Verify, Bench,
+  * Explain, and the test fixture all build through here so a new
+  * session-level flag (like the parquet-nanos one) can never be set
+  * in one entry point and missed in another. */
+object Sessions {
+
+  def local(cpus: String): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      // events.ts is parquet TIMESTAMP(NANOS); see Tables.loadEvents
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
