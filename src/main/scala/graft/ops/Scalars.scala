@@ -40,6 +40,16 @@ object Scalars {
         .groupBy("word").agg(count(lit(1)).as("cnt"))
         .orderBy(desc("cnt"), asc("word"))),
 
+    // Edit-distance fuzzy matching — the scalar primitive behind
+    // fuzzy dedup/record-linkage; identical DP definition in both
+    // engines so it oracles exactly.
+    "str_fuzzy" -> ((s, dir) =>
+      load(s, dir, "part").select(
+        col("p_partkey"),
+        levenshtein(col("p_name"), lit("small brass bolt")).as("d_ref"),
+        levenshtein(col("p_brand"), col("p_type")).as("d_cross"))
+        .orderBy("p_partkey")),
+
     "str_regexp" -> ((s, dir) =>
       load(s, dir, "part").select(
         col("p_partkey"),
@@ -121,6 +131,12 @@ object Scalars {
       """SELECT word, count(*) AS cnt FROM (
         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |GROUP BY word ORDER BY cnt DESC, word""".stripMargin,
+
+    "str_fuzzy" ->
+      """SELECT p_partkey,
+        |  CAST(levenshtein(p_name, 'small brass bolt') AS INT) AS d_ref,
+        |  CAST(levenshtein(p_brand, p_type) AS INT) AS d_cross
+        |FROM part ORDER BY p_partkey""".stripMargin,
 
     "str_regexp" ->
       """SELECT p_partkey,

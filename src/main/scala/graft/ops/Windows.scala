@@ -98,6 +98,17 @@ object Windows {
           last(col("o_orderkey")).over(w).as("last_key"),
           first(col("o_totalprice")).over(w).as("first_price"))
         .orderBy("o_orderpriority", "o_orderkey")
+    }),
+
+    "win_nth_value" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      load(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          nth_value(col("o_totalprice"), 2).over(w).as("second_price"),
+          nth_value(col("o_totalprice"), 10).over(w).as("tenth_price"))
+        .orderBy("o_orderpriority", "o_orderkey")
     })
   )
 
@@ -152,6 +163,15 @@ object Windows {
         |  first_value(o_orderkey) OVER w AS first_key,
         |  last_value(o_orderkey) OVER w AS last_key,
         |  first_value(o_totalprice) OVER w AS first_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+
+    "win_nth_value" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |  nth_value(o_totalprice, 2) OVER w AS second_price,
+        |  nth_value(o_totalprice, 10) OVER w AS tenth_price
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
