@@ -128,6 +128,15 @@ object Aggregates {
 
     "agg_stats" -> (aggStats _),
 
+    "agg_bool_bit" -> ((s, dir) =>
+      load(s, dir, "part")
+        .groupBy(col("p_brand"))
+        .agg(bool_and(col("p_size") > 1).as("all_big"),
+          bool_or(col("p_size") > 45).as("any_huge"),
+          bit_and(col("p_size")).as("band"),
+          bit_or(col("p_size")).as("bor"))
+        .orderBy("p_brand")),
+
     // PIVOT with a pinned value list (never values-inference — that's
     // an extra scan and nondeterministic column order at scale); long
     // sums are exact.
@@ -229,6 +238,14 @@ object Aggregates {
       """SELECT o_custkey,
         |  array_to_string(list_sort(list(o_orderpriority)), ',') AS priorities
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "agg_bool_bit" ->
+      """SELECT p_brand,
+        |  bool_and(p_size > 1) AS all_big,
+        |  bool_or(p_size > 45) AS any_huge,
+        |  CAST(bit_and(p_size) AS INT) AS band,
+        |  CAST(bit_or(p_size) AS INT) AS bor
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     "agg_pivot" ->
       """SELECT l_linestatus,

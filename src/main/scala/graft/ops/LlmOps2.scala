@@ -277,6 +277,45 @@ object LlmOps2 {
             .as("quality"))
         .orderBy("doc_id")),
 
+    // PII-style masking: pattern classes rewritten to placeholder
+    // tokens (the shape of email/phone/ID scrubbing; this corpus has
+    // no real PII, so digits and vowel-runs stand in for the classes).
+    "llm_pii_mask" -> ((s: SparkSession, dir: String) =>
+      load(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_replace(
+            regexp_replace(col("text"), "[0-9]+", "<NUM>"),
+            "\\b(the|a|of)\\b", "<STOP>").as("masked"))
+        .select(col("doc_id"), substring(col("masked"), 1, 120).as("masked_head"),
+          length(col("masked")).as("masked_len"))
+        .orderBy("doc_id")),
+
+    // Sequence packing: assign docs to fixed-budget context bins
+    // (sequential fill by cumulative token count, partitioned by lang
+    // — packing is inherently sequential, so at scale each shard
+    // packs independently; the per-key window is the scalable form).
+    "llm_pack_sequences" -> ((s: SparkSession, dir: String) => {
+      val w = Window.partitionBy(col("lang")).orderBy(asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      tokenized(s, dir)
+        .select(col("lang"), col("doc_id"), size(col("w")).as("n_tok"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .select(col("lang"), col("doc_id"), col("n_tok"),
+          floor((col("cum") - col("n_tok")).cast("double") / 512.0).as("bin"))
+        .orderBy("lang", "doc_id")
+    }),
+
+    // Stratified sampling for data mixing: per-language fractions with
+    // a fixed seed. Sampling RNG differs across engines, so no oracle
+    // (SURVEY §1.5 r4); LlmSpec asserts per-stratum tolerance.
+    "llm_sample_stratified" -> ((s: SparkSession, dir: String) =>
+      load(s, dir, "documents")
+        .stat.sampleBy("lang",
+          Map("en" -> 0.5, "de" -> 0.25, "es" -> 0.25, "fr" -> 0.25, "zh" -> 0.25),
+          42L)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+        .orderBy("lang")),
+
     // Whitespace tokens vs BPE-ish regex tokens per doc.
     "llm_token_count" -> ((s: SparkSession, dir: String) =>
       load(s, dir, "documents")
@@ -399,6 +438,27 @@ object LlmOps2 {
         |    least(CAST(n_chars - (n_tok - 1) AS DOUBLE) / CAST(n_tok AS DOUBLE) / 10.0, 1.0) * 0.2,
         |    6) AS quality
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "llm_pii_mask" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(text, '[0-9]+', '<NUM>', 'g'),
+        |      '\b(the|a|of)\b', '<STOP>', 'g') AS masked
+        |  FROM documents)
+        |SELECT doc_id, substring(masked, 1, 120) AS masked_head,
+        |  CAST(length(masked) AS INT) AS masked_len
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "llm_pack_sequences" ->
+      """SELECT lang, doc_id, n_tok,
+        |  CAST(floor(CAST(cum - n_tok AS DOUBLE) / 512.0) AS BIGINT) AS bin
+        |FROM (
+        |  SELECT lang, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
+        |    sum(len(string_split(text, ' '))) OVER (
+        |      PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM documents)
+        |ORDER BY lang, doc_id""".stripMargin,
 
     "llm_token_count" ->
       """SELECT doc_id,

@@ -100,6 +100,17 @@ object Windows {
         .orderBy("o_orderpriority", "o_orderkey")
     }),
 
+    // cume_dist is tie-stable (peers share count(<=)/n), so the
+    // value-only window order is deterministic.
+    "win_cume_dist" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(asc("o_totalprice"))
+      load(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("o_orderpriority", "o_totalprice", "o_orderkey")
+    }),
+
     "win_nth_value" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_orderpriority"))
         .orderBy(asc("o_orderkey"))
@@ -167,6 +178,13 @@ object Windows {
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+
+    "win_cume_dist" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  cume_dist() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice) AS cd
+        |FROM orders
+        |ORDER BY o_orderpriority, o_totalprice, o_orderkey""".stripMargin,
 
     "win_nth_value" ->
       """SELECT o_orderpriority, o_orderkey,

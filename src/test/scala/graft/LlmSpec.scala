@@ -107,6 +107,39 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("llm_sample_stratified: per-stratum counts within binomial tolerance") {
+    val got = SparkEntry.queries("llm_sample_stratified")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val totals = graft.util.Tables.load(spark, sf, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val fractions = Map("en" -> 0.5, "de" -> 0.25, "es" -> 0.25, "fr" -> 0.25, "zh" -> 0.25)
+    fractions.foreach { case (lang, f) =>
+      val n = totals(lang)
+      val expect = n * f
+      val sd = math.sqrt(n * f * (1 - f))
+      val sampled = got.getOrElse(lang, 0L).toDouble
+      assert(math.abs(sampled - expect) < 5 * sd + 3,
+        s"$lang: sampled $sampled of $n at $f")
+    }
+  }
+
+  test("llm_pack_sequences: bins respect the running 512-token budget") {
+    val rows = SparkEntry.queries("llm_pack_sequences")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // bins are non-decreasing per lang and each doc's bin equals the
+    // pre-fill cumulative count divided by the budget
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._2)
+      var cum = 0L
+      sorted.foreach { case (_, _, nTok, bin) =>
+        assert(bin == cum / 512, s"bin mismatch at cum=$cum")
+        cum += nTok
+      }
+    }
+  }
+
   test("llm_simsearch_knn: exactly k=5 neighbours per query, none self") {
     val rows = SparkEntry.queries("llm_simsearch_knn")(spark, sf).collect()
     val byQ = rows.groupBy(_.getLong(0))
