@@ -41,5 +41,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    // optimizer pass: fuse the HOF sum-of-squares pattern into the
+    // codegen DotProduct kernel (see FuseDotProduct)
+    ext.injectOptimizerRule(_ => FuseDotProduct)
   }
 }

@@ -10,6 +10,7 @@ object Sessions {
 
   def local(cpus: String): SparkSession = {
     val s = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -31,6 +31,24 @@ class ExtensionsSpec extends AnyFunSuite {
           |  array(CAST(1 AS FLOAT), CAST(0 AS FLOAT))) AS v""".stripMargin)
         .collect()(0)
       assert(math.abs(r2.getDouble(0) - 1.0) < 1e-12)
+      val r3 = spark.sql(
+        """SELECT dot_product(
+          |  array(CAST(2 AS FLOAT), CAST(3 AS FLOAT)),
+          |  array(CAST(4 AS FLOAT), CAST(5 AS FLOAT))) AS v""".stripMargin)
+        .collect()(0)
+      assert(r3.getDouble(0) == 23.0)
+      // FuseDotProduct rewrites the HOF sum-of-squares into the
+      // codegen kernel — visible in the optimized plan, same value.
+      // Must run over a file source: literal/local inputs are
+      // constant-folded/locally evaluated before the plan can be seen.
+      val df = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+        .selectExpr("vec_id",
+          "aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS norm_sq")
+      assert(df.queryExecution.optimizedPlan.toString.contains("dot_product"),
+        s"rule did not fire:\n${df.queryExecution.optimizedPlan}")
+      // unit-norm corpus: every norm_sq ~ 1.0
+      val v = df.orderBy("vec_id").collect()(0).getDouble(1)
+      assert(math.abs(v - 1.0) < 1e-3, s"norm_sq = $v")
     } finally {
       // don't stop() (the SparkContext is shared); restore handles
       prevDefault.foreach(SparkSession.setDefaultSession)
