@@ -95,7 +95,7 @@ object Events {
       """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS wstart,
         |  time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS wend,
         |  event_type, count(*) AS cnt,
-        |  sum(CAST(floor(value) AS BIGINT)) AS sum_floor_value
+        |  CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_floor_value
         |FROM events GROUP BY wstart, event_type
         |ORDER BY wstart, event_type""".stripMargin,
 
@@ -109,7 +109,7 @@ object Events {
         |  UNION ALL SELECT b - INTERVAL 30 MINUTE, value FROM buck
         |  UNION ALL SELECT b - INTERVAL 45 MINUTE, value FROM buck)
         |SELECT wstart, wstart + INTERVAL 1 HOUR AS wend, count(*) AS cnt,
-        |  sum(CAST(floor(value) AS BIGINT)) AS sum_floor_value
+        |  CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_floor_value
         |FROM w GROUP BY wstart ORDER BY wstart""".stripMargin,
 
     "evt_session_window" ->

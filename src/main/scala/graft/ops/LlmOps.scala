@@ -274,7 +274,8 @@ object LlmOps {
 
     "llm_text_stats" ->
       """WITH stats AS (
-        |  SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+        |  SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |    CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_chars,
         |    count(DISTINCT source) AS n_sources
         |  FROM documents GROUP BY lang),

@@ -28,19 +28,38 @@ import graft.functions.{ArrayMaxLE, CosineSim, DotProduct}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  /** Wraps a binary-expression builder with an arity check so a SQL
+    * call with the wrong argument count fails analysis with a clear
+    * message instead of an IndexOutOfBoundsException from children(1).
+    */
+  private def binary(name: String, build: (Expression, Expression) => Expression)
+      : Seq[Expression] => Expression = {
+    case Seq(a, b) => build(a, b)
+    case other =>
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> s"`$name`",
+          "expectedNum" -> "2",
+          "actualNum" -> other.size.toString,
+          // the template references <docroot>, which Spark's internal
+          // error builders inject; the public constructor does not
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("array_max_le"),
       new ExpressionInfo(classOf[ArrayMaxLE].getName, "array_max_le"),
-      (children: Seq[Expression]) => ArrayMaxLE(children(0), children(1))))
+      binary("array_max_le", ArrayMaxLE(_, _))))
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
-      (children: Seq[Expression]) => CosineSim(children(0), children(1))))
+      binary("cosine_sim", CosineSim(_, _))))
     ext.injectFunction((
       new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+      binary("dot_product", DotProduct(_, _))))
     // optimizer pass: fuse the HOF sum-of-squares pattern into the
     // codegen DotProduct kernel (see FuseDotProduct)
     ext.injectOptimizerRule(_ => FuseDotProduct)

@@ -49,6 +49,16 @@ class ExtensionsSpec extends AnyFunSuite {
       // unit-norm corpus: every norm_sq ~ 1.0
       val v = df.orderBy("vec_id").collect()(0).getDouble(1)
       assert(math.abs(v - 1.0) < 1e-3, s"norm_sq = $v")
+      // wrong arity from SQL → clean AnalysisException, not
+      // IndexOutOfBoundsException from children(1)
+      for (bad <- Seq("cosine_sim(array(1.0F))",
+                      "dot_product(array(1.0F), array(1.0F), array(1.0F))",
+                      "array_max_le(array(1L))")) {
+        val e = intercept[org.apache.spark.sql.AnalysisException] {
+          spark.sql(s"SELECT $bad").collect()
+        }
+        assert(e.getMessage.contains("2"), s"unhelpful arity error: ${e.getMessage}")
+      }
     } finally {
       // don't stop() (the SparkContext is shared); restore handles
       prevDefault.foreach(SparkSession.setDefaultSession)

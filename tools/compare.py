@@ -48,6 +48,17 @@ for name in sorted(oracle):
         fails.append((name, f"schema: spark={scols} oracle={ocols}"))
         continue
     sdf, odf = sdf[scols], odf[scols]
+    # The driver's hash compare is TYPED: DuckDB sum(BIGINT) returns
+    # HUGEINT (→ float64/object in pandas) while Spark stays int64, and
+    # that alone fails the driver even when values are equal. Both
+    # frames come through duckdb's fetchdf, so dtype equality here is a
+    # faithful local proxy for the driver's type check.
+    sdt = {c: str(sdf[c].dtype) for c in scols}
+    odt = {c: str(odf[c].dtype) for c in scols}
+    if sdt != odt:
+        bad = {c: (sdt[c], odt[c]) for c in scols if sdt[c] != odt[c]}
+        fails.append((name, f"dtypes (spark, oracle): {bad}"))
+        continue
     if len(sdf) != len(odf):
         fails.append((name, f"rows: spark={len(sdf)} oracle={len(odf)}"))
         continue
