@@ -41,48 +41,53 @@ object LlmOps {
     * runs and executors (SURVEY §7.4: no Math.random anywhere). */
   private def seedA(i: Int): Long = 0x9E3779B97F4A7C15L * (2 * i + 1)
 
-  /** doc_id + distinct hashed 3-word shingles. The token array is
-    * materialized ONCE per row before the shingle transform —
+  /** doc_id + SORTED distinct hashed 3-word shingles. The token array
+    * is materialized ONCE per row before the shingle transform —
     * inlining `split` into the lambda would re-tokenize the text per
     * shingle element, turning an O(tokens) row into O(tokens²). (A
     * hash-the-tokens-first variant was measured SLOWER: the second
     * interpreted HOF pass costs more than the string building saves.)
+    * Sorting once per document is the [[graft.functions.SortedJaccard]]
+    * contract: the pair-verification hot loop then merge-walks with no
+    * per-pair allocation; MinHash minima are order-invariant so the
+    * sort is free for the signature path.
     */
   private[graft] def shingleSets(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"),
-        expr("""array_distinct(transform(sequence(0, size(w) - 3),
+        sort_array(expr("""array_distinct(transform(sequence(0, size(w) - 3),
                |  i -> xxhash64(concat_ws(' ',
                |    element_at(w, i + 1),
                |    element_at(w, i + 2),
-               |    element_at(w, i + 3)))))""".stripMargin)
+               |    element_at(w, i + 3)))))""".stripMargin))
           .as("sh"))
 
-  /** 32-column MinHash signature, computed per row (array_min over a
-    * re-keyed xxhash64 of the shingle set) — no shuffle, no
-    * aggregation buffers. An explode -> 32 min() aggregate variant
+  /** 32-lane MinHash signature as ONE array column, computed per row
+    * by the codegen kernel [[graft.functions.MinHashSig]] — a single
+    * pass over the shingle array with 32 running minima in a long[],
+    * replacing 32 interpreted `array_min(transform(...))` walks
+    * (bit-identical values: the kernel pre-mixes each lane seed the way
+    * `xxhash64(lit(seed), h)` folds it). Per-row, so no shuffle and no
+    * aggregation buffers: an explode -> 32 min() aggregate variant
     * benchmarked the same in isolation but 2-4x slower inside a long
     * benchmark run (its hash-aggregate state is the first casualty of
-    * executor-memory pressure); the per-row form is immune. Cheaper
-    * hash families were also measured and REJECTED: one-permutation
-    * bucketing (short docs leave empty slots whose shared sentinel
-    * manufactures false candidates) and xor+rotate bijections
-    * (correlated minima collapse band diversity) — independence is
-    * what keeps the band join small. */
-  private def signatures(sets: DataFrame): DataFrame = {
-    val sigCols = (0 until NumHashes).map(i =>
-      array_min(transform(col("sh"), h => xxhash64(lit(seedA(i)), h)))
-        .as(s"m$i"))
-    sets.select(col("doc_id") +: sigCols: _*)
-  }
+    * executor-memory pressure). Cheaper hash families were measured
+    * and REJECTED: one-permutation bucketing (short docs leave empty
+    * slots whose shared sentinel manufactures false candidates) and
+    * xor+rotate bijections (correlated minima collapse band diversity)
+    * — independence is what keeps the band join small. */
+  private def signatures(sets: DataFrame): DataFrame =
+    sets.select(col("doc_id"),
+      graft.functions.MinHashSig(col("sh"), NumHashes).as("sig"))
 
-  /** One hash per 4-column band of the signature. */
+  /** One xxhash64 per 4-element band of the signature array — longs
+    * hashed directly, no string casts. */
   private def bandHashes: Column =
     array((0 until NumBands).map { b =>
-      xxhash64(concat_ws(",", (0 until BandRows).map(r =>
-        col(s"m${b * BandRows + r}").cast("string")): _*))
+      xxhash64((0 until BandRows).map(r =>
+        col("sig").getItem(b * BandRows + r)): _*)
     }: _*)
 
   // ---------------------------------------------------------- queries
@@ -135,7 +140,14 @@ object LlmOps {
       val banded = signatures(sets)
         .select(col("doc_id"), posexplode(bandHashes))
         .toDF("doc_id", "band_idx", "band_hash")
-      val cand = banded.as("x").join(banded.as("y"),
+      // shuffle_merge hints: the two sides of the self-join are the
+      // SAME subtree, so forcing a shuffle join makes both sides'
+      // exchanges canonically identical and ReuseExchange computes the
+      // whole shingle->signature->band pipeline ONCE (a broadcast-hash
+      // plan would build and stream it as two separate executions —
+      // measured ~2x the band-stage cost).
+      val cand = banded.as("x").hint("shuffle_merge")
+        .join(banded.as("y").hint("shuffle_merge"),
           col("x.band_idx") === col("y.band_idx") &&
             col("x.band_hash") === col("y.band_hash") &&
             col("x.doc_id") < col("y.doc_id"))
@@ -150,8 +162,7 @@ object LlmOps {
       sets.join(withA, col("doc_id") === col("doc_b"))
         .select(col("doc_a"), col("doc_b"), col("sh").as("sh_b"), col("sh_a"))
         .select(col("doc_a"), col("doc_b"),
-          (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+          graft.functions.SortedJaccard(col("sh_a"), col("sh_b")).as("jaccard"))
         .filter(col("jaccard") >= 0.8)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("doc_a", "doc_b")

@@ -40,19 +40,21 @@ object LlmOps2 {
       .select(col("doc_id"), col("lang"), col("text"),
         split(col("text"), " ").as("w"))
 
-  /** Hashed word-bigram sets per doc (materialized token array — see
-    * LlmOps.shingleSets on why split must not inline). Bigrams are
-    * hashed to longs so the pairwise set ops hash 8-byte values
-    * instead of strings (~5x cheaper in the hot pair loop); the oracle
-    * compares RAW string bigram sets — identical Jaccard barring a
-    * 64-bit collision (~1e-13 at this vocabulary size). */
+  /** SORTED hashed word-bigram sets per doc (materialized token array
+    * — see LlmOps.shingleSets on why split must not inline). Bigrams
+    * are hashed to longs so the pairwise set ops compare 8-byte values
+    * instead of strings, and sorted once per document so the candidate
+    * hot loop is a [[graft.functions.SortedJaccard]] merge walk with no
+    * per-pair allocation; the oracle compares RAW string bigram sets —
+    * identical Jaccard barring a 64-bit collision (~1e-13 at this
+    * vocabulary size). */
   private def bigramSets(s: SparkSession, dir: String): DataFrame =
     tokenized(s, dir)
       .filter(size(col("w")) >= 2)
       .select(col("doc_id"), col("lang"), size(col("w")).as("n_tok"),
-        expr("""array_distinct(transform(sequence(0, size(w) - 2),
+        sort_array(expr("""array_distinct(transform(sequence(0, size(w) - 2),
                |  i -> xxhash64(concat_ws(' ', element_at(w, i + 1), element_at(w, i + 2)))))"""
-          .stripMargin).as("bg"))
+          .stripMargin)).as("bg"))
 
   /** 64-bit SimHash over distinct token hashes: bit j is set when at
     * least half the tokens have bit j set in xxhash64(token).
@@ -199,9 +201,7 @@ object LlmOps2 {
         .select(col("doc_a"), col("doc_b"), col("bg").as("bg_a"))
       sets.join(withA, col("doc_id") === col("doc_b"))
         .select(col("doc_a"), col("doc_b"),
-          (size(array_intersect(col("bg_a"), col("bg"))).cast("double") /
-            size(array_union(col("bg_a"), col("bg"))).cast("double"))
-            .as("jaccard"))
+          graft.functions.SortedJaccard(col("bg"), col("bg_a")).as("jaccard"))
         .filter(round(col("jaccard"), 6) >= 0.5)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("doc_a", "doc_b")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArrayMaxLE, CosineSim, DotProduct}
+import graft.functions.{ArrayMaxLE, CosineSim, DotProduct, MinHashSig, SortedJaccard}
 
 /** SparkSessionExtensions entry point: registers graft's custom
   * Catalyst expressions as SQL functions, so any session built with
@@ -60,6 +60,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       binary("dot_product", DotProduct(_, _))))
+    ext.injectFunction((
+      new FunctionIdentifier("sorted_jaccard"),
+      new ExpressionInfo(classOf[SortedJaccard].getName, "sorted_jaccard"),
+      binary("sorted_jaccard", SortedJaccard(_, _))))
+    // minhash_sig(arr, numHashes): second argument must be a foldable
+    // positive integer — it sizes the signature, not a per-row value.
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      binary("minhash_sig", (arr, n) => {
+        def nonFoldable(): Nothing =
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "NON_FOLDABLE_ARGUMENT",
+            messageParameters = Map(
+              "funcName" -> "`minhash_sig`",
+              "paramName" -> "`numHashes`",
+              "paramType" -> "\"INT\""))
+        if (!n.foldable) nonFoldable()
+        n.eval() match {
+          case i: Int => MinHashSig(arr, i)
+          case l: Long => MinHashSig(arr, l.toInt)
+          case _ => nonFoldable()
+        }
+      })))
     // optimizer pass: fuse the HOF sum-of-squares pattern into the
     // codegen DotProduct kernel (see FuseDotProduct)
     ext.injectOptimizerRule(_ => FuseDotProduct)

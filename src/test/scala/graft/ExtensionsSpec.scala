@@ -49,11 +49,24 @@ class ExtensionsSpec extends AnyFunSuite {
       // unit-norm corpus: every norm_sq ~ 1.0
       val v = df.orderBy("vec_id").collect()(0).getDouble(1)
       assert(math.abs(v - 1.0) < 1e-3, s"norm_sq = $v")
+      // round-3 kernels callable from SQL
+      val r4 = spark.sql(
+        "SELECT sorted_jaccard(array(1L,2L,3L), array(2L,3L,4L)) AS v").collect()(0)
+      assert(r4.getDouble(0) == 0.5)
+      val r5 = spark.sql(
+        "SELECT size(minhash_sig(array(11L, 22L), 16)) AS n").collect()(0)
+      assert(r5.getInt(0) == 16)
+      // non-literal numHashes → clean analysis error
+      val eNf = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql("SELECT minhash_sig(array(1L), CAST(id AS INT)) FROM range(1)").collect()
+      }
+      assert(eNf.getMessage.contains("foldable"), eNf.getMessage)
       // wrong arity from SQL → clean AnalysisException, not
       // IndexOutOfBoundsException from children(1)
       for (bad <- Seq("cosine_sim(array(1.0F))",
                       "dot_product(array(1.0F), array(1.0F), array(1.0F))",
-                      "array_max_le(array(1L))")) {
+                      "array_max_le(array(1L))",
+                      "sorted_jaccard(array(1L))")) {
         val e = intercept[org.apache.spark.sql.AnalysisException] {
           spark.sql(s"SELECT $bad").collect()
         }

@@ -31,6 +31,36 @@ class LlmSpec extends AnyFunSuite {
     assert(out.length == 1 && out(0).getDouble(2) == 1.0)
   }
 
+  test("MinHashSig kernel is bit-identical to the 32x array_min(transform) form") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(200)
+    val sets = graft.ops.LlmOps.shingleSets(docs)
+    def seedA(i: Int): Long = 0x9E3779B97F4A7C15L * (2 * i + 1)
+    val hof = sets.select(col("doc_id"),
+      array((0 until 32).map(i =>
+        array_min(transform(col("sh"), h => xxhash64(lit(seedA(i)), h)))): _*)
+        .as("sig"))
+    val kernel = sets.select(col("doc_id"),
+      graft.functions.MinHashSig(col("sh"), 32).as("sig"))
+    assert(kernel.exceptAll(hof).isEmpty && hof.exceptAll(kernel).isEmpty)
+  }
+
+  test("SortedJaccard equals intersect/union form on the real bigram sets") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(100)
+    val g = docs.select(col("doc_id"),
+      sort_array(expr(
+        """array_distinct(transform(sequence(0, size(split(text,' ')) - 2),
+          |  i -> xxhash64(concat_ws(' ', element_at(split(text,' '), i + 1),
+          |                               element_at(split(text,' '), i + 2)))))"""
+          .stripMargin)).as("bg"))
+    val pairs = g.as("a").crossJoin(g.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id")).limit(2000)
+      .select(
+        graft.functions.SortedJaccard(col("a.bg"), col("b.bg")).as("sj"),
+        (size(array_intersect(col("a.bg"), col("b.bg"))).cast("double") /
+          size(array_union(col("a.bg"), col("b.bg"))).cast("double")).as("iu"))
+    assert(pairs.filter(col("sj") =!= col("iu")).count() == 0)
+  }
+
   test("llm_dedup_exact: survivor count equals distinct-hash count (idempotence)") {
     val perSource = SparkEntry.queries("llm_dedup_exact")(spark, sf)
       .agg(sum(col("n_docs"))).collect()(0).getLong(0)
