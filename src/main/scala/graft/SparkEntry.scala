@@ -19,7 +19,9 @@ object SparkEntry {
       (Events.queries, Events.oracle),
       (Udx.queries, Udx.oracle),
       (LlmOps.queries, LlmOps.oracle),
-      (LlmOps2.queries, LlmOps2.oracle)
+      (LlmOps2.queries, LlmOps2.oracle),
+      (LlmOps3.queries, LlmOps3.oracle),
+      (Composite.queries, Composite.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

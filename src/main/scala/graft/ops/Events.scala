@@ -87,6 +87,30 @@ object Events {
         .agg(count(lit(1)).as("cnt"),
           countDistinct(col("user_id")).as("n_users"))
         .orderBy("c_mktsegment", "event_type")
+    }),
+
+    // Batch twin of the watermarked stream-stream interval join: every
+    // click joined to the same user's purchases within the following
+    // hour. Both sides shuffle ONCE on user_id; the time bound is the
+    // residual predicate — exactly the state-bounding condition the
+    // streaming form needs (watermark + interval ⇒ both sides' state
+    // evictable). Streaming twin with two MemoryStreams + watermarks
+    // is asserted in StreamingSpec.
+    "evt_stream_stream_join" -> ((s, dir) => {
+      val e = loadEvents(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+      clicks.join(purchases,
+          col("user_id") === col("p_user_id") &&
+            col("purchase_ts") >= col("click_ts") &&
+            col("purchase_ts") < col("click_ts") + expr("INTERVAL 1 HOUR"))
+        .select(col("click_id"), col("purchase_id"), col("user_id"),
+          col("click_ts"), col("purchase_ts"))
+        .orderBy("click_id", "purchase_id")
     })
   )
 
@@ -139,6 +163,17 @@ object Events {
         |  count(DISTINCT user_id) AS n_users
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment, event_type
-        |ORDER BY c_mktsegment, event_type""".stripMargin
+        |ORDER BY c_mktsegment, event_type""".stripMargin,
+
+    "evt_stream_stream_join" ->
+      """SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+        |  a.user_id,
+        |  CAST(a.ts AS TIMESTAMP) AS click_ts,
+        |  CAST(b.ts AS TIMESTAMP) AS purchase_ts
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        |WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+        |  AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
+        |  AND CAST(b.ts AS TIMESTAMP) < CAST(a.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+        |ORDER BY click_id, purchase_id""".stripMargin
   )
 }

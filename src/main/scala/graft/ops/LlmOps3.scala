@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.Shim
+
+import graft.functions.CosineSim
+import graft.util.Tables._
+
+/** SURVEY.md §2.11 (round-3 additions) — scale-path primitives for
+  * incremental ingest and vector search:
+  *
+  *  - [[seenFilter]]: Bloom-prefiltered membership against a seen
+  *    corpus. The bloom binary is built by one aggregate over the seen
+  *    side and injected into the probe as a scalar subquery — the same
+  *    mechanism Spark's own runtime filters use — so the probe side is
+  *    pruned BEFORE the exact semi-join shuffles. Blooms have no false
+  *    negatives, so the exact join restores precise semantics and the
+  *    operator stays oracle-checkable; the win at 100 TB is that only
+  *    the (tiny) suspected-seen fraction of a new shard ever shuffles.
+  *
+  *  - [[ivfTopK]]: IVF-style approximate k-NN. A deterministic coarse
+  *    centroid set partitions the corpus into cells (inverted lists);
+  *    queries probe only their `nprobe` nearest cells. Corpus-side
+  *    cell assignment shuffles on the cell id ONCE and is reusable;
+  *    per-query work drops from O(n) to O(n * nprobe / cells). The
+  *    fused [[graft.functions.CosineSim]] kernel scores both the
+  *    assignment and the in-cell scan. Centroid count is a knob —
+  *    ~sqrt(n) at scale (here: a fixed deterministic subsample, no
+  *    RNG, no training loop).
+  */
+object LlmOps3 {
+
+  /** Members of `incoming` whose `key` appears in `seen`, computed as
+    * bloom-prune → exact left-semi verify. Any key type: hashed to a
+    * long with xxhash64 on both sides. `expectedItems`/`numBits` size
+    * the bloom (defaults ≈ 3% false-positive rate at 100k seen keys —
+    * false positives only cost verify-join traffic, never correctness).
+    */
+  def seenFilter(seen: DataFrame, incoming: DataFrame, key: String,
+      expectedItems: Long = 100000L, numBits: Long = 800000L): DataFrame = {
+    val bloomAgg = new BloomFilterAggregate(
+      Shim.expression(xxhash64(col(key))),
+      Literal(expectedItems), Literal(numBits))
+    val bloom = seen.agg(Shim.column(bloomAgg.toAggregateExpression()).as("bf"))
+    val pruned = incoming.filter(Shim.column(BloomFilterMightContain(
+      ScalarSubquery(bloom.queryExecution.analyzed),
+      Shim.expression(xxhash64(col(key))))))
+    pruned.join(seen.select(key).distinct(), Seq(key), "left_semi")
+  }
+
+  /** IVF approximate top-k: nearest `k` corpus vectors for each query
+    * row, searching only the `nprobe` cells nearest to the query.
+    * Centroids = the deterministic `vec_id % centEvery == 0` subsample.
+    */
+  def ivfTopK(emb: DataFrame, isQuery: Column, k: Int,
+      nprobe: Int = 2, centEvery: Int = 97): DataFrame = {
+    val centroids = emb.filter(col("vec_id") % centEvery === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    // Corpus → nearest centroid (cell). Centroids broadcast; the
+    // argmin is a per-vector window over |centroids| scored rows.
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(desc("cent_sim"), asc("cent_id"))
+    val cells = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cent_sim", CosineSim(col("embedding"), col("cent_emb")))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+    // Queries → their nprobe nearest cells.
+    val q = emb.filter(isQuery)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val wProbe = Window.partitionBy("q_id")
+      .orderBy(desc("cent_sim"), asc("cent_id"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("cent_sim", CosineSim(col("q_emb"), col("cent_emb")))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("cent_id").as("cell"))
+    // In-cell scan: the SMALL query-probe set broadcasts (bare query
+    // vectors — never the corpus side), the corpus streams by cell.
+    val wTop = Window.partitionBy("q_id").orderBy(desc("cos_sim"), asc("vec_id"))
+    cells.join(broadcast(probes), "cell")
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos_sim", round(CosineSim(col("q_emb"), col("embedding")), 6))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id"), col("cos_sim"),
+        col("rn").cast("int").as("rn"))
+      .orderBy("q_id", "rn")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Incremental-ingest membership: users active in the second half
+    // of the month that were already seen in the first half (user ids
+    // stand in for content hashes — the corpus plants no cross-shard
+    // duplicate texts at small SF; the content-hash form is exercised
+    // with planted duplicates in LlmSpec).
+    "llm_bloom_prefilter" -> ((s: SparkSession, dir: String) => {
+      val e = loadEvents(s, dir)
+      val cut = lit("2024-01-16").cast("timestamp")
+      val seen = e.filter(col("ts") < cut).select("user_id")
+      val incoming = e.filter(col("ts") >= cut).select("user_id").distinct()
+      seenFilter(seen, incoming, "user_id").orderBy("user_id")
+    }),
+
+    // IVF k-NN for the deterministic query subset (same queries as the
+    // brute-force llm_simsearch_knn baseline). No oracle (approximate
+    // by design); planted-vector recall + cell-exhaustiveness in
+    // LlmSpec.
+    "llm_simsearch_ivf" -> ((s: SparkSession, dir: String) =>
+      ivfTopK(load(s, dir, "embeddings"), col("vec_id") % 100 === 0, k = 5))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "llm_bloom_prefilter" ->
+      """SELECT DISTINCT b.user_id FROM events b
+        |WHERE CAST(b.ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16'
+        |  AND EXISTS (SELECT 1 FROM events a
+        |    WHERE CAST(a.ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'
+        |      AND a.user_id = b.user_id)
+        |ORDER BY user_id""".stripMargin
+  )
+}

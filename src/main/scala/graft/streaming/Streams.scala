@@ -57,6 +57,29 @@ object Streams {
     events.join(broadcast(customers),
       events("user_id") === customers("c_custkey"))
 
+  /** `evt_stream_stream_join` streaming form: watermarked
+    * stream-stream interval join. The watermarks plus the two-sided
+    * time bound are what make the join's state evictable — Spark can
+    * drop click state once the purchase watermark passes click_ts +
+    * 1 hour, so state is bounded by (rate × interval), not stream
+    * length. Same algebra as the batch twin in Events. */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "30 minutes")
+    val p = purchases
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "30 minutes")
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") < col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
   /** Arbitrary custom state via mapGroupsWithState (§1.4): a running
     * per-user event count that survives across micro-batches. State is
     * keyed by user — the KeyValueGroupedDataset shuffle partitions the

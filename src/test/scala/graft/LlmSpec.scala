@@ -179,4 +179,36 @@ class LlmSpec extends AnyFunSuite {
       assert(!rs.exists(_.getLong(1) == q), s"query $q returned itself")
     }
   }
+
+  test("llm_simsearch_ivf: planted duplicate recalled; cells partition the corpus") {
+    import spark.implicits._
+    def vec(seed: Int): Array[Float] =
+      (0 until 64).map(d => math.sin(seed * 64.0 + d).toFloat).toArray
+    // corpus of 300 + exact duplicates of the query vectors: a
+    // duplicate lands in the query's own nearest cell, so even
+    // nprobe=1 must recall it at cos_sim 1.0
+    val corpus = (0 until 300).map(i => (i.toLong, vec(i)))
+    val planted = Seq(0, 97, 200).map(q => (1000L + q, vec(q)))
+    val df = (corpus ++ planted).toDF("vec_id", "embedding")
+    val got = graft.ops.LlmOps3.ivfTopK(df, col("vec_id").isin(0L, 97L, 200L), k = 5)
+      .collect().groupBy(_.getLong(0))
+    Seq(0L, 97L, 200L).foreach { q =>
+      val hits = got.getOrElse(q, Array.empty)
+      assert(hits.exists(r => r.getLong(1) == 1000L + q && r.getDouble(2) == 1.0),
+        s"planted duplicate of $q not recalled: ${hits.mkString(",")}")
+    }
+  }
+
+  test("llm_bloom_prefilter: seenFilter is exactly the seen ∩ incoming set") {
+    import spark.implicits._
+    // bloom false positives must be cancelled by the exact verify join;
+    // false negatives are impossible — so the result is exact.
+    val seen = (0L until 500L).map(i => i * 3).toDF("k")
+    val incoming = (0L until 1000L).toDF("k")
+    val got = graft.ops.LlmOps3.seenFilter(seen, incoming, "k",
+        expectedItems = 500, numBits = 4000) // deliberately tight bloom
+      .collect().map(_.getLong(0)).sorted
+    val want = (0L until 1000L).filter(i => i % 3 == 0 && i / 3 < 500).sorted
+    assert(got.sameElements(want), s"got ${got.length}, want ${want.length}")
+  }
 }

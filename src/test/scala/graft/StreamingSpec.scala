@@ -124,6 +124,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(byUser(1L) == 3L && byUser(2L) == 1L, s"got $byUser")
   }
 
+  test("stream-stream interval join matches batch twin and drops out-of-window pairs") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val q = Streams.clickPurchaseJoin(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    clicks.addData(Seq(
+      Ev(1, t("10:00"), 1, "click", 0),
+      Ev(2, t("10:30"), 2, "click", 0)))
+    purchases.addData(Seq(
+      Ev(10, t("10:20"), 1, "purchase", 0), // within 1h of click 1 -> joins
+      Ev(11, t("12:00"), 2, "purchase", 0), // 1.5h after click 2 -> dropped
+      Ev(12, t("10:40"), 3, "purchase", 0))) // no click for user 3
+    q.processAllAvailable()
+    // advance both watermarks so in-window results finalize (distinct
+    // users so the advancing rows can't join each other)
+    clicks.addData(Seq(Ev(3, t("14:00"), 8, "click", 0)))
+    purchases.addData(Seq(Ev(13, t("14:00"), 9, "purchase", 0)))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ssjoin")
+      .select("click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.sameElements(Array((1L, 10L))), s"got ${got.mkString(",")}")
+  }
+
   test("stream-static enrichment join equals batch join") {
     import spark.implicits._
     val customers = Seq((1L, "ALPHA"), (2L, "BETA"))
