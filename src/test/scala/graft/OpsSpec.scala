@@ -93,4 +93,24 @@ class OpsSpec extends AnyFunSuite {
     val revs = topk.map(_.getDouble(2))
     assert(revs.sameElements(revs.sortBy(-_)), "top-k not sorted desc")
   }
+
+  test("join_bucketed: no shuffle exchange between the bucketed scans and the join") {
+    // At test SF the dim is broadcast-sized and AQE picks BHJ; the
+    // bucketing claim is about the LARGE-large case, so pin broadcast
+    // off for this test to force the sort-merge path the buckets serve.
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("join_bucketed")(spark, sf)
+      df.count() // materialize so AQE finalizes the executed plan
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a non-broadcast join:\n$plan")
+      // bucketed co-location: the join's children read pre-bucketed
+      // files — no hash-partitioning exchange anywhere below the join
+      val joinPart = plan.split("SortMergeJoin|ShuffledHashJoin").drop(1).mkString
+      assert(!joinPart.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+  }
 }
