@@ -21,7 +21,9 @@ object SparkEntry {
       (LlmOps.queries, LlmOps.oracle),
       (LlmOps2.queries, LlmOps2.oracle),
       (LlmOps3.queries, LlmOps3.oracle),
-      (Composite.queries, Composite.oracle)
+      (Composite.queries, Composite.oracle),
+      (SqlSurface.queries, SqlSurface.oracle),
+      (Typed.queries, Typed.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -93,6 +93,35 @@ object LlmOps3 {
       .orderBy("q_id", "rn")
   }
 
+  /** Benchmark decontamination: training docs sharing any word
+    * 5-gram with the (deterministic) eval split, with the count of
+    * distinct shared grams. The eval gram set is tiny relative to the
+    * corpus, so it broadcasts and the training side never shuffles for
+    * the membership probe — at 100 TB the same plan holds with the
+    * eval set staying dimension-sized (and a bloom over eval grams,
+    * as in [[seenFilter]], would pre-prune the explode output).
+    * 5-grams are materialized from the split array ONCE per doc (no
+    * split() inside the lambda — HOF lambdas are interpreted). */
+  def decontaminate(docs: DataFrame, isEval: Column): DataFrame = {
+    val grams = docs
+      .withColumn("is_eval", isEval)
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 5)
+      .select(col("doc_id"), col("is_eval"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(col("w")) - 4),
+          i => concat_ws(" ",
+            element_at(col("w"), i), element_at(col("w"), i + 1),
+            element_at(col("w"), i + 2), element_at(col("w"), i + 3),
+            element_at(col("w"), i + 4))))).as("gram"))
+    val evalGrams = grams.filter(col("is_eval")).select("gram").distinct()
+    grams.filter(!col("is_eval"))
+      .join(broadcast(evalGrams), "gram")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gram")).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Incremental-ingest membership: users active in the second half
     // of the month that were already seen in the first half (user ids
@@ -112,7 +141,13 @@ object LlmOps3 {
     // by design); planted-vector recall + cell-exhaustiveness in
     // LlmSpec.
     "llm_simsearch_ivf" -> ((s: SparkSession, dir: String) =>
-      ivfTopK(load(s, dir, "embeddings"), col("vec_id") % 100 === 0, k = 5))
+      ivfTopK(load(s, dir, "embeddings"), col("vec_id") % 100 === 0, k = 5)),
+
+    // Benchmark decontamination over the documents corpus: every 50th
+    // doc is the "eval set"; training docs sharing any 5-gram with it
+    // are flagged with their shared-gram count.
+    "llm_decontaminate" -> ((s: SparkSession, dir: String) =>
+      decontaminate(load(s, dir, "documents"), col("doc_id") % 50 === 0))
   )
 
   val oracle: Map[String, String] = Map(
@@ -122,6 +157,22 @@ object LlmOps3 {
         |  AND EXISTS (SELECT 1 FROM events a
         |    WHERE CAST(a.ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'
         |      AND a.user_id = b.user_id)
-        |ORDER BY user_id""".stripMargin
+        |ORDER BY user_id""".stripMargin,
+
+    "llm_decontaminate" ->
+      """WITH w AS (
+        |  SELECT doc_id, doc_id % 50 = 0 AS is_eval,
+        |    string_split(text, ' ') AS w FROM documents),
+        |g AS (
+        |  SELECT doc_id, is_eval,
+        |    unnest(list_distinct(list_transform(range(1, len(w) - 3),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+        |           w[i+3] || ' ' || w[i+4]))) AS gram
+        |  FROM w WHERE len(w) >= 5),
+        |e AS (SELECT DISTINCT gram FROM g WHERE is_eval)
+        |SELECT t.doc_id, CAST(count(DISTINCT t.gram) AS BIGINT) AS n_shared
+        |FROM g t JOIN e ON t.gram = e.gram
+        |WHERE NOT t.is_eval
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
   )
 }

@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.util.Tables
+
+/** SURVEY.md §2.13 — declarative SQL surface: subquery forms, CTE
+  * reuse, recursion, lateral correlation. These run through
+  * `spark.sql` over temp views so the full parser → analyzer →
+  * decorrelation path is exercised (Catalyst rewrites every
+  * correlated form below into joins — EXISTS → left-semi, scalar
+  * subquery → left-outer aggregate join, lateral → decorrelated
+  * join — so at scale they inherit the same shuffle/broadcast
+  * machinery as the hand-built §2.3 plans; nothing is re-executed
+  * per outer row).
+  *
+  * Views are registered idempotently per call from the given sfDir;
+  * queries stay pure functions of (session, dir).
+  */
+object SqlSurface {
+
+  private def views(s: SparkSession, dir: String): Unit =
+    Seq("customer", "orders", "lineitem", "nation", "region")
+      .foreach(n => Tables.load(s, dir, n).createOrReplaceTempView(n))
+
+  private def q(sql: String)(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir); s.sql(sql)
+  }
+
+  /** Correlated EXISTS + NOT EXISTS in one predicate: customers with
+    * at least one urgent order but no fulfilled ('F') order. */
+  private val existsSql =
+    """SELECT c_custkey, c_mktsegment
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |         WHERE o.o_custkey = c.c_custkey
+      |           AND o.o_orderpriority = '1-URGENT')
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |         WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Correlated scalar aggregate subquery in the projection: each
+    * order with its priciest line item (null when no line items). */
+  private val scalarSubSql =
+    """SELECT o_orderkey, o_totalprice,
+      |  (SELECT max(l_extendedprice) FROM lineitem l
+      |    WHERE l.l_orderkey = o.o_orderkey) AS max_item
+      |FROM orders o
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** One CTE referenced twice: per-customer order totals, then each
+    | customer's share of their nation's total (CTE self-join). */
+  private val cteSql =
+    """WITH totals AS (
+      |  SELECT c_custkey, c_nationkey,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS spend
+      |  FROM customer JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey, c_nationkey),
+      |nat AS (
+      |  SELECT c_nationkey, CAST(sum(CAST(spend AS DECIMAL(20,2))) AS DOUBLE) AS nspend
+      |  FROM totals GROUP BY c_nationkey)
+      |SELECT t.c_custkey, t.spend, round(t.spend / n.nspend, 6) AS share
+      |FROM totals t JOIN nat n ON t.c_nationkey = n.c_nationkey
+      |ORDER BY t.c_custkey""".stripMargin
+
+  /** WITH RECURSIVE: integer sequence 0..24 generated recursively,
+    * joined back to the nation dim (recursion feeding a join). */
+  private val recursiveSql =
+    """WITH RECURSIVE seq(n) AS (
+      |  SELECT 0
+      |  UNION ALL
+      |  SELECT n + 1 FROM seq WHERE n < 24)
+      |SELECT s.n, nt.n_name
+      |FROM seq s JOIN nation nt ON s.n = nt.n_nationkey
+      |ORDER BY s.n""".stripMargin
+
+  /** LATERAL correlated subquery in FROM: per-customer order count
+    * and max price computed by a lateral aggregate. */
+  private val lateralSql =
+    """SELECT c.c_custkey, o.n_orders, o.max_price
+      |FROM customer c,
+      |LATERAL (SELECT count(*) AS n_orders, max(o_totalprice) AS max_price
+      |         FROM orders WHERE o_custkey = c.c_custkey) o
+      |WHERE o.n_orders > 0
+      |ORDER BY c.c_custkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_exists_subquery" -> (q(existsSql) _),
+    "sql_scalar_subquery" -> (q(scalarSubSql) _),
+    "sql_cte_reuse" -> (q(cteSql) _),
+    "sql_recursive_cte" -> (q(recursiveSql) _),
+    "sql_lateral_join" -> (q(lateralSql) _)
+  )
+
+  // DuckDB accepts the identical text for all five (ANSI forms);
+  // count(*) returns BIGINT in both engines.
+  val oracle: Map[String, String] = Map(
+    "sql_exists_subquery" -> existsSql,
+    "sql_scalar_subquery" -> scalarSubSql,
+    "sql_cte_reuse" -> cteSql,
+    "sql_recursive_cte" -> recursiveSql,
+    "sql_lateral_join" ->
+      lateralSql.replace("count(*) AS n_orders",
+        "CAST(count(*) AS BIGINT) AS n_orders")
+  )
+}
