@@ -16,7 +16,10 @@ object Explain {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (only.isEmpty || only(name)) {
         println(s"\n===== $name =====")
-        try fn(spark, sfDir).explain("formatted")
+        // formatted (default) omits codegen ids; simple mode's *(n)
+        // stars are the codegen-span audit, so make the mode pickable
+        try fn(spark, sfDir)
+          .explain(sys.env.getOrElse("SPARK_GRAFT_EXPLAIN_MODE", "formatted"))
         catch { case e: Throwable => println(s"error: ${e.getMessage}") }
       }
     }

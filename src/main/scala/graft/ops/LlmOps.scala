@@ -173,15 +173,54 @@ object LlmOps {
   // n² pair scan runs only the fused dot-product kernel —
   // cos = dot * inv_norm_a * inv_norm_b, a third of the per-pair
   // flops of recomputing both norms inside every pair.
+  //
+  // The n² pair space is generated as a BLOCKED equi-join (the
+  // triangle-join trick), not `a.vec_id < b.vec_id` alone: a bare
+  // inequality condition plans as BroadcastNestedLoopJoin, which is
+  // outside whole-stage codegen — every pair then pays an interpreted
+  // kernel eval (measured 2.7 s at sf0.1). Blocking by vec_id % NB
+  // turns it into an equi-join on the partner-block id: the tiny
+  // (bi ≤ bj) block-pair table replicates the LEFT side ~NB/2×
+  // (bare arrays, shuffled — never broadcast), the right side joins
+  // on its own block, and the codegen'd join evaluates the same n²/2
+  // residual pairs inside one fused pipeline with NB-way parallelism.
+  private val topkBlocks = 32
   private def simsearchTopK(s: SparkSession, dir: String): DataFrame = {
       val e = load(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"),
           (lit(1.0) / sqrt(graft.functions.DotProduct(col("embedding"), col("embedding"))))
-            .as("inv_norm"))
-      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          round(graft.functions.DotProduct(col("a.embedding"), col("b.embedding")) *
-            col("a.inv_norm") * col("b.inv_norm"), 6).as("cos_sim"))
+            .as("inv_norm"),
+          pmod(col("vec_id"), lit(topkBlocks)).as("blk"))
+      // Block ids are pmod(vec_id, NB) ⊆ [0, NB) by construction, so
+      // the pair table comes from a local range — no corpus rescan,
+      // no distinct exchange.
+      val ids = s.range(topkBlocks).select(col("id").as("blk"))
+      val blockPairs = ids.as("x").crossJoin(ids.as("y"))
+        .filter(col("x.blk") <= col("y.blk"))
+        .select(col("x.blk").as("bi"), col("y.blk").as("bj"))
+      val a = e.join(broadcast(blockPairs), col("blk") === col("bi"))
+        .select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+          col("inv_norm").as("inv_a"), col("blk").as("blk_a"), col("bj"))
+      // Each cross-block pair appears in exactly one orientation
+      // (blk_a < blk_b by construction); the diagonal needs id_a <
+      // id_b to halve itself. Output ids canonicalize to (min, max)
+      // so the arbitrary cross-block orientation is invisible.
+      //
+      // The explicit repartition is the POINT of the blocking: the
+      // corpus reads as one small file split, so without it the whole
+      // n²/2 pair scan runs in a single task (AQE coalesces the tiny
+      // shuffle back to 1 partition; a user repartition is never
+      // coalesced). Measured at sf0.1: 2.78 s single-task BNLJ →
+      // 1.76 s blocked 32-way (remaining time is fixed stage
+      // overhead, which amortizes at real scale; NB=64 re-measured
+      // WORSE — replication cost outgrows the balance win).
+      a.repartition(topkBlocks, col("bj"))
+        .join(e, col("bj") === col("blk") &&
+          (col("blk_a") < col("blk") || col("id_a") < col("vec_id")))
+        .select(least(col("id_a"), col("vec_id")).as("vec_a"),
+          greatest(col("id_a"), col("vec_id")).as("vec_b"),
+          round(graft.functions.DotProduct(col("emb_a"), col("embedding")) *
+            col("inv_a") * col("inv_norm"), 6).as("cos_sim"))
         .orderBy(desc("cos_sim"), asc("vec_a"), asc("vec_b"))
         .limit(10)
   }
