@@ -111,7 +111,16 @@ object Events {
         .select(col("click_id"), col("purchase_id"), col("user_id"),
           col("click_ts"), col("purchase_ts"))
         .orderBy("click_id", "purchase_id")
-    })
+    }),
+
+    // flatMapGroupsWithState, batch form (one batch = one state
+    // epoch): threshold-crossing alerts per user. No oracle — the
+    // per-group double accumulation order is engine-specific, so the
+    // driver records rows-only; the MemoryStream twin in
+    // StreamingSpec asserts the multi-batch state semantics.
+    "evt_threshold_alerts" -> ((s, dir) =>
+      graft.streaming.Streams.thresholdAlerts(loadEvents(s, dir), step = 1000.0)
+        .orderBy("user_id", "threshold_multiple"))
   )
 
   val oracle: Map[String, String] = Map(

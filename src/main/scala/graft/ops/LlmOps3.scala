@@ -122,6 +122,46 @@ object LlmOps3 {
       .orderBy("doc_id")
   }
 
+  /** Deterministic data-mixing: cap every source at the smallest
+    * source's doc count, keeping each source's lowest doc_ids. The
+    * per-source rank is a window over the source partition (shuffles
+    * once on source); the cap is a broadcast scalar. Returns
+    * per-source kept counts plus the kept-id checksum that proves the
+    * SELECTION (not just the count) is deterministic. */
+  def domainMix(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    val cap = docs.groupBy("source").count()
+      .agg(min("count").as("cap"))
+    docs.select(col("doc_id"), col("source"))
+      .withColumn("rn", row_number().over(w))
+      .join(broadcast(cap))
+      .filter(col("rn") <= col("cap"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("sum_kept_ids"))
+      .orderBy("source")
+  }
+
+  /** Repetition scoring: each doc's most frequent word bigram as a
+    * share of its total bigrams — the training-data quality signal
+    * for boilerplate/spam. Explode → per-(doc, bigram) count →
+    * per-doc max/total; everything hash-aggregates on doc_id. */
+  def repetitionScore(docs: DataFrame): DataFrame = {
+    val bigrams = docs
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("w")) - 1),
+          i => concat_ws(" ", element_at(col("w"), i),
+            element_at(col("w"), i + 1)))).as("bg"))
+    bigrams.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg((max(col("c")).cast("double") / sum(col("c")).cast("double"))
+        .as("ratio"))
+      .select(col("doc_id"), round(col("ratio"), 6).as("rep_ratio"))
+      .orderBy(desc("rep_ratio"), asc("doc_id"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Incremental-ingest membership: users active in the second half
     // of the month that were already seen in the first half (user ids
@@ -147,7 +187,13 @@ object LlmOps3 {
     // doc is the "eval set"; training docs sharing any 5-gram with it
     // are flagged with their shared-gram count.
     "llm_decontaminate" -> ((s: SparkSession, dir: String) =>
-      decontaminate(load(s, dir, "documents"), col("doc_id") % 50 === 0))
+      decontaminate(load(s, dir, "documents"), col("doc_id") % 50 === 0)),
+
+    "llm_domain_mix" -> ((s: SparkSession, dir: String) =>
+      domainMix(load(s, dir, "documents"))),
+
+    "llm_repetition_filter" -> ((s: SparkSession, dir: String) =>
+      repetitionScore(load(s, dir, "documents")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -173,6 +219,31 @@ object LlmOps3 {
         |SELECT t.doc_id, CAST(count(DISTINCT t.gram) AS BIGINT) AS n_shared
         |FROM g t JOIN e ON t.gram = e.gram
         |WHERE NOT t.is_eval
-        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    "llm_domain_mix" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |cap AS (SELECT min(c) AS cap FROM (
+        |  SELECT count(*) AS c FROM documents GROUP BY source))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_kept_ids
+        |FROM ranked, cap WHERE rn <= cap
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "llm_repetition_filter" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1])) AS bg
+        |  FROM w WHERE len(w) >= 2),
+        |c AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg)
+        |SELECT doc_id, round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+        |  AS rep_ratio
+        |FROM c GROUP BY doc_id
+        |ORDER BY rep_ratio DESC, doc_id LIMIT 20""".stripMargin
   )
 }

@@ -111,6 +111,37 @@ object Scans {
         .write.mode(SaveMode.Overwrite).partitionBy("l_returnflag").parquet(p)
       s.read.parquet(p).filter(col("l_returnflag") === "R")
         .agg(count(lit(1)).as("cnt"), asD(sum(money(col("l_quantity")))).as("qty"))
+    }),
+
+    // Line-oriented text source: write documents.text as raw lines,
+    // read back with spark.read.text. Corpus text is single-line, so
+    // rows survive 1:1; ordering by the single value column is the
+    // full-tuple determinism rule.
+    "scan_text_roundtrip" -> ((s, dir) => {
+      val p = tmp(s, dir, "text")
+      load(s, dir, "documents").select(col("text"))
+        .write.mode(SaveMode.Overwrite).text(p)
+      s.read.text(p).orderBy("value")
+    }),
+
+    // Whole-file binary source (the multimodal ingestion path): each
+    // selected doc written as its own file under doc_id=N/ via a
+    // partitioned text sink, read back with format("binaryFile")
+    // recursively; the byte length equals n_chars + 1 (the text
+    // writer's trailing newline), which the documents table oracles.
+    "scan_binaryfile" -> ((s, dir) => {
+      val p = tmp(s, dir, "binfile")
+      load(s, dir, "documents").filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id"), col("text"))
+        .write.mode(SaveMode.Overwrite).partitionBy("doc_id").text(p)
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "part-*") // skip _SUCCESS markers
+        .load(p)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          length(col("content")).cast("long").as("n_bytes"))
+        .groupBy("doc_id") // a doc may split across part files
+        .agg(sum(col("n_bytes")).as("n_bytes"))
+        .orderBy("doc_id")
     })
   )
 
@@ -127,6 +158,14 @@ object Scans {
     "sink_partition_prune" ->
       """SELECT count(*) AS cnt,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) AS qty
-        |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin
+        |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin,
+
+    "scan_text_roundtrip" ->
+      "SELECT text AS value FROM documents ORDER BY value",
+
+    // n_chars + 1: the text writer terminates each line with '\n'
+    "scan_binaryfile" ->
+      """SELECT doc_id, CAST(n_chars + 1 AS BIGINT) AS n_bytes
+        |FROM documents WHERE doc_id % 100 = 0 ORDER BY doc_id""".stripMargin
   )
 }

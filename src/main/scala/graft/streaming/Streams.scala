@@ -99,4 +99,29 @@ object Streams {
       }
       .toDF("user_id", "n_events")
   }
+
+  /** flatMapGroupsWithState (§1.4): 0..n outputs per group per batch —
+    * here, one alert row each time a user's cumulative value crosses
+    * another multiple of `step`. Same keyed state-store scaling as
+    * [[runningCountPerUser]]; the flat form is the general shape
+    * (alerts, sessionization emitting closed sessions, compaction). */
+  def thresholdAlerts(events: DataFrame, step: Double = 10.0): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    events.selectExpr("user_id", "value").as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Double, (Long, Long, Double)](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[Double]) =>
+          val prev = state.getOption.getOrElse(0.0)
+          val total = prev + rows.map(_._2).sum
+          state.update(total)
+          // one alert per step boundary crossed this batch (0..n rows)
+          val from = math.floor(prev / step).toLong
+          val to = math.floor(total / step).toLong
+          ((from + 1) to to).iterator.map(k => (user, k, total))
+      }
+      .toDF("user_id", "threshold_multiple", "running_total")
+  }
 }

@@ -151,6 +151,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.sameElements(Array((1L, 10L))), s"got ${got.mkString(",")}")
   }
 
+  test("flatMapGroupsWithState: one alert per threshold multiple crossed") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = Streams.thresholdAlerts(ms.toDF(), step = 10.0).writeStream
+      .format("memory").queryName("alerts").outputMode("append").start()
+    // batch 1: user 1 reaches 25 -> alerts for multiples 1 and 2
+    ms.addData(Seq(Ev(1, t("10:00"), 1, "a", 7.0), Ev(2, t("10:01"), 1, "a", 18.0)))
+    q.processAllAvailable()
+    // batch 2: user 1 reaches 41 -> multiples 3 and 4; user 2 stays at 5 -> none
+    ms.addData(Seq(Ev(3, t("10:02"), 1, "a", 16.0), Ev(4, t("10:03"), 2, "a", 5.0)))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("alerts")
+      .select("user_id", "threshold_multiple").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.sameElements(Array((1L, 1L), (1L, 2L), (1L, 3L), (1L, 4L))),
+      s"got ${got.mkString(",")}")
+  }
+
+  test("foreachBatch sink: every micro-batch lands exactly once in parquet") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_feb").toString
+    val ms = MemoryStream[Ev]
+    val q = ms.toDF().writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        df.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(out)
+      }
+      .start()
+    ms.addData(Seq(Ev(1, t("10:00"), 1, "a", 0), Ev(2, t("10:01"), 1, "a", 0)))
+    q.processAllAvailable()
+    ms.addData(Seq(Ev(3, t("10:02"), 2, "a", 0)))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.read.parquet(out)
+    assert(rows.count() == 3)
+    assert(rows.select("batch_id").distinct().count() == 2)
+  }
+
   test("stream-static enrichment join equals batch join") {
     import spark.implicits._
     val customers = Seq((1L, "ALPHA"), (2L, "BETA"))
