@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{ArrayMaxLE, CosineSim}
-import graft.ops.{LlmOps, LlmOps2}
+import graft.ops.{LlmOps, LlmOps2, LlmOps3}
 
 /** User-facing facade: the engine's reusable operations as a plain
   * library API over DataFrames (the driver-contract surface in
@@ -61,4 +61,44 @@ object Graft {
     * `llm_dedup_exact` query uses.) */
   def exactDedupSurvivors(df: DataFrame, keyCol: Column, payload: Column): DataFrame =
     LlmOps.exactSurvivorKeys(df, keyCol, payload)
+
+  /** Bloom-prefiltered membership: rows of `incoming` whose `key`
+    * exists in `seen`. The bloom prunes the probe side BEFORE the
+    * exact left-semi verify join, so only the suspected-seen fraction
+    * ever shuffles — the incremental-ingest primitive. */
+  def seenFilter(seen: DataFrame, incoming: DataFrame, key: String): DataFrame =
+    LlmOps3.seenFilter(seen, incoming, key)
+
+  /** IVF approximate k-NN over (vec_id, embedding): deterministic
+    * coarse centroids partition the corpus into cells; queries probe
+    * the `nprobe` nearest cells only. */
+  def ivfTopK(embeddings: DataFrame, isQuery: Column, k: Int,
+      nprobe: Int = 2): DataFrame =
+    LlmOps3.ivfTopK(embeddings, isQuery, k, nprobe)
+
+  /** Benchmark decontamination over (doc_id, text): rows NOT matching
+    * isEval that share any word 5-gram with the isEval split, with
+    * distinct-shared-gram counts. */
+  def decontaminate(docs: DataFrame, isEval: Column): DataFrame =
+    LlmOps3.decontaminate(docs, isEval)
+
+  /** Deterministic data mixing over (doc_id, source): cap every
+    * source at the smallest source's count, keeping lowest doc_ids. */
+  def domainMix(docs: DataFrame): DataFrame = LlmOps3.domainMix(docs)
+
+  /** Repetition score over (doc_id, text): top-bigram share of each
+    * doc's bigrams — boilerplate/spam quality signal. */
+  def repetitionScore(docs: DataFrame): DataFrame =
+    LlmOps3.repetitionScore(docs)
+
+  /** Streaming: watermarked stream-stream interval join of clicks to
+    * same-user purchases within the following hour (state evictable
+    * on both sides). Works on batch frames too. */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    graft.streaming.Streams.clickPurchaseJoin(clicks, purchases)
+
+  /** Streaming: one alert row per `step` multiple a user's running
+    * total crosses (flatMapGroupsWithState; 0..n outputs per epoch). */
+  def thresholdAlerts(events: DataFrame, step: Double): DataFrame =
+    graft.streaming.Streams.thresholdAlerts(events, step)
 }

@@ -32,4 +32,46 @@ class GraftFacadeSpec extends AnyFunSuite {
     val out = Graft.nearDuplicates(Seq((1L, t), (2L, t)).toDF("doc_id", "text"))
     assert(out.count() == 1)
   }
+
+  test("facade: seenFilter returns exactly the seen ∩ incoming keys") {
+    import spark.implicits._
+    val seen = Seq(1L, 3L, 5L).toDF("k")
+    val incoming = Seq(2L, 3L, 4L, 5L).toDF("k")
+    val got = Graft.seenFilter(seen, incoming, "k")
+      .collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(Array(3L, 5L)))
+  }
+
+  test("facade: decontaminate flags the doc sharing a 5-gram with eval") {
+    import spark.implicits._
+    val evalDoc = (0 until 20).map(i => s"e$i").mkString(" ")
+    val contaminated = "x y " + (5 until 10).map(i => s"e$i").mkString(" ") + " z"
+    val clean = (0 until 20).map(i => s"c$i").mkString(" ")
+    val docs = Seq((0L, evalDoc), (1L, contaminated), (2L, clean))
+      .toDF("doc_id", "text")
+    val got = Graft.decontaminate(docs, col("doc_id") === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.sameElements(Array((1L, 1L))), s"got ${got.mkString(",")}")
+  }
+
+  test("facade: domainMix caps every source at the smallest source count") {
+    import spark.implicits._
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"), (5L, "b"), (6L, "c"))
+      .toDF("doc_id", "source")
+    val got = Graft.domainMix(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // min source count = 1 (c) -> each source keeps its single lowest id
+    assert(got.sameElements(Array(("a", 1L, 1L), ("b", 1L, 4L), ("c", 1L, 6L))),
+      s"got ${got.mkString(",")}")
+  }
+
+  test("facade: repetitionScore ranks the repetitive doc first") {
+    import spark.implicits._
+    val repetitive = Seq.fill(10)("spam spam").mkString(" ")
+    val varied = (0 until 20).map(i => s"v$i").mkString(" ")
+    val got = Graft.repetitionScore(
+      Seq((1L, repetitive), (2L, varied)).toDF("doc_id", "text")).collect()
+    assert(got(0).getLong(0) == 1L && got(0).getDouble(1) > 0.4)
+    assert(got(1).getLong(0) == 2L && got(1).getDouble(1) < 0.1)
+  }
 }
