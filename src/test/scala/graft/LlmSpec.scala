@@ -180,6 +180,34 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("llm_simsearch_topk: blocked triangle join equals local brute force") {
+    import spark.implicits._
+    // 50 deterministic vectors through the REAL query path (parquet
+    // dir), checked against an exact driver-side brute force with the
+    // same double math — proves the block/orientation algebra drops
+    // and duplicates nothing.
+    def vec(seed: Int): Array[Float] =
+      (0 until 16).map(d => math.cos(seed * 16.0 + d).toFloat).toArray
+    val n = 50
+    val dir = java.nio.file.Files.createTempDirectory("graft_topk").toString
+    (0 until n).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("llm_simsearch_topk")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val vs = (0 until n).map(vec)
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.indices.map(i => a(i).toDouble * b(i).toDouble).sum
+    val inv = vs.map(v => 1.0 / math.sqrt(dot(v, v)))
+    val want = (for {
+      a <- 0 until n; b <- a + 1 until n
+      cos = dot(vs(a), vs(b)) * inv(a) * inv(b) // bit-identical to the query's math
+      r = BigDecimal(cos).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    } yield (a.toLong, b.toLong, r))
+      .sortBy { case (a, b, c) => (-c, a, b) }.take(10)
+    assert(got.sameElements(want),
+      s"\ngot  ${got.mkString(",")}\nwant ${want.mkString(",")}")
+  }
+
   test("llm_simsearch_ivf: planted duplicate recalled; cells partition the corpus") {
     import spark.implicits._
     def vec(seed: Int): Array[Float] =
