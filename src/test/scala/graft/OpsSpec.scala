@@ -94,6 +94,20 @@ class OpsSpec extends AnyFunSuite {
     assert(revs.sameElements(revs.sortBy(-_)), "top-k not sorted desc")
   }
 
+  test("observe: pipeline metrics collected without a second scan") {
+    import org.apache.spark.sql.Observation
+    val obs = Observation("lineitem_metrics")
+    val df = graft.util.Tables.load(spark, sf, "lineitem")
+      .observe(obs, count(lit(1)).as("rows"), sum(col("l_quantity")).as("qty"))
+      .filter(col("l_returnflag") === "R")
+    val filtered = df.count()
+    val m = obs.get
+    // metrics see the PRE-filter stream: full-table counts from the
+    // same single scan that fed the filtered query
+    assert(m("rows").asInstanceOf[Long] > filtered)
+    assert(m("qty").asInstanceOf[Double] > 0)
+  }
+
   test("join_bucketed: no shuffle exchange between the bucketed scans and the join") {
     // At test SF the dim is broadcast-sized and AQE picks BHJ; the
     // bucketing claim is about the LARGE-large case, so pin broadcast
