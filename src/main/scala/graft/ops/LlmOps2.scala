@@ -363,6 +363,29 @@ object LlmOps2 {
         }
         .toDF("doc_id", "n_bytes", "checksum", "head_hex", "lang", "n_chars")
         .orderBy("doc_id")
+    }),
+
+    // Frame sampling over an opaque payload (the video/audio shape):
+    // the payload is cut into fixed 64-byte "frames", every 4th frame
+    // is kept, and a per-frame fingerprint is extracted — one output
+    // row per (doc, sampled frame ordinal). The "decoder" is md5 (a
+    // deterministic stand-in — no media libs in this container); the
+    // frame slicing, sampling stride, and explode fan-out are the
+    // real, scalable plumbing. Frames are byte slices of the UTF-8
+    // text, so the oracle reproduces them exactly from `documents`.
+    "llm_multimodal_frames" -> ((s: SparkSession, dir: String) => {
+      val frameLen = 64
+      val every = 4
+      load(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          // div, not `/`: Column `/` is double division
+          explode(expr(
+            s"filter(sequence(0, (length(text) - 1) div $frameLen), f -> f % $every = 0)"))
+            .as("f"))
+        .select(col("doc_id"), col("f").cast("long").as("frame_idx"),
+          md5(expr(s"substring(text, f * $frameLen + 1, $frameLen)"))
+            .as("frame_md5"))
+        .orderBy("doc_id", "frame_idx")
     })
   )
 
@@ -473,6 +496,16 @@ object LlmOps2 {
         |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
         |  FROM documents)
         |SELECT doc_id, fingerprint, substring(fingerprint, 1, 8) AS fp8
-        |FROM f ORDER BY doc_id""".stripMargin
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "llm_multimodal_frames" ->
+      """SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+        |  md5(substring(text, f * 64 + 1, 64)) AS frame_md5
+        |FROM (
+        |  SELECT doc_id, text,
+        |    unnest(list_filter(range(0, (length(text) - 1) // 64 + 1),
+        |      f -> f % 4 = 0)) AS f
+        |  FROM documents)
+        |ORDER BY doc_id, frame_idx""".stripMargin
   )
 }
