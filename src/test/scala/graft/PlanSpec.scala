@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-SHAPE regression tests (SURVEY §4): the scale discipline —
+  * which side broadcasts, what reaches the scan — asserted against
+  * the executed plan so a refactor can't silently turn a broadcast
+  * dim into a shuffle or lose pushdown. Complements the bucketed-join
+  * no-exchange test in OpsSpec. */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark.{sf, spark}
+
+  private def executed(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.count() // finalize AQE
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("llm_decontaminate: eval gram set broadcasts; training side never shuffles to probe") {
+    val plan = executed("llm_decontaminate")
+    assert(plan.contains("BroadcastHashJoin"), s"probe join not broadcast:\n$plan")
+    // the training-side Generate (explode) feeds the join directly —
+    // no exchange between them
+    val beforeJoin = plan.split("BroadcastHashJoin")(1)
+    assert(!beforeJoin.split("BroadcastExchange")(0).contains("Exchange hashpartitioning"),
+      s"training side shuffles before the probe:\n$plan")
+  }
+
+  test("llm_simsearch_knn: query side broadcasts; corpus scan never shuffles") {
+    val plan = executed("llm_simsearch_knn")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"knn join not broadcast:\n$plan")
+  }
+
+  test("sql_tpch_q5: all five dimension joins broadcast (fact side shuffles only for the agg)") {
+    val plan = executed("sql_tpch_q5")
+    val n = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(n >= 4, s"expected >=4 broadcast joins in Q5, got $n:\n$plan")
+  }
+
+  test("scan_parquet_pruned: only the two projected columns reach the parquet reader") {
+    val df = SparkEntry.queries("scan_parquet_pruned")(spark, sf)
+    val scan = df.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("FileScan parquet")).getOrElse("")
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"column pruning lost: $scan")
+  }
+
+  test("filter_compare: comparison predicates are pushed to the scan") {
+    val df = SparkEntry.queries("filter_compare")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity)"),
+      s"no pushed filters in:\n$plan")
+  }
+}
