@@ -58,24 +58,22 @@ object LlmOps2 {
 
   /** 64-bit SimHash over distinct token hashes: bit j is set when at
     * least half the tokens have bit j set in xxhash64(token).
-    * Computed as explode -> 64-column bit-count hash-aggregate -> one
-    * packing projection: everything stays in whole-stage codegen (the
-    * HOF formulation — 64 interpreted filter lambdas per doc — was
-    * ~10x slower), and the aggregate is the map-side-combine shape
-    * that scales: shuffle rows = docs, not tokens. */
-  private[graft] def simhash(docs: DataFrame): DataFrame = {
-    val tokenHashes = docs.select(col("doc_id"),
-      explode(expr("array_distinct(transform(split(text, ' '), t -> xxhash64(t)))"))
-        .as("h"))
-    val bitCounts = (0 until 64).map(j =>
-      sum(expr(s"(h >> $j) & 1")).as(s"c$j")) :+ count(lit(1)).as("n")
-    val packed = (0 until 64).map(j =>
-      when(col(s"c$j") * 2 >= col("n"), shiftleft(lit(1L), j)).otherwise(0L))
-      .reduce(_ + _)
-    tokenHashes.groupBy(col("doc_id"))
-      .agg(bitCounts.head, bitCounts.tail: _*)
-      .select(col("doc_id"), packed.as("sim"))
-  }
+    * Computed per row by the codegen kernel
+    * [[graft.functions.SimHashSig]] — one pass over the hashed-token
+    * array with 64 local counters, no explode, no shuffle, no
+    * aggregation buffers. (History: an explode → 64-column bit-count
+    * hash-aggregate was the round-2 shape — correct and map-side
+    * combining, but it shuffles one row per TOKEN and its 65
+    * aggregate buffers are the first casualty of executor-memory
+    * pressure; a HOF formulation with 64 interpreted filter lambdas
+    * was ~10x slower still. The kernel is value-identical to both —
+    * asserted per-doc in LlmSpec.) */
+  private[graft] def simhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.SimHashSig(
+        expr("array_distinct(transform(split(text, ' '), t -> xxhash64(t)))"))
+        .as("sim"))
+      .filter(col("sim").isNotNull)
 
   /** SimHash near-dup pairs: 4 x 16-bit band blocking, then exact
     * Hamming distance <= maxHamming on candidates. */

@@ -44,6 +44,24 @@ class LlmSpec extends AnyFunSuite {
     assert(kernel.exceptAll(hof).isEmpty && hof.exceptAll(kernel).isEmpty)
   }
 
+  test("SimHashSig kernel is bit-identical to the explode + 64-bit-count aggregate form") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(200)
+    // the retired round-2 aggregate formulation, rebuilt as the oracle
+    val tokenHashes = docs.select(col("doc_id"),
+      explode(expr("array_distinct(transform(split(text, ' '), t -> xxhash64(t)))"))
+        .as("h"))
+    val bitCounts = (0 until 64).map(j =>
+      sum(expr(s"(h >> $j) & 1")).as(s"c$j")) :+ count(lit(1)).as("n")
+    val packed = (0 until 64).map(j =>
+      when(col(s"c$j") * 2 >= col("n"), shiftleft(lit(1L), j)).otherwise(0L))
+      .reduce(_ + _)
+    val agg = tokenHashes.groupBy(col("doc_id"))
+      .agg(bitCounts.head, bitCounts.tail: _*)
+      .select(col("doc_id"), packed.as("sim"))
+    val kernel = graft.ops.LlmOps2.simhash(docs)
+    assert(kernel.exceptAll(agg).isEmpty && agg.exceptAll(kernel).isEmpty)
+  }
+
   test("SortedJaccard equals intersect/union form on the real bigram sets") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(100)
     val g = docs.select(col("doc_id"),
