@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ArrayMaxLE, CosineSim, DotProduct, MinHashSig, SortedJaccard}
+import graft.functions.{ArrayMaxLE, CosineSim, DotProduct, MinHashSig, SimHashSig, SortedJaccard}
 
 /** SparkSessionExtensions entry point: registers graft's custom
   * Catalyst expressions as SQL functions, so any session built with
@@ -84,6 +84,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case _ => nonFoldable()
         }
       })))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash_sig"),
+      new ExpressionInfo(classOf[SimHashSig].getName, "simhash_sig"),
+      {
+        case Seq(a) => SimHashSig(a)
+        case other =>
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "`simhash_sig`",
+              "expectedNum" -> "1",
+              "actualNum" -> other.size.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+      }: Seq[Expression] => Expression))
     // optimizer pass: fuse the HOF sum-of-squares pattern into the
     // codegen DotProduct kernel (see FuseDotProduct)
     ext.injectOptimizerRule(_ => FuseDotProduct)

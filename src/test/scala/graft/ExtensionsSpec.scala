@@ -61,12 +61,19 @@ class ExtensionsSpec extends AnyFunSuite {
         spark.sql("SELECT minhash_sig(array(1L), CAST(id AS INT)) FROM range(1)").collect()
       }
       assert(eNf.getMessage.contains("foldable"), eNf.getMessage)
+      // simhash_sig: all-same tokens → every set bit of the hash
+      val r6 = spark.sql(
+        "SELECT simhash_sig(array(xxhash64('a'), xxhash64('a'))) = xxhash64('a') AS eq")
+        .collect()(0)
+      assert(r6.getBoolean(0),
+        "simhash of identical tokens must equal the token hash")
       // wrong arity from SQL → clean AnalysisException, not
       // IndexOutOfBoundsException from children(1)
       for (bad <- Seq("cosine_sim(array(1.0F))",
                       "dot_product(array(1.0F), array(1.0F), array(1.0F))",
                       "array_max_le(array(1L))",
-                      "sorted_jaccard(array(1L))")) {
+                      "sorted_jaccard(array(1L))",
+                      "simhash_sig(array(1L), 2)")) {
         val e = intercept[org.apache.spark.sql.AnalysisException] {
           spark.sql(s"SELECT $bad").collect()
         }
