@@ -102,8 +102,10 @@ object Composite {
   private[graft] def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
     val buckets = 8
     // Deterministic per-sfDir table names: Verify and Bench may drive
-    // different sf dirs through one session.
-    val tag = math.abs(dir.hashCode).toString
+    // different sf dirs through one session. The tag encodes the FULL
+    // dir (sanitized), not a hash — hashCode collisions would silently
+    // reuse another dir's bucketed data.
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
     val ot = s"graft_bkt_orders_$tag"
     val ct = s"graft_bkt_customer_$tag"
     // The in-memory catalog forgets tables across JVMs while their

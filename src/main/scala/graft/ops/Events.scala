@@ -96,20 +96,15 @@ object Events {
     // streaming form needs (watermark + interval ⇒ both sides' state
     // evictable). Streaming twin with two MemoryStreams + watermarks
     // is asserted in StreamingSpec.
+    // ONE definition of the join algebra: the batch query calls the
+    // same Streams.clickPurchaseJoin the streaming twin runs
+    // (withWatermark is a no-op on batch frames), so the oracle and
+    // the streaming semantics cannot drift apart.
     "evt_stream_stream_join" -> ((s, dir) => {
       val e = loadEvents(s, dir)
-      val clicks = e.filter(col("event_type") === "click")
-        .select(col("event_id").as("click_id"), col("user_id"),
-          col("ts").as("click_ts"))
-      val purchases = e.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("purchase_id"),
-          col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
-      clicks.join(purchases,
-          col("user_id") === col("p_user_id") &&
-            col("purchase_ts") >= col("click_ts") &&
-            col("purchase_ts") < col("click_ts") + expr("INTERVAL 1 HOUR"))
-        .select(col("click_id"), col("purchase_id"), col("user_id"),
-          col("click_ts"), col("purchase_ts"))
+      graft.streaming.Streams.clickPurchaseJoin(
+          e.filter(col("event_type") === "click"),
+          e.filter(col("event_type") === "purchase"))
         .orderBy("click_id", "purchase_id")
     }),
 

@@ -61,15 +61,19 @@ object LlmOps3 {
     val centroids = emb.filter(col("vec_id") % centEvery === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
     // Corpus → nearest centroid (cell). Centroids broadcast; the
-    // argmin is a per-vector window over |centroids| scored rows.
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(desc("cent_sim"), asc("cent_id"))
+    // argmax is a max_by AGGREGATE, not a window: an aggregate
+    // partially combines map-side, so the shuffle carries one row per
+    // VECTOR — a window would shuffle the corpus replicated
+    // ×|centroids| with the embedding arrays attached (n^1.5 bytes at
+    // scale). Tie-break (-cent_id) keeps the argmax deterministic.
     val cells = emb.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(centroids))
       .withColumn("cent_sim", CosineSim(col("embedding"), col("cent_emb")))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(col("cent_id"), struct(col("cent_sim"), -col("cent_id"))).as("cell"),
+        first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("embedding"), col("cell"))
     // Queries → their nprobe nearest cells.
     val q = emb.filter(isQuery)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
@@ -158,8 +162,6 @@ object LlmOps3 {
       .agg((max(col("c")).cast("double") / sum(col("c")).cast("double"))
         .as("ratio"))
       .select(col("doc_id"), round(col("ratio"), 6).as("rep_ratio"))
-      .orderBy(desc("rep_ratio"), asc("doc_id"))
-      .limit(20)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -192,8 +194,12 @@ object LlmOps3 {
     "llm_domain_mix" -> ((s: SparkSession, dir: String) =>
       domainMix(load(s, dir, "documents"))),
 
+    // top-20 cap is the QUERY's framing; the library op returns the
+    // full per-doc score surface
     "llm_repetition_filter" -> ((s: SparkSession, dir: String) =>
-      repetitionScore(load(s, dir, "documents")))
+      repetitionScore(load(s, dir, "documents"))
+        .orderBy(desc("rep_ratio"), asc("doc_id"))
+        .limit(20))
   )
 
   val oracle: Map[String, String] = Map(

@@ -197,7 +197,7 @@ object Scalars {
       """SELECT event_id,
         |  CAST(props->>'$.k' AS BIGINT) AS k_val,
         |  CAST(props->>'$.missing' AS VARCHAR) AS absent,
-        |  json_extract(props, '$.k') = 'null' AS k_is_null
+        |  COALESCE(json_extract(props, '$.k') = 'null', false) AS k_is_null
         |FROM events ORDER BY event_id""".stripMargin
   )
 }

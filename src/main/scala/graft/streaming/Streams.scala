@@ -106,6 +106,9 @@ object Streams {
     * [[runningCountPerUser]]; the flat form is the general shape
     * (alerts, sessionization emitting closed sessions, compaction). */
   def thresholdAlerts(events: DataFrame, step: Double = 10.0): DataFrame = {
+    // step <= 0 would make floor(total/step) overflow to Long extremes
+    // and the alert range emit ~2^63 rows — fail fast instead
+    require(step > 0, s"step must be positive, got $step")
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
     events.selectExpr("user_id", "value").as[(Long, Double)]

@@ -70,8 +70,10 @@ class GraftFacadeSpec extends AnyFunSuite {
     val repetitive = Seq.fill(10)("spam spam").mkString(" ")
     val varied = (0 until 20).map(i => s"v$i").mkString(" ")
     val got = Graft.repetitionScore(
-      Seq((1L, repetitive), (2L, varied)).toDF("doc_id", "text")).collect()
-    assert(got(0).getLong(0) == 1L && got(0).getDouble(1) > 0.4)
-    assert(got(1).getLong(0) == 2L && got(1).getDouble(1) < 0.1)
+      Seq((1L, repetitive), (2L, varied)).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // full per-doc surface (no top-k cap in the library op)
+    assert(got.size == 2)
+    assert(got(1L) > 0.4 && got(2L) < 0.1, s"got $got")
   }
 }
