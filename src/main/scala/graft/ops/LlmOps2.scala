@@ -104,28 +104,21 @@ object LlmOps2 {
   /** Sign-random-projection buckets, one per table: bit b of table t
     * = sign of the dot product with a deterministic pseudo-random
     * projection vector (components derived from
-    * xxhash64(t*bits+b, dim) — fixed seeds, no RNG). Computed as
-    * explode → 32 codegen'd sum() aggregates → one packing projection
-    * (the same shape as the SimHash signature; the HOF-fold
-    * formulation interpreted 32 lambdas per row). */
-  private[graft] def annBuckets(embeddings: DataFrame): DataFrame = {
-    val dotCols = (0 until AnnTables * AnnBits).map { i =>
-      sum(col("v").cast("double") *
-        (expr(s"CAST(pmod(xxhash64(${i}L, CAST(d AS BIGINT)), 1000L) AS DOUBLE)")
-          / 1000.0 - 0.5)).as(s"dot$i")
-    }
-    val dots = embeddings
-      .select(col("vec_id"), posexplode(col("embedding")))
-      .toDF("vec_id", "d", "v")
-      .groupBy(col("vec_id"))
-      .agg(dotCols.head, dotCols.tail: _*)
-    val buckets = (0 until AnnTables).map { t =>
-      (0 until AnnBits).map(b =>
-        when(col(s"dot${t * AnnBits + b}") > 0, lit(1L << b)).otherwise(lit(0L)))
-        .reduce(_ + _).as(s"bucket$t")
-    }
-    dots.select(col("vec_id") +: buckets: _*)
-  }
+    * xxhash64(t*bits+b, dim) — fixed seeds, no RNG). Computed per row
+    * by the codegen kernel [[graft.functions.SignBuckets]]: all 32
+    * projections in one pass over the vector, no explode (the retired
+    * aggregate shape shuffled one row per DIMENSION with 32 buffers
+    * per vector; a HOF-fold formulation interpreted 32 lambdas per
+    * row). Value-identical to the aggregate form — asserted per
+    * vector in LlmSpec. */
+  private[graft] def annBuckets(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"),
+        graft.functions.SignBuckets(col("embedding"), AnnTables, AnnBits)
+          .as("bk"))
+      .filter(col("bk").isNotNull)
+      .select(col("vec_id") +:
+        (0 until AnnTables).map(t => col("bk").getItem(t).as(s"bucket$t")): _*)
 
   /** LSH-bucketed approximate top-k: candidates are vectors sharing
     * any (table, bucket) with the query — the ANN scale path for the

@@ -62,6 +62,27 @@ class LlmSpec extends AnyFunSuite {
     assert(kernel.exceptAll(agg).isEmpty && agg.exceptAll(kernel).isEmpty)
   }
 
+  test("SignBuckets kernel is bit-identical to the explode + 32-sum aggregate form") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // the retired aggregate formulation, rebuilt as the oracle
+    val dotCols = (0 until 32).map { i =>
+      sum(col("v").cast("double") *
+        (expr(s"CAST(pmod(xxhash64(${i}L, CAST(d AS BIGINT)), 1000L) AS DOUBLE)")
+          / 1000.0 - 0.5)).as(s"dot$i")
+    }
+    val dots = emb.select(col("vec_id"), posexplode(col("embedding")))
+      .toDF("vec_id", "d", "v")
+      .groupBy(col("vec_id")).agg(dotCols.head, dotCols.tail: _*)
+    val buckets = (0 until 4).map { t =>
+      (0 until 8).map(b =>
+        when(col(s"dot${t * 8 + b}") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _).as(s"bucket$t")
+    }
+    val agg = dots.select(col("vec_id") +: buckets: _*)
+    val kernel = graft.ops.LlmOps2.annBuckets(emb)
+    assert(kernel.exceptAll(agg).isEmpty && agg.exceptAll(kernel).isEmpty)
+  }
+
   test("SortedJaccard equals intersect/union form on the real bigram sets") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(100)
     val g = docs.select(col("doc_id"),
