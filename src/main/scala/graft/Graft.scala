@@ -101,4 +101,14 @@ object Graft {
     * total crosses (flatMapGroupsWithState; 0..n outputs per epoch). */
   def thresholdAlerts(events: DataFrame, step: Double): DataFrame =
     graft.streaming.Streams.thresholdAlerts(events, step)
+
+  /** Inner as-of join through the bespoke physical operator
+    * ([[graft.plans.AsOfJoinExec]]): each left row paired with the
+    * right row sharing `key` whose `time` is the greatest <= the left
+    * `time`. Both sides co-partition on the key and stream one sorted
+    * merge pass — the shape for key sets too large to broadcast. */
+  def asOfJoin(left: DataFrame, right: DataFrame,
+      leftKey: Column, rightKey: Column,
+      leftTime: Column, rightTime: Column): DataFrame =
+    graft.plans.AsOfJoin(left, right, leftKey, rightKey, leftTime, rightTime)
 }

@@ -264,6 +264,24 @@ object Relational {
         .orderBy("event_id")
     }),
 
+    // The same as-of semantics through the bespoke physical operator
+    // (graft.plans.AsOfJoinExec): both sides co-partition on the key
+    // and merge in one sorted pass — no union materialization, no
+    // window buffers. Same oracle as join_asof_partitioned; the
+    // result equality between the two formulations is also asserted
+    // in AsOfJoinSpec.
+    "join_asof_merge" -> ((s, dir) => {
+      val e = loadEvents(s, dir).select(col("event_id"), col("user_id"),
+        col("ts").cast("timestamp_ntz").as("t"))
+      val o = load(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderdate")).distinct()
+      graft.plans.AsOfJoin(e, o,
+          e("user_id"), o("o_custkey"), e("t"), o("o_orderdate"))
+        .select(col("event_id"), col("user_id"), col("t").as("ts"),
+          col("o_orderdate").as("asof_orderdate"))
+        .orderBy("event_id")
+    }),
+
     // Interval join: clicks within +/-1 hour of each purchase by the
     // same user — equi join on user_id, range residual on ts. Events
     // must come through loadEvents (nanos parquet); ts is µs-resolution
@@ -367,6 +385,14 @@ object Relational {
         |  ON o.o_orderdate >= s.l_shipdate
         |ORDER BY o_orderkey""".stripMargin,
     "join_asof_partitioned" ->
+      """SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+        |  o.o_orderdate AS asof_orderdate
+        |FROM events e ASOF JOIN
+        |  (SELECT DISTINCT o_custkey, o_orderdate FROM orders) o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY event_id""".stripMargin,
+
+    "join_asof_merge" ->
       """SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
         |  o.o_orderdate AS asof_orderdate
         |FROM events e ASOF JOIN
