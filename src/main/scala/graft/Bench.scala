@@ -1,6 +1,35 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Bench entry point (driver contract, SURVEY §3 entry point 3).
+  *
+  * Prints ONE JSON line with the total and a bounded per-query map.
+  * The driver keeps only the LAST ~2000 characters of stdout (verified:
+  * BENCH_r01..r03 all have a 2000-char `tail` and `parsed: null` —
+  * the full ~116-query map made the line ~2600 chars, so its head was
+  * truncated and the driver could not parse it in ANY prior round).
+  * The stdout line is therefore capped well under that window: it
+  * always carries the BASELINE.md anchor queries plus the slowest
+  * remaining queries that fit. The complete per-query map is written
+  * to bench_full.json for the judge / later rounds.
+  */
 object Bench {
+  /** Queries with a DuckDB anchor in BASELINE.md, plus the headline
+    * composites — always present in the stdout JSON so every round is
+    * comparable against the same anchors. */
+  private val Anchors = Seq(
+    "agg_pricing_summary", "join_multiway", "win_row_number_topk",
+    "evt_session_window", "llm_simsearch_topk", "llm_dedup_exact",
+    "llm_dedup_near", "join_asof", "sql_tpch_q3", "sql_tpch_q5",
+    "sql_tpch_q10")
+
+  /** Keep the stdout line comfortably inside the driver's 2000-char
+    * tail: the line itself plus sbt's trailing "[success] Total time"
+    * line (~75 chars) must both fit. */
+  private val MaxLineChars = 1500
+
+  private def fmt(v: Double): String = f"$v%.3f"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -45,10 +74,37 @@ object Bench {
       // not report its time-to-exception as a legitimate timing
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // Full per-query map → bench_full.json (cwd is the repo root under
+    // both the driver's sbt invocation and tools/run_class.sh).
+    val fullQs = results.map { case (k, v) => s""""$k":${fmt(v)}""" }
+      .mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$fullQs,"sf":"$sfDir"}"""
+    try {
+      val w = new java.io.PrintWriter("bench_full.json")
+      try w.println(fullLine) finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_full.json write failed: $e") }
+
+    // Stdout line: anchors first, then the slowest remaining queries,
+    // adding entries only while the line stays under MaxLineChars.
+    val anchorEntries = Anchors.flatMap(a => results.get(a).map(a -> _))
+    val rest = results.toSeq.filterNot { case (k, _) => Anchors.contains(k) }
+      .sortBy { case (_, v) => -v }
+    val ordered = anchorEntries ++ rest
+    val prefix = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"detail":"bench_full.json","queries":{"""
+    val suffix = s"""},"sf":"$sfDir"}"""
+    val budget = MaxLineChars - prefix.length - suffix.length
+    val picked = scala.collection.mutable.ListBuffer.empty[String]
+    var used = 0
+    ordered.foreach { case (k, v) =>
+      val ent = s""""$k":${fmt(v)}"""
+      val cost = ent.length + (if (picked.isEmpty) 0 else 1)
+      if (used + cost <= budget) { picked += ent; used += cost }
+    }
+    println(prefix + picked.mkString(",") + suffix)
     spark.stop()
   }
 }
