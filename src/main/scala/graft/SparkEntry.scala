@@ -21,6 +21,7 @@ object SparkEntry {
       (LlmOps.queries, LlmOps.oracle),
       (LlmOps2.queries, LlmOps2.oracle),
       (LlmOps3.queries, LlmOps3.oracle),
+      (LlmOps4.queries, LlmOps4.oracle),
       (Composite.queries, Composite.oracle),
       (SqlSurface.queries, SqlSurface.oracle),
       (Typed.queries, Typed.oracle)

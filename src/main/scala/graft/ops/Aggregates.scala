@@ -165,7 +165,20 @@ object Aggregates {
         .groupBy(col("o_custkey"))
         .agg(array_join(sort_array(collect_list(col("o_orderpriority"))), ",")
           .as("priorities"))
-        .orderBy("o_custkey"))
+        .orderBy("o_custkey")),
+
+    // Fixed-width histogram: the bucket id is a per-row projection, so
+    // the aggregate hash-partitions on ~50 buckets and partially
+    // combines map-side — the same one-shuffle plan at any scale.
+    // Bucket edges are exact: prices have 2 decimals and the edges are
+    // integer multiples of 5000, both exactly representable as doubles.
+    "agg_histogram" -> ((s, dir) =>
+      load(s, dir, "lineitem")
+        .groupBy(floor(col("l_extendedprice") / 5000.0).cast("long")
+          .as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          asD(sum(money(col("l_extendedprice")))).as("sum_price"))
+        .orderBy("bucket"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -259,6 +272,12 @@ object Aggregates {
         |  quantile_cont(l_quantity, 0.5) AS p50,
         |  quantile_cont(l_quantity, 0.9) AS p90,
         |  quantile_cont(l_quantity, 0.99) AS p99
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_histogram" ->
+      """SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bucket,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin
   )
 }

@@ -115,7 +115,32 @@ object Events {
     // StreamingSpec asserts the multi-batch state semantics.
     "evt_threshold_alerts" -> ((s, dir) =>
       graft.streaming.Streams.thresholdAlerts(loadEvents(s, dir), step = 1000.0)
-        .orderBy("user_id", "threshold_multiple"))
+        .orderBy("user_id", "threshold_multiple")),
+
+    // Ordered conversion funnel: first view -> first click at-or-after
+    // it -> first purchase at-or-after that. Three per-user min
+    // aggregates chained by joins that all hash on user_id — the
+    // shuffle key never changes, so at scale the chain is one
+    // co-partitioned pipeline (and each stage's input only shrinks).
+    "evt_funnel" -> ((s, dir) => {
+      val e = loadEvents(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("v_ts"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") >= col("v_ts"))
+        .groupBy("user_id").agg(min("ts").as("c_ts"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") >= col("c_ts"))
+        .groupBy("user_id").agg(min("ts").as("p_ts"))
+      v.agg(count(lit(1)).as("n_users"))
+        .select(lit("1_view").as("stage"), col("n_users"))
+        .unionAll(c.agg(count(lit(1)).as("n_users"))
+          .select(lit("2_click").as("stage"), col("n_users")))
+        .unionAll(p.agg(count(lit(1)).as("n_users"))
+          .select(lit("3_purchase").as("stage"), col("n_users")))
+        .orderBy("stage")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -178,6 +203,22 @@ object Events {
         |WHERE a.event_type = 'click' AND b.event_type = 'purchase'
         |  AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
         |  AND CAST(b.ts AS TIMESTAMP) < CAST(a.ts AS TIMESTAMP) + INTERVAL 1 HOUR
-        |ORDER BY click_id, purchase_id""".stripMargin
+        |ORDER BY click_id, purchase_id""".stripMargin,
+
+    "evt_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |v AS (SELECT user_id, min(ts) AS v_ts FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM e JOIN v
+        |  ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts >= v.v_ts GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM e JOIN c
+        |  ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts GROUP BY e.user_id)
+        |SELECT '1_view' AS stage, count(*) AS n_users FROM v
+        |UNION ALL SELECT '2_click', count(*) FROM c
+        |UNION ALL SELECT '3_purchase', count(*) FROM p
+        |ORDER BY stage""".stripMargin
   )
 }

@@ -1,0 +1,221 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables._
+
+/** SURVEY.md §2.11 (round-4 additions) — the cluster-resolution,
+  * reproducible-sampling, quantization, and inverted-index primitives
+  * of a training-data pipeline:
+  *
+  *  - [[connectedComponents]]: near-duplicate PAIRS are only half the
+  *    dedup story — production dedup maps every document to a cluster
+  *    representative. Iterative min-label propagation: each round is
+  *    one shuffle join on the node id plus a map-side-combining min
+  *    aggregate, converging in O(cluster diameter) rounds (near-dup
+  *    clusters are shallow in practice). `localCheckpoint` truncates
+  *    the growing lineage each round — without it the plan doubles per
+  *    iteration and the job dies on planning cost long before data
+  *    cost at scale.
+  *
+  *  - hash-threshold sampling: `md5(salt || id)` prefix compared
+  *    lexicographically (fixed-width lowercase hex, so string order ==
+  *    numeric order). Unlike seeded RNG sampling, the keep-set is a
+  *    pure row property — reproducible across engines, partitionings,
+  *    and reruns, which is what makes ablation corpora auditable.
+  *    (Contrast `llm_sample_stratified`, which demonstrates the
+  *    engine-native `sampleBy` and is unavoidably engine-specific.)
+  *
+  *  - int8 symmetric quantization of embedding vectors (per-vector
+  *    max-abs scale), surfaced as the reconstruction error — the
+  *    compression step before ANN index shipping. Per-row HOF math on
+  *    a 64-wide array; `floor(x + 0.5)` not `round` (Spark HALF_UPs
+  *    doubles, DuckDB banker-rounds — floor(+0.5) is identical in
+  *    both).
+  *
+  *  - inverted index: term -> sorted posting list + document
+  *    frequency. One explode + one hash aggregate, partitioned by
+  *    term; posting lists are per-term, so the collect_list buffer is
+  *    bounded by document frequency, not corpus size.
+  */
+object LlmOps4 {
+
+  /** Undirected connected components by min-label propagation.
+    * `edges` must have two long columns (a, b); returns
+    * (node, cluster_id) where cluster_id = min node id of the
+    * component. Converges in O(diameter) rounds; `maxIter` bounds
+    * pathological chains. */
+  private[graft] def connectedComponents(edges: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val cols = edges.columns
+    val e = edges.select(col(cols(0)).as("a"), col(cols(1)).as("b"))
+    // Both directions once; propagation then only needs one join side.
+    val und = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true)
+    var labels = und.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      // Min label among neighbours: the aggregate partially combines
+      // map-side, so the shuffle carries one row per (node) not per
+      // edge endpoint.
+      val nbrMin = und.join(labels, und("b") === labels("node"))
+        .groupBy(und("a").as("n2")).agg(min("label").as("nbr_label"))
+      val next = labels.join(nbrMin, labels("node") === nbrMin("n2"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_label"), col("label")))
+            .as("label"),
+          (coalesce(col("nbr_label"), col("label")) < col("label"))
+            .as("chg"))
+        .localCheckpoint(true) // truncate lineage before the next round
+      changed = next.filter(col("chg")).count()
+      labels = next.select("node", "label")
+      iter += 1
+    }
+    labels.select(col("node"), col("label").as("cluster_id"))
+  }
+
+  /** Exact-duplicate edges: every doc links to the min doc_id sharing
+    * its md5(text). One hash aggregate + one shuffle join on the hash. */
+  private def exactDupEdges(docs: DataFrame): DataFrame = {
+    val hashes = docs.select(col("doc_id"), md5(col("text")).as("h"))
+    val mins = hashes.groupBy("h").agg(min("doc_id").as("a"))
+    hashes.join(mins, "h")
+      .filter(col("doc_id") > col("a"))
+      .select(col("a"), col("doc_id").as("b"))
+  }
+
+  /** Deterministic hash-threshold keep predicate: lowercase-hex md5
+    * prefix compared as a string (fixed width => numeric order).
+    * `hexMax` "28" keeps (2*16+8+1)/256 ~ 16% of rows. */
+  private def hashKeep(id: Column, hexMax: String): Column =
+    substring(md5(concat(lit("graft"), id.cast("string"))), 1, 2) <= hexMax
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Duplicate-cluster resolution: edges = exact-dup links UNION
+    // bigram-Jaccard >= 0.5 near-dup pairs, components solved by
+    // min-label propagation. Output: every clustered doc with its
+    // cluster representative (min doc_id).
+    "llm_dedup_cluster" -> ((s: SparkSession, dir: String) => {
+      val near = LlmOps2.queries("llm_dedup_ngram")(s, dir)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val edges = exactDupEdges(load(s, dir, "documents")).union(near)
+      connectedComponents(edges)
+        .select(col("node").as("doc_id"), col("cluster_id"))
+        .orderBy("doc_id")
+    }),
+
+    // Reproducible stratified sample: md5-prefix threshold per row,
+    // per-source kept counts + kept-id checksum (proves the SELECTION
+    // is deterministic, not just the count).
+    "llm_sample_hash" -> ((s: SparkSession, dir: String) =>
+      load(s, dir, "documents")
+        .filter(hashKeep(col("doc_id"), "28"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("sum_ids"))
+        .orderBy("source")),
+
+    // Int8 symmetric quantization: per-vector scale = 127/max|x|,
+    // reconstruction MAE after dequantization. All double math with
+    // floor(x+0.5) rounding so the oracle is bit-identical.
+    "llm_embed_quantize" -> ((s: SparkSession, dir: String) =>
+      load(s, dir, "embeddings")
+        .filter(col("embedding").isNotNull &&
+          !expr("exists(embedding, x -> x is null)"))
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("d"))
+        .withColumn("mx", expr("array_max(transform(d, x -> abs(x)))"))
+        .filter(col("mx") > 0)
+        .withColumn("scale", lit(127.0) / col("mx"))
+        .withColumn("mae", expr(
+          """aggregate(d, cast(0.0 as double),
+            |  (acc, x) -> acc + abs(x - floor(x * scale + 0.5) / scale),
+            |  acc -> acc / size(d))""".stripMargin))
+        .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+          round(col("mae"), 6).as("mae"))
+        .orderBy("vec_id")),
+
+    // Inverted index: term -> document frequency + sorted posting
+    // list. collect_list is per-term (bounded by df); the aggregate
+    // shuffles once on the term.
+    "llm_inverse_index" -> ((s: SparkSession, dir: String) =>
+      load(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("term"))
+        .groupBy("term")
+        .agg(count(lit(1)).as("df"),
+          // canonical joined string, not a list cell: list-valued
+          // outputs are compare-hostile (same convention as
+          // agg_collect_sorted)
+          array_join(sort_array(collect_list(col("doc_id"))), ",")
+            .as("postings"))
+        .orderBy("term"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "llm_dedup_cluster" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+        |g AS (
+        |  SELECT doc_id, lang, floor(CAST(len(w) AS DOUBLE) / 8.0) AS bucket,
+        |    list_distinct(list_transform(range(1, len(w)),
+        |      i -> w[i] || ' ' || w[i + 1])) AS bg
+        |  FROM t WHERE len(w) >= 2),
+        |np AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM g a JOIN g b ON a.lang = b.lang AND a.bucket = b.bucket
+        |    AND a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE) /
+        |    CAST(len(list_distinct(list_concat(a.bg, b.bg))) AS DOUBLE), 6)
+        |    >= 0.5),
+        |eh AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |em AS (SELECT h, min(doc_id) AS a FROM eh GROUP BY h),
+        |ee AS (SELECT em.a, eh.doc_id AS b FROM eh JOIN em ON eh.h = em.h
+        |  WHERE eh.doc_id > em.a),
+        |e AS (SELECT a, b FROM np UNION SELECT a, b FROM ee),
+        |u AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+        |reach(x, r) AS (
+        |  SELECT a, a FROM u
+        |  UNION
+        |  SELECT u.a, reach.r FROM u JOIN reach ON u.b = reach.x)
+        |SELECT x AS doc_id, min(r) AS cluster_id
+        |FROM reach GROUP BY x ORDER BY doc_id""".stripMargin,
+
+    "llm_sample_hash" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM documents
+        |WHERE substring(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 2) <= '28'
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "llm_embed_quantize" ->
+      """WITH d AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL
+        |    AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+        |m AS (
+        |  SELECT vec_id, d,
+        |    list_max(list_transform(d, x -> abs(x))) AS mx FROM d),
+        |q AS (
+        |  SELECT vec_id, 127.0 / mx AS scale,
+        |    list_sum(list_transform(d,
+        |      x -> abs(x - floor(x * (127.0 / mx) + 0.5) / (127.0 / mx))))
+        |      / len(d) AS mae
+        |  FROM m WHERE mx > 0)
+        |SELECT vec_id, round(scale, 6) AS scale, round(mae, 6) AS mae
+        |FROM q ORDER BY vec_id""".stripMargin,
+
+    "llm_inverse_index" ->
+      """WITH t AS (
+        |  SELECT DISTINCT doc_id, term FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |    FROM documents))
+        |SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |  array_to_string(list_sort(list(doc_id)), ',') AS postings
+        |FROM t GROUP BY term ORDER BY term""".stripMargin
+  )
+}

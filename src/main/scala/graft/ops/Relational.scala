@@ -321,6 +321,35 @@ object Relational {
         .orderBy("event_type")
     }),
 
+    // Bucketized band join — the scale form of a |t_a - t_b| <= W
+    // self-join. A plain theta join is O(n·m) per user; bucketing time
+    // into W-wide cells and exploding ONE side to its 3 adjacent cells
+    // turns it into an EQUI-join on (user, cell) — candidate pairs are
+    // only the ~3-cell neighbourhood, and the band bound is a residual
+    // filter. Each qualifying pair is found exactly once (the probe
+    // side has one cell; the 3 exploded build cells are distinct).
+    // All time math in exact integer microseconds.
+    "join_range_bucketed" -> ((s, dir) => {
+      val winUs = 3600L * 1000000L // 1 hour in µs
+      val e = loadEvents(s, dir)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"))
+      // div, not `/`: Column `/` is double division
+      val probe = e.withColumn("cell", expr(s"us div $winUs"))
+      val build = e.withColumn("cell", explode(array(
+          expr(s"us div $winUs") - 1,
+          expr(s"us div $winUs"),
+          expr(s"us div $winUs") + 1)))
+      build.as("a").join(probe.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.cell") === col("b.cell") &&
+            col("a.event_id") < col("b.event_id") &&
+            abs(col("a.us") - col("b.us")) <= winUs)
+        .groupBy(col("a.user_id").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("user_id")
+    }),
+
     // 4-table chain; nation is a broadcast dim, the fact joins shuffle.
     "join_multiway" -> ((s, dir) => {
       val l = load(s, dir, "lineitem")
@@ -337,6 +366,15 @@ object Relational {
   )
 
   private val joinOracle: Map[String, String] = Map(
+    // The oracle is the UNOPTIMIZED theta join — same pairs, proving
+    // the bucketed equi-join rewrite loses nothing.
+    "join_range_bucketed" ->
+      """SELECT a.user_id, count(*) AS n_pairs
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        |  AND abs(epoch_us(CAST(a.ts AS TIMESTAMP)) -
+        |          epoch_us(CAST(b.ts AS TIMESTAMP))) <= 3600000000
+        |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
     "join_inner_equi" ->
       """SELECT l_orderkey, l_linenumber, o_custkey, o_totalprice
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey

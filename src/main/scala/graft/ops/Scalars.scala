@@ -130,6 +130,14 @@ object Scalars {
   )
 
   val oracle: Map[String, String] = Map(
+    // map-VALUED columns stay test-only (SURVEY §1.5 r5: DuckDB map
+    // subscript returns LIST), but this query's outputs are scalars
+    // derived from the map — json_keys/json_extract reproduce them.
+    "map_fns" ->
+      """SELECT event_id,
+        |  array_to_string(json_keys(props), ',') AS keys,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+        |FROM events ORDER BY event_id""".stripMargin,
     "str_basics" ->
       """SELECT p_partkey,
         |  upper(p_name) AS name_up,

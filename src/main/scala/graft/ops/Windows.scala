@@ -120,6 +120,32 @@ object Windows {
           nth_value(col("o_totalprice"), 2).over(w).as("second_price"),
           nth_value(col("o_totalprice"), 10).over(w).as("tenth_price"))
         .orderBy("o_orderpriority", "o_orderkey")
+    }),
+
+    // Per-customer price z-score outliers. mean/stddev come from
+    // EXACT decimal window sums (sum, sum of squares) cast to double
+    // at the end, so the value is independent of partial-aggregation
+    // order in BOTH engines — stddev_samp's double accumulation would
+    // not be. One shuffle on o_custkey; |z| > 2 filters after.
+    "win_zscore" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+      val p = money(col("o_totalprice"))
+      load(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          count(lit(1)).over(w).as("n"),
+          asD(sum(p).over(w)).as("sx"),
+          asD(sum(p * p).over(w)).as("sxx"))
+        .filter(col("n") >= 2)
+        .withColumn("mean", col("sx") / col("n"))
+        .withColumn("variance",
+          (col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+        .filter(col("variance") > 0)
+        .withColumn("z", round(
+          (col("o_totalprice") - col("mean")) / sqrt(col("variance")), 6))
+        .filter(abs(col("z")) > 2)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("z"))
+        .orderBy("o_custkey", "o_orderkey")
     })
   )
 
@@ -193,6 +219,24 @@ object Windows {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-        |ORDER BY o_orderpriority, o_orderkey""".stripMargin
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+
+    "win_zscore" ->
+      """WITH s AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    count(*) OVER w AS n,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(15,2))) OVER w AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(15,2)) *
+        |      CAST(o_totalprice AS DECIMAL(15,2))) OVER w AS DOUBLE) AS sxx
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey)),
+        |z AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    round((o_totalprice - sx / n) /
+        |      sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS z
+        |  FROM s WHERE n >= 2 AND (sxx - sx * sx / n) / (n - 1) > 0)
+        |SELECT o_custkey, o_orderkey, o_totalprice, z
+        |FROM z WHERE abs(z) > 2
+        |ORDER BY o_custkey, o_orderkey""".stripMargin
   )
 }
