@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{ArrayMaxLE, CosineSim}
-import graft.ops.{LlmOps, LlmOps2, LlmOps3}
+import graft.ops.{LlmOps, LlmOps2, LlmOps3, LlmOps4, Relational}
 
 /** User-facing facade: the engine's reusable operations as a plain
   * library API over DataFrames (the driver-contract surface in
@@ -111,4 +111,30 @@ object Graft {
       leftKey: Column, rightKey: Column,
       leftTime: Column, rightTime: Column): DataFrame =
     graft.plans.AsOfJoin(left, right, leftKey, rightKey, leftTime, rightTime)
+
+  /** Bucketized band join: all (left, right) pairs sharing a key with
+    * |leftTime - rightTime| <= width — planned as an EQUI-join on
+    * (key, time-cell) with a residual band filter, never a per-key
+    * product. Column names must be disjoint; times integral in the
+    * same unit as width. */
+  def bandJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, leftTime: String,
+      rightTime: String, width: Long): DataFrame =
+    Relational.bandJoin(left, right, leftKey, rightKey, leftTime,
+      rightTime, width)
+
+  /** Undirected connected components of an (a, b) edge list by
+    * min-label propagation: returns (node, cluster_id = min reachable
+    * node). One shuffle join per round, O(component diameter) rounds,
+    * lineage truncated per round — the pairs→clusters tail of a dedup
+    * pipeline. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame =
+    LlmOps4.connectedComponents(edges, maxIter)
+
+  /** Deterministic hash-threshold keep predicate: true iff the 2-hex
+    * md5 prefix of (salt-stamped) `id` is <= hexMax ("28" keeps
+    * ~16%). A pure row property — the sample is reproducible across
+    * engines, partitionings, and reruns, unlike seeded RNG sampling. */
+  def hashSampleKeep(id: Column, hexMax: String): Column =
+    LlmOps4.hashKeep(id, hexMax)
 }

@@ -53,8 +53,12 @@ object LlmOps4 {
     // Both directions once; propagation then only needs one join side.
     val und = e.union(e.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint(true)
-    var labels = und.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // Initial label = min(node, min neighbour): one aggregate over the
+    // edge list IS the first propagation round, so the loop below only
+    // runs for components of diameter >= 2.
+    var labels = und.groupBy(col("a"))
+      .agg(min(col("b")).as("nb"))
+      .select(col("a").as("node"), least(col("a"), col("nb")).as("label"))
       .localCheckpoint(true)
     var iter = 0
     var changed = 1L
@@ -91,7 +95,7 @@ object LlmOps4 {
   /** Deterministic hash-threshold keep predicate: lowercase-hex md5
     * prefix compared as a string (fixed width => numeric order).
     * `hexMax` "28" keeps (2*16+8+1)/256 ~ 16% of rows. */
-  private def hashKeep(id: Column, hexMax: String): Column =
+  private[graft] def hashKeep(id: Column, hexMax: String): Column =
     substring(md5(concat(lit("graft"), id.cast("string"))), 1, 2) <= hexMax
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -142,6 +142,35 @@ object Relational {
 
   // ---------------------------------------------------------------- §2.3
 
+  /** Generic bucketized band join: all (left, right) pairs sharing a
+    * key with |leftTime - rightTime| <= width. A plain theta join is
+    * O(n·m) per key; bucketing the integer time into width-wide cells
+    * and exploding ONE side to its 3 adjacent cells turns it into an
+    * EQUI-join on (key, cell) — candidates are only the 3-cell
+    * neighbourhood, the band bound is a residual filter, and each
+    * qualifying pair is produced exactly once (the probe side has one
+    * cell; the 3 exploded cells are distinct). Column names of the two
+    * frames must be disjoint; key/time arguments are column names of
+    * their respective frames; times must be integral (same unit as
+    * `width`). */
+  private[graft] def bandJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, leftTime: String,
+      rightTime: String, width: Long): DataFrame = {
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty, s"bandJoin: overlapping column names $overlap")
+    // div, not `/`: Column `/` is double division
+    val cell = s"__graft_cell"
+    val l = left.withColumn(cell, explode(array(
+      expr(s"$leftTime div $width") - 1,
+      expr(s"$leftTime div $width"),
+      expr(s"$leftTime div $width") + 1)))
+    val r = right.withColumn(cell, expr(s"$rightTime div $width"))
+    l.join(r, col(leftKey) === col(rightKey) &&
+        l(cell) === r(cell) &&
+        abs(col(leftTime) - col(rightTime)) <= width)
+      .select((left.columns ++ right.columns).map(col).toSeq: _*)
+  }
+
   private val joinQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // large-large: both sides shuffle on the key (SMJ / shuffled-hash
     // via AQE) — the shape that scales to 100 TB fact-fact joins.
@@ -322,30 +351,20 @@ object Relational {
     }),
 
     // Bucketized band join — the scale form of a |t_a - t_b| <= W
-    // self-join. A plain theta join is O(n·m) per user; bucketing time
-    // into W-wide cells and exploding ONE side to its 3 adjacent cells
-    // turns it into an EQUI-join on (user, cell) — candidate pairs are
-    // only the ~3-cell neighbourhood, and the band bound is a residual
-    // filter. Each qualifying pair is found exactly once (the probe
-    // side has one cell; the 3 exploded build cells are distinct).
-    // All time math in exact integer microseconds.
+    // self-join, via the generic [[bandJoin]]. All time math in exact
+    // integer microseconds.
     "join_range_bucketed" -> ((s, dir) => {
       val winUs = 3600L * 1000000L // 1 hour in µs
       val e = loadEvents(s, dir)
         .select(col("event_id"), col("user_id"),
           unix_micros(col("ts")).as("us"))
-      // div, not `/`: Column `/` is double division
-      val probe = e.withColumn("cell", expr(s"us div $winUs"))
-      val build = e.withColumn("cell", explode(array(
-          expr(s"us div $winUs") - 1,
-          expr(s"us div $winUs"),
-          expr(s"us div $winUs") + 1)))
-      build.as("a").join(probe.as("b"),
-          col("a.user_id") === col("b.user_id") &&
-            col("a.cell") === col("b.cell") &&
-            col("a.event_id") < col("b.event_id") &&
-            abs(col("a.us") - col("b.us")) <= winUs)
-        .groupBy(col("a.user_id").as("user_id"))
+      val a = e.select(col("event_id").as("a_id"),
+        col("user_id").as("a_user"), col("us").as("a_us"))
+      val b = e.select(col("event_id").as("b_id"),
+        col("user_id").as("b_user"), col("us").as("b_us"))
+      bandJoin(a, b, "a_user", "b_user", "a_us", "b_us", winUs)
+        .filter(col("a_id") < col("b_id"))
+        .groupBy(col("a_user").as("user_id"))
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy("user_id")
     }),

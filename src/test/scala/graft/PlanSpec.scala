@@ -52,4 +52,28 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters: [IsNotNull(l_quantity)"),
       s"no pushed filters in:\n$plan")
   }
+
+  test("join_range_bucketed: the band join plans as an EQUI join, not a nested loop") {
+    val plan = executed("join_range_bucketed")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"band join degenerated to a product:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"no equi join in band-join plan:\n$plan")
+  }
+
+  test("agg_histogram: partial (map-side) aggregation before the bucket shuffle") {
+    val plan = executed("agg_histogram")
+    assert(plan.contains("HashAggregate"), s"no hash aggregate:\n$plan")
+    // partial + final pair => map-side combine happened
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"no partial aggregation:\n$plan")
+  }
+
+  test("evt_funnel: every stage join keys on user_id (co-partitioned chain, no broadcast of the fact)") {
+    val plan = executed("evt_funnel")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), s"no join in funnel plan:\n$plan")
+  }
 }
