@@ -117,6 +117,27 @@ object Events {
       graft.streaming.Streams.thresholdAlerts(loadEvents(s, dir), step = 1000.0)
         .orderBy("user_id", "threshold_multiple")),
 
+    // Cohort retention: users bucketed by first-activity week; for
+    // each (cohort week, weeks-since) cell, how many of the cohort
+    // were active. Distinct (user, week) pairs first (one hash agg),
+    // then the cohort min and the retention join both hash on user_id
+    // — co-partitioned, no broadcast of the fact side. Week math is
+    // exact integer days div 7 on Monday-truncated dates (both
+    // engines truncate weeks to Monday).
+    "evt_retention" -> ((s, dir) => {
+      val weeks = loadEvents(s, dir)
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("wk"))
+        .distinct()
+      val cohort = weeks.groupBy("user_id").agg(min("wk").as("cohort_week"))
+      weeks.join(cohort, "user_id")
+        .select(col("user_id"), col("cohort_week"),
+          expr("datediff(wk, cohort_week) div 7").cast("int").as("k"))
+        .groupBy("cohort_week", "k")
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cohort_week", "k")
+    }),
+
     // Ordered conversion funnel: first view -> first click at-or-after
     // it -> first purchase at-or-after that. Three per-user min
     // aggregates chained by joins that all hash on user_id — the
@@ -204,6 +225,18 @@ object Events {
         |  AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
         |  AND CAST(b.ts AS TIMESTAMP) < CAST(a.ts AS TIMESTAMP) + INTERVAL 1 HOUR
         |ORDER BY click_id, purchase_id""".stripMargin,
+
+    "evt_retention" ->
+      """WITH w AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
+        |  FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort_week FROM w GROUP BY user_id)
+        |SELECT c.cohort_week,
+        |  CAST(date_diff('day', c.cohort_week, w.wk) // 7 AS INT) AS k,
+        |  count(DISTINCT w.user_id) AS n_users
+        |FROM w JOIN c ON w.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_week, k""".stripMargin,
 
     "evt_funnel" ->
       """WITH e AS (
