@@ -167,6 +167,25 @@ object Aggregates {
           .as("priorities"))
         .orderBy("o_custkey")),
 
+    // Deterministic per-group mode: most frequent value, lowest value
+    // on ties (mode()'s tie choice is engine-specific, so the
+    // count-then-rank formulation is spelled out identically in both
+    // engines). Counts hash-aggregate map-side; the rank window runs
+    // over the tiny (group, value) count table, never the fact rows.
+    "agg_mode" -> ((s, dir) => {
+      val counts = load(s, dir, "lineitem")
+        .groupBy(col("l_linestatus"), col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_linestatus")
+        .orderBy(desc("cnt"), asc("l_returnflag"))
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_linestatus"), col("l_returnflag").as("mode_flag"),
+          col("cnt"))
+        .orderBy("l_linestatus")
+    }),
+
     // Fixed-width histogram: the bucket id is a per-row projection, so
     // the aggregate hash-partitions on ~50 buckets and partially
     // combines map-side — the same one-shuffle plan at any scale.
@@ -273,6 +292,14 @@ object Aggregates {
         |  quantile_cont(l_quantity, 0.9) AS p90,
         |  quantile_cont(l_quantity, 0.99) AS p99
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_mode" ->
+      """SELECT l_linestatus, mode_flag, cnt FROM (
+        |  SELECT l_linestatus, l_returnflag AS mode_flag, count(*) AS cnt,
+        |    row_number() OVER (PARTITION BY l_linestatus
+        |      ORDER BY count(*) DESC, l_returnflag) AS rn
+        |  FROM lineitem GROUP BY l_linestatus, l_returnflag) t
+        |WHERE rn = 1 ORDER BY l_linestatus""".stripMargin,
 
     "agg_histogram" ->
       """SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bucket,

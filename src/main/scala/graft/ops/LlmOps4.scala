@@ -50,33 +50,38 @@ object LlmOps4 {
       maxIter: Int = 20): DataFrame = {
     val cols = edges.columns
     val e = edges.select(col(cols(0)).as("a"), col(cols(1)).as("b"))
-    // Both directions once; propagation then only needs one join side.
+    // Both directions PLUS self-loops: with (x, x) present, min over a
+    // node's neighbourhood includes its own label, so each round is
+    // ONE join + one map-side-combining min-aggregate — no second
+    // join to re-attach old labels.
+    val nodes = e.select(col("a")).union(e.select(col("b").as("a")))
+      .distinct()
     val und = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      .union(nodes.select(col("a"), col("a").as("b")))
       .localCheckpoint(true)
-    // Initial label = min(node, min neighbour): one aggregate over the
-    // edge list IS the first propagation round, so the loop below only
-    // runs for components of diameter >= 2.
-    var labels = und.groupBy(col("a"))
-      .agg(min(col("b")).as("nb"))
-      .select(col("a").as("node"), least(col("a"), col("nb")).as("label"))
+    // Init = round 1: label(x) = min over the closed neighbourhood.
+    var labels = und.groupBy("a").agg(min("b").as("label"))
+      .withColumnRenamed("a", "node")
       .localCheckpoint(true)
-    var iter = 0
-    var changed = 1L
-    while (changed > 0 && iter < maxIter) {
-      // Min label among neighbours: the aggregate partially combines
-      // map-side, so the shuffle carries one row per (node) not per
-      // edge endpoint.
-      val nbrMin = und.join(labels, und("b") === labels("node"))
-        .groupBy(und("a").as("n2")).agg(min("label").as("nbr_label"))
-      val next = labels.join(nbrMin, labels("node") === nbrMin("n2"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nbr_label"), col("label")))
-            .as("label"),
-          (coalesce(col("nbr_label"), col("label")) < col("label"))
-            .as("chg"))
+    // Labels only ever decrease, so Σlabels strictly decreases until
+    // the fixpoint — one scalar action per round detects convergence
+    // with no extra join or changed-row count.
+    def labelSum(df: DataFrame): Long = {
+      val r = df.agg(sum("label")).first()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    var prev = labelSum(labels)
+    var iter = 1
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val next = und.join(labels, col("b") === col("node"))
+        .groupBy("a").agg(min("label").as("label"))
+        .withColumnRenamed("a", "node")
         .localCheckpoint(true) // truncate lineage before the next round
-      changed = next.filter(col("chg")).count()
-      labels = next.select("node", "label")
+      val cur = labelSum(next)
+      labels = next
+      converged = cur == prev
+      prev = cur
       iter += 1
     }
     labels.select(col("node"), col("label").as("cluster_id"))
@@ -141,6 +146,30 @@ object LlmOps4 {
         .select(col("vec_id"), round(col("scale"), 6).as("scale"),
           round(col("mae"), 6).as("mae"))
         .orderBy("vec_id")),
+
+    // Bigram language-model estimates: P(w2|w1) = c(w1 w2) / c(w1 ·)
+    // from exact integer counts (the classic n-gram LM / corpus-stats
+    // primitive). The token array is materialized ONCE per doc (HOF
+    // lambdas are interpreted — split() must not be inlined); both
+    // aggregates hash-partition on the leading word; the tiny
+    // vocabulary side broadcasts into the probability join.
+    "llm_ngram_lm" -> ((s: SparkSession, dir: String) => {
+      val pairs = load(s, dir, "documents")
+        .select(split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(0, size(w) - 2),
+            |  i -> struct(element_at(w, i + 1) AS w1,
+            |              element_at(w, i + 2) AS w2))""".stripMargin))
+          .as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val c12 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val c1 = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
+      c12.join(broadcast(c1), "w1")
+        .select(col("w1"), col("w2"), col("c12"),
+          round(col("c12").cast("double") / col("c1"), 6).as("p"))
+        .orderBy("w1", "w2")
+    }),
 
     // Inverted index: term -> document frequency + sorted posting
     // list. collect_list is per-term (bounded by df); the aggregate
@@ -212,6 +241,21 @@ object LlmOps4 {
         |  FROM m WHERE mx > 0)
         |SELECT vec_id, round(scale, 6) AS scale, round(mae, 6) AS mae
         |FROM q ORDER BY vec_id""".stripMargin,
+
+    "llm_ngram_lm" ->
+      """WITH t AS (
+        |  SELECT string_split(text, ' ') AS w FROM documents),
+        |q AS (
+        |  SELECT unnest(list_transform(range(1, len(w)),
+        |    i -> {'w1': w[i], 'w2': w[i + 1]})) AS s
+        |  FROM t WHERE len(w) >= 2),
+        |pr AS (SELECT s.w1 AS w1, s.w2 AS w2 FROM q),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM pr GROUP BY w1, w2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM pr GROUP BY w1)
+        |SELECT c12.w1, c12.w2, c12.c12,
+        |  round(CAST(c12.c12 AS DOUBLE) / CAST(c1.c1 AS DOUBLE), 6) AS p
+        |FROM c12 JOIN c1 ON c12.w1 = c1.w1
+        |ORDER BY c12.w1, c12.w2""".stripMargin,
 
     "llm_inverse_index" ->
       """WITH t AS (

@@ -293,6 +293,32 @@ object Relational {
         .orderBy("event_id")
     }),
 
+    // FORWARD as-of: the EARLIEST order date at-or-after each event —
+    // the mirror of join_asof_partitioned (same union + one-shuffle
+    // window merge, time order reversed). At equal times orders still
+    // sort before events inside the reversed frame, so the <=
+    // (inclusive) semantics match DuckDB's forward ASOF JOIN.
+    "join_asof_forward" -> ((s, dir) => {
+      val e = loadEvents(s, dir).select(col("user_id"),
+        col("ts").cast("timestamp_ntz").as("t"),
+        col("event_id"), lit(1).as("is_evt"),
+        lit(null).cast("timestamp_ntz").as("odate"))
+      val o = load(s, dir, "orders").select(col("o_custkey").as("user_id"),
+        col("o_orderdate").as("t"),
+        lit(null).cast("long").as("event_id"), lit(0).as("is_evt"),
+        col("o_orderdate").as("odate")).distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(desc("t"), asc("is_evt"))
+        .rowsBetween(Long.MinValue, 0)
+      e.unionByName(o)
+        .withColumn("next_orderdate", last(col("odate"), ignoreNulls = true).over(w))
+        .filter(col("is_evt") === 1 && col("next_orderdate").isNotNull)
+        .select(col("event_id"), col("user_id"), col("t").as("ts"),
+          col("next_orderdate"))
+        .orderBy("event_id")
+    }),
+
     // The same as-of semantics through the bespoke physical operator
     // (graft.plans.AsOfJoinExec): both sides co-partition on the key
     // and merge in one sorted pass — no union materialization, no
@@ -455,6 +481,14 @@ object Relational {
         |FROM events e ASOF JOIN
         |  (SELECT DISTINCT o_custkey, o_orderdate FROM orders) o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY event_id""".stripMargin,
+
+    "join_asof_forward" ->
+      """SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+        |  o.o_orderdate AS next_orderdate
+        |FROM events e ASOF JOIN
+        |  (SELECT DISTINCT o_custkey, o_orderdate FROM orders) o
+        |  ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
         |ORDER BY event_id""".stripMargin,
 
     "join_interval" ->
