@@ -153,13 +153,17 @@ object LlmOps {
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
-      // Verify joins: broadcast only the BARE candidate key pairs
-      // (small post-LSH); the array-carrying intermediate then joins
-      // on doc_id and shuffles — the right plan at any scale
-      // (broadcasting shingle arrays would cap at the broadcast limit).
-      val withA = sets.join(broadcast(cand), col("doc_id") === col("doc_a"))
+      // Verify joins: the sets side is hint-pinned to SHUFFLE on
+      // doc_id in both joins, so the two exchanges are canonically
+      // identical and ReuseExchange computes the shingle pipeline ONCE
+      // (a broadcast-candidates plan streamed sets through a BHJ with
+      // no reusable exchange — the shingles were computed twice). The
+      // array-carrying side still never broadcasts: shingle arrays
+      // would cap at the broadcast limit at scale.
+      val setsHinted = sets.hint("shuffle_merge")
+      val withA = setsHinted.join(cand, col("doc_id") === col("doc_a"))
         .select(col("doc_a"), col("doc_b"), col("sh").as("sh_a"))
-      sets.join(withA, col("doc_id") === col("doc_b"))
+      setsHinted.join(withA, col("doc_id") === col("doc_b"))
         .select(col("doc_a"), col("doc_b"), col("sh").as("sh_b"), col("sh_a"))
         .select(col("doc_a"), col("doc_b"),
           graft.functions.SortedJaccard(col("sh_a"), col("sh_b")).as("jaccard"))

@@ -184,11 +184,15 @@ object LlmOps2 {
             col("a.bucket") === col("b.bucket") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      // broadcast only the bare pair keys (a few MB); the array-
-      // carrying intermediate is NOT broadcastable — its join shuffles
-      // on doc_id, which is the right plan at any scale.
-      val sets = g.select(col("doc_id"), col("bg"))
-      val withA = sets.join(broadcast(pairs), col("doc_id") === col("doc_a"))
+      // Both verify joins SHUFFLE the sets side on doc_id (hint pins
+      // it): the two exchanges are then canonically identical and
+      // ReuseExchange computes the expensive bigram pipeline ONCE — a
+      // broadcast-pairs plan streamed sets through a BHJ with no
+      // reusable exchange and computed the bigrams twice (measured
+      // ~25% of the query). The array-carrying side still never
+      // broadcasts — the right plan at any scale.
+      val sets = g.select(col("doc_id"), col("bg")).hint("shuffle_merge")
+      val withA = sets.join(pairs, col("doc_id") === col("doc_a"))
         .select(col("doc_a"), col("doc_b"), col("bg").as("bg_a"))
       sets.join(withA, col("doc_id") === col("doc_b"))
         .select(col("doc_a"), col("doc_b"),
