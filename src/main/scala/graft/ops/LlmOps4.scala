@@ -65,10 +65,12 @@ object LlmOps4 {
       .localCheckpoint(true)
     // Labels only ever decrease, so Σlabels strictly decreases until
     // the fixpoint — one scalar action per round detects convergence
-    // with no extra join or changed-row count.
-    def labelSum(df: DataFrame): Long = {
-      val r = df.agg(sum("label")).first()
-      if (r.isNullAt(0)) 0L else r.getLong(0)
+    // with no extra join or changed-row count. DECIMAL(38,0)
+    // accumulation: a BIGINT sum of 10^10 node ids overflows (and
+    // throws under ANSI mode) at the scale this operator targets.
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val r = df.agg(sum(col("label").cast("decimal(38,0)"))).first()
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
     }
     var prev = labelSum(labels)
     var iter = 1
@@ -80,7 +82,7 @@ object LlmOps4 {
         .localCheckpoint(true) // truncate lineage before the next round
       val cur = labelSum(next)
       labels = next
-      converged = cur == prev
+      converged = cur.compareTo(prev) == 0
       prev = cur
       iter += 1
     }

@@ -76,4 +76,29 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(got.size == 2)
     assert(got(1L) > 0.4 && got(2L) < 0.1, s"got $got")
   }
+
+  test("facade: bandJoin finds pairs within the band and rejects disjoint column names") {
+    import spark.implicits._
+    val l = Seq((1L, 100L), (2L, 250L)).toDF("l_id", "l_t")
+    val r = Seq((1L, 149L), (1L, 151L), (2L, 500L)).toDF("r_id", "r_t")
+    val got = Graft.bandJoin(l, r, "l_id", "r_id", "l_t", "r_t", width = 50L)
+      .collect().map(row => (row.getLong(0), row.getLong(3))).sorted
+    // key 1: |100-149|<=50 and |100-151|>50; key 2: |250-500|>50
+    assert(got.sameElements(Array((1L, 149L))), s"got ${got.mkString(",")}")
+    intercept[IllegalArgumentException] {
+      Graft.bandJoin(l, l, "l_id", "l_id", "l_t", "l_t", 50L)
+    }
+  }
+
+  test("facade: connectedComponents + hashSampleKeep behave as the library ops") {
+    import spark.implicits._
+    val cc = Graft.connectedComponents(Seq((5L, 9L), (9L, 7L)).toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(5L -> 5L, 9L -> 5L, 7L -> 5L))
+    val docs = (1L to 200L).toDF("id")
+    val kept = docs.filter(Graft.hashSampleKeep(col("id"), "28")).count()
+    // ~16% expected; a pure row property, so the exact count is stable
+    assert(kept == docs.filter(Graft.hashSampleKeep(col("id"), "28")).count())
+    assert(kept > 5 && kept < 80, s"kept $kept of 200")
+  }
 }
