@@ -28,7 +28,12 @@ object Bench {
     * line (~75 chars) must both fit. */
   private val MaxLineChars = 1500
 
-  private def fmt(v: Double): String = f"$v%.3f"
+  /** Locale-pinned formatting: the f-interpolator uses the default JVM
+    * locale, and a comma-decimal locale (de_DE, fr_FR) would emit
+    * {"value":47,200,...} — malformed JSON, recreating the parse
+    * failure this file exists to fix. */
+  private def fmt(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -74,7 +79,12 @@ object Bench {
       // not report its time-to-exception as a legitimate timing
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Failed queries carry the -1 sentinel in the per-query map but
+    // must not subtract fictitious time from the headline total.
+    val total = results.values.filter(_ >= 0).sum
+    val nFailed = results.values.count(_ < 0)
+    if (nFailed > 0)
+      System.err.println(s"[bench] $nFailed quer${if (nFailed == 1) "y" else "ies"} FAILED (reported as -1)")
 
     // Full per-query map → bench_full.json (cwd is the repo root under
     // both the driver's sbt invocation and tools/run_class.sh).

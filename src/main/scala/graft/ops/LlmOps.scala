@@ -110,14 +110,19 @@ object LlmOps {
     "llm_multimodal_cols" -> (multimodal _)
   )
 
-  /** Deterministic exact-dedup survivor keys: the minimum key per
-    * distinct md5(payload). Single definition — the oracle-checked
-    * query below and the public [[graft.Graft.exactDedupSurvivors]]
-    * facade both delegate here. */
-  private[graft] def exactSurvivorKeys(df: DataFrame, keyCol: Column,
+  /** Deterministic exact-dedup survivor map: (payload md5 `h`,
+    * minimum key `survivor_key`). SINGLE definition of the survivor
+    * aggregate — the oracle-checked query below, the public
+    * [[graft.Graft.exactDedupSurvivors]] facade, and
+    * [[LlmOps4]]'s cluster edges all delegate here. */
+  private[graft] def exactSurvivorsByHash(df: DataFrame, keyCol: Column,
       payload: Column): DataFrame =
     df.groupBy(md5(payload).as("h")).agg(min(keyCol).as("survivor_key"))
-      .select("survivor_key")
+
+  /** Survivor keys only (see [[exactSurvivorsByHash]]). */
+  private[graft] def exactSurvivorKeys(df: DataFrame, keyCol: Column,
+      payload: Column): DataFrame =
+    exactSurvivorsByHash(df, keyCol, payload).select("survivor_key")
 
   // Exact dedup on md5(text): deterministic survivor = min doc_id per
   // hash (dropDuplicates' arbitrary pick would leak into the

@@ -48,6 +48,9 @@ object LlmOps4 {
     * pathological chains. */
   private[graft] def connectedComponents(edges: DataFrame,
       maxIter: Int = 20): DataFrame = {
+    // >= 2: one init round plus at least one confirming round — with
+    // maxIter=1 convergence could never be observed.
+    require(maxIter >= 2, s"connectedComponents: maxIter $maxIter < 2")
     val cols = edges.columns
     val e = edges.select(col(cols(0)).as("a"), col(cols(1)).as("b"))
     // Both directions PLUS self-loops: with (x, x) present, min over a
@@ -56,13 +59,18 @@ object LlmOps4 {
     // join to re-attach old labels.
     val nodes = e.select(col("a")).union(e.select(col("b").as("a")))
       .distinct()
+    // persist (not checkpoint): each superseded round is explicitly
+    // unpersisted below — eager checkpoints would pin every round's
+    // blocks until GC, starving shuffle memory on long runs. The plan
+    // tree grows linearly with rounds, which is fine at maxIter=20;
+    // execution always reads the cached previous round.
     val und = e.union(e.select(col("b").as("a"), col("a").as("b")))
       .union(nodes.select(col("a"), col("a").as("b")))
-      .localCheckpoint(true)
+      .persist()
     // Init = round 1: label(x) = min over the closed neighbourhood.
     var labels = und.groupBy("a").agg(min("b").as("label"))
       .withColumnRenamed("a", "node")
-      .localCheckpoint(true)
+      .persist()
     // Labels only ever decrease, so Σlabels strictly decreases until
     // the fixpoint — one scalar action per round detects convergence
     // with no extra join or changed-row count. DECIMAL(38,0)
@@ -72,38 +80,56 @@ object LlmOps4 {
       val r = df.agg(sum(col("label").cast("decimal(38,0)"))).first()
       if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
     }
-    var prev = labelSum(labels)
+    var prev = labelSum(labels) // materializes the persisted round
     var iter = 1
     var converged = false
     while (!converged && iter < maxIter) {
       val next = und.join(labels, col("b") === col("node"))
         .groupBy("a").agg(min("label").as("label"))
         .withColumnRenamed("a", "node")
-        .localCheckpoint(true) // truncate lineage before the next round
-      val cur = labelSum(next)
+        .persist()
+      val cur = labelSum(next) // materializes next; labels now dead
+      labels.unpersist()
       labels = next
       converged = cur.compareTo(prev) == 0
       prev = cur
       iter += 1
     }
+    if (!converged)
+      // Unconverged labels are WRONG (one true component surfaces as
+      // several) — never return them silently.
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          "(component diameter exceeds maxIter); raise maxIter")
+    // und is no longer needed; labels stays persisted for the caller
+    // (a hint only — correctness does not depend on it).
+    und.unpersist()
     labels.select(col("node"), col("label").as("cluster_id"))
   }
 
   /** Exact-duplicate edges: every doc links to the min doc_id sharing
-    * its md5(text). One hash aggregate + one shuffle join on the hash. */
+    * its md5(text). The survivor aggregate is THE canonical
+    * [[LlmOps.exactSurvivorsByHash]] definition — `llm_dedup_exact`,
+    * the facade, and these edges cannot drift apart. */
   private def exactDupEdges(docs: DataFrame): DataFrame = {
-    val hashes = docs.select(col("doc_id"), md5(col("text")).as("h"))
-    val mins = hashes.groupBy("h").agg(min("doc_id").as("a"))
-    hashes.join(mins, "h")
+    val mins = LlmOps.exactSurvivorsByHash(docs, col("doc_id"), col("text"))
+      .withColumnRenamed("survivor_key", "a")
+    docs.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(mins, "h")
       .filter(col("doc_id") > col("a"))
       .select(col("a"), col("doc_id").as("b"))
   }
 
   /** Deterministic hash-threshold keep predicate: lowercase-hex md5
     * prefix compared as a string (fixed width => numeric order).
-    * `hexMax` "28" keeps (2*16+8+1)/256 ~ 16% of rows. */
-  private[graft] def hashKeep(id: Column, hexMax: String): Column =
+    * `hexMax` "28" keeps (2*16+8+1)/256 ~ 16% of rows. Validated:
+    * an uppercase or wrong-width threshold would silently change the
+    * kept fraction (lowercase hex sorts above 'F'). */
+  private[graft] def hashKeep(id: Column, hexMax: String): Column = {
+    require(hexMax.matches("[0-9a-f]{2}"),
+      s"hashKeep: hexMax '$hexMax' must be exactly 2 lowercase hex chars")
     substring(md5(concat(lit("graft"), id.cast("string"))), 1, 2) <= hexMax
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Duplicate-cluster resolution: edges = exact-dup links UNION
@@ -121,12 +147,15 @@ object LlmOps4 {
 
     // Reproducible stratified sample: md5-prefix threshold per row,
     // per-source kept counts + kept-id checksum (proves the SELECTION
-    // is deterministic, not just the count).
+    // is deterministic, not just the count). The checksum accumulates
+    // in DECIMAL(38,0): a BIGINT sum of 10^10 kept ids overflows (and
+    // throws under ANSI mode) at the corpus sizes this targets.
     "llm_sample_hash" -> ((s: SparkSession, dir: String) =>
       load(s, dir, "documents")
         .filter(hashKeep(col("doc_id"), "28"))
         .groupBy("source")
-        .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("sum_ids"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id").cast("decimal(38,0)")).as("sum_ids"))
         .orderBy("source")),
 
     // Int8 symmetric quantization: per-vector scale = 127/max|x|,
@@ -221,7 +250,7 @@ object LlmOps4 {
 
     "llm_sample_hash" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
-        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |  CAST(sum(doc_id) AS DECIMAL(38,0)) AS sum_ids
         |FROM documents
         |WHERE substring(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 2) <= '28'
         |GROUP BY source ORDER BY source""".stripMargin,

@@ -158,6 +158,9 @@ object Relational {
       rightTime: String, width: Long): DataFrame = {
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty, s"bandJoin: overlapping column names $overlap")
+    // width = 0 would surface as an ANSI divide-by-zero from deep in
+    // the plan; width < 0 would silently return an empty join.
+    require(width > 0, s"bandJoin: width $width must be positive")
     // div, not `/`: Column `/` is double division
     val cell = s"__graft_cell"
     val l = left.withColumn(cell, explode(array(
