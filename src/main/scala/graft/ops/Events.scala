@@ -117,6 +117,25 @@ object Events {
       graft.streaming.Streams.thresholdAlerts(loadEvents(s, dir), step = 1000.0)
         .orderBy("user_id", "threshold_multiple")),
 
+    // Rolling 7-day active users (WAU per day): rolling DISTINCT
+    // cannot run as a window sum, so each observed day joins the
+    // distinct (user, day) pairs of its trailing week — the tiny
+    // calendar side broadcasts (it is bounded by the time range, not
+    // the data volume), the fact side never shuffles for the join,
+    // and the count-distinct aggregate hashes on the calendar day.
+    "evt_active_users_rolling" -> ((s, dir) => {
+      val days = loadEvents(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val cal = days.select(col("day").as("cal_day")).distinct()
+      days.join(broadcast(cal),
+          col("day") >= date_sub(col("cal_day"), 6) &&
+            col("day") <= col("cal_day"))
+        .groupBy("cal_day")
+        .agg(countDistinct("user_id").as("wau"))
+        .orderBy("cal_day")
+    }),
+
     // Cohort retention: users bucketed by first-activity week; for
     // each (cohort week, weeks-since) cell, how many of the cohort
     // were active. Distinct (user, week) pairs first (one hash agg),
@@ -225,6 +244,14 @@ object Events {
         |  AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
         |  AND CAST(b.ts AS TIMESTAMP) < CAST(a.ts AS TIMESTAMP) + INTERVAL 1 HOUR
         |ORDER BY click_id, purchase_id""".stripMargin,
+
+    "evt_active_users_rolling" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |c AS (SELECT DISTINCT day AS cal_day FROM d)
+        |SELECT c.cal_day, count(DISTINCT d.user_id) AS wau
+        |FROM d JOIN c ON d.day BETWEEN c.cal_day - 6 AND c.cal_day
+        |GROUP BY c.cal_day ORDER BY cal_day""".stripMargin,
 
     "evt_retention" ->
       """WITH w AS (

@@ -322,6 +322,44 @@ object Relational {
         .orderBy("event_id")
     }),
 
+    // NEAREST as-of: the order date closest to each event in EITHER
+    // direction (ties -> the earlier/backward date). One union, one
+    // shuffle on user_id, two per-partition sorted windows (backward
+    // asc, forward desc); the nearest pick compares the two candidate
+    // INTERVALS — identical interval semantics in DuckDB's CASE.
+    "join_asof_nearest" -> ((s, dir) => {
+      val e = loadEvents(s, dir).select(col("user_id"),
+        col("ts").cast("timestamp_ntz").as("t"),
+        col("event_id"), lit(1).as("is_evt"),
+        lit(null).cast("timestamp_ntz").as("odate"))
+      val o = load(s, dir, "orders").select(col("o_custkey").as("user_id"),
+        col("o_orderdate").as("t"),
+        lit(null).cast("long").as("event_id"), lit(0).as("is_evt"),
+        col("o_orderdate").as("odate")).distinct()
+      val wB = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(asc("t"), asc("is_evt"))
+        .rowsBetween(Long.MinValue, 0)
+      val wF = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(desc("t"), asc("is_evt"))
+        .rowsBetween(Long.MinValue, 0)
+      e.unionByName(o)
+        .withColumn("back", last(col("odate"), ignoreNulls = true).over(wB))
+        .withColumn("fwd", last(col("odate"), ignoreNulls = true).over(wF))
+        .filter(col("is_evt") === 1)
+        .withColumn("nearest_orderdate",
+          when(col("back").isNull, col("fwd"))
+            .when(col("fwd").isNull, col("back"))
+            .when(col("t") - col("back") <= col("fwd") - col("t"),
+              col("back"))
+            .otherwise(col("fwd")))
+        .filter(col("nearest_orderdate").isNotNull)
+        .select(col("event_id"), col("user_id"), col("t").as("ts"),
+          col("nearest_orderdate"))
+        .orderBy("event_id")
+    }),
+
     // The same as-of semantics through the bespoke physical operator
     // (graft.plans.AsOfJoinExec): both sides co-partition on the key
     // and merge in one sorted pass — no union materialization, no
@@ -494,6 +532,25 @@ object Relational {
         |  ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
         |ORDER BY event_id""".stripMargin,
 
+    "join_asof_nearest" ->
+      """WITH o AS (SELECT DISTINCT o_custkey, o_orderdate FROM orders),
+        |ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        |b AS (SELECT e.event_id, o.o_orderdate AS back FROM ev e
+        |  ASOF JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate),
+        |f AS (SELECT e.event_id, o.o_orderdate AS fwd FROM ev e
+        |  ASOF JOIN o ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate)
+        |SELECT ev.event_id, ev.user_id, ev.ts,
+        |  CASE WHEN b.back IS NULL THEN f.fwd
+        |       WHEN f.fwd IS NULL THEN b.back
+        |       WHEN ev.ts - b.back <= f.fwd - ev.ts THEN b.back
+        |       ELSE f.fwd END AS nearest_orderdate
+        |FROM ev
+        |LEFT JOIN b ON ev.event_id = b.event_id
+        |LEFT JOIN f ON ev.event_id = f.event_id
+        |WHERE b.back IS NOT NULL OR f.fwd IS NOT NULL
+        |ORDER BY ev.event_id""".stripMargin,
+
     "join_interval" ->
       """SELECT p.event_id AS p_id, c.event_id AS c_id
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
@@ -587,7 +644,16 @@ object Relational {
     "set_except" -> ((s, dir) =>
       load(s, dir, "customer").select(col("c_custkey").as("custkey"))
         .except(load(s, dir, "orders").select(col("o_custkey").as("custkey")))
-        .orderBy("custkey"))
+        .orderBy("custkey")),
+
+    // Symmetric difference as composed except/union — each leg
+    // dedups+anti-joins on the same hashed key, so the three shuffles
+    // share one partitioning.
+    "set_symmetric_diff" -> ((s, dir) => {
+      val c = load(s, dir, "customer").select(col("c_custkey").as("custkey"))
+      val o = load(s, dir, "orders").select(col("o_custkey").as("custkey"))
+      c.except(o).union(o.except(c)).orderBy("custkey")
+    })
   )
 
   private val setOracle: Map[String, String] = Map(
@@ -602,7 +668,16 @@ object Relational {
         |INTERSECT SELECT o_custkey FROM orders ORDER BY custkey""".stripMargin,
     "set_except" ->
       """SELECT c_custkey AS custkey FROM customer
-        |EXCEPT SELECT o_custkey FROM orders ORDER BY custkey""".stripMargin
+        |EXCEPT SELECT o_custkey FROM orders ORDER BY custkey""".stripMargin,
+    "set_symmetric_diff" ->
+      """SELECT custkey FROM (
+        |  SELECT c_custkey AS custkey FROM customer
+        |  EXCEPT SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT custkey FROM (
+        |  SELECT o_custkey AS custkey FROM orders
+        |  EXCEPT SELECT c_custkey FROM customer)
+        |ORDER BY custkey""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
