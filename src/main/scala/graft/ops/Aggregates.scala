@@ -147,6 +147,20 @@ object Aggregates {
         .agg(sum(col("l_quantity").cast("long")))
         .orderBy("l_linestatus")),
 
+    // The SCALE path next to the exact sort-based percentile below:
+    // approx_percentile's sketch is mergeable (map-side partials
+    // combine), so it never globally sorts — the only viable form at
+    // 100 TB. Approximate by design => no oracle (SURVEY §1.5 r4);
+    // OpsSpec asserts each estimate within accuracy bounds of exact.
+    "agg_approx_percentile" -> ((s, dir) =>
+      load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.99), 1000)")
+          .as("p"))
+        .select(col("l_returnflag"), col("p").getItem(0).as("p50"),
+          col("p").getItem(1).as("p99"))
+        .orderBy("l_returnflag")),
+
     // Exact interpolated percentiles (sort-based, same linear
     // interpolation rule as DuckDB quantile_cont); integral-valued
     // quantities make the interpolation arithmetic exact.

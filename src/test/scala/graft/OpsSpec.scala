@@ -31,6 +31,22 @@ class OpsSpec extends AnyFunSuite {
       s"approx=$approx exact=$exact")
   }
 
+  test("agg_approx_percentile: sketch estimates within 2% of exact per group") {
+    val approx = SparkEntry.queries("agg_approx_percentile")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = graft.util.Tables.load(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.99)").as("p99"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.keySet === exact.keySet)
+    approx.foreach { case (g, (a50, a99)) =>
+      val (e50, e99) = exact(g)
+      assert(math.abs(a50 - e50) / e50 < 0.02, s"$g p50 approx=$a50 exact=$e50")
+      assert(math.abs(a99 - e99) / e99 < 0.02, s"$g p99 approx=$a99 exact=$e99")
+    }
+  }
+
   test("agg_hll_mergeable: union-merged per-group sketches within 5% of exact") {
     val merged = SparkEntry.queries("agg_hll_mergeable")(spark, sf)
       .collect()(0).getLong(0)

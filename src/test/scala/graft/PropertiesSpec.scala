@@ -65,4 +65,48 @@ object PropertiesSpec extends Properties("graft-laws") {
       lastRunning.join(totals, "grp")
         .filter(col("final_run") =!= col("total")).count() == 0
     }
+
+  // (event_id, key, time) rows; ids made unique by index
+  private val timedRows: Gen[List[(Long, Long)]] =
+    Gen.listOf(Gen.zip(Gen.chooseNum(0L, 3L), Gen.chooseNum(0L, 500L)))
+
+  property("bandJoin == brute-force theta join on random timed rows") =
+    forAll(timedRows, Gen.chooseNum(10L, 120L)) { (xs, width) =>
+      import spark.implicits._
+      val rows = xs.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+      val l = rows.toDF("l_id", "l_k", "l_t")
+      val r = rows.toDF("r_id", "r_k", "r_t")
+      val banded = graft.Graft.bandJoin(l, r, "l_k", "r_k", "l_t", "r_t", width)
+        .filter(col("l_id") < col("r_id"))
+        .collect().map(x => (x.getLong(0), x.getLong(3))).toSet
+      val brute = (for {
+        (ai, ak, at) <- rows; (bi, bk, bt) <- rows
+        if ak == bk && ai < bi && math.abs(at - bt) <= width
+      } yield (ai, bi)).toSet
+      banded == brute
+    }
+
+  property("connectedComponents == brute-force union-find on random graphs") =
+    forAll(Gen.listOf(Gen.zip(Gen.chooseNum(0L, 12L), Gen.chooseNum(0L, 12L)))) { es =>
+      import spark.implicits._
+      val edges = es.filter { case (a, b) => a != b }
+      edges.isEmpty || {
+        // brute-force union-find
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val expected = parent.keys.map(n => n -> find(n)).toMap
+        // find() compresses to the min because unions always root at
+        // the smaller representative
+        val got = graft.Graft.connectedComponents(edges.toDF("a", "b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got == expected
+      }
+    }
 }
