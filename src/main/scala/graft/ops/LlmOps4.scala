@@ -202,6 +202,62 @@ object LlmOps4 {
         .orderBy("w1", "w2")
     }),
 
+    // Per-doc cross-entropy under the corpus's own bigram LM — the
+    // classic LM-based quality filter. The LM (exact count ratios) is
+    // vocabulary-sized and broadcasts; doc bigrams join it without
+    // shuffling, then one hash-agg per doc. avg(-log2 p) is a double
+    // mean over ~10^2 terms/doc — association noise ~1e-14, absorbed
+    // by the 6-dp rounding both engines share.
+    "llm_lm_score" -> ((s: SparkSession, dir: String) => {
+      val docPairs = load(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, size(w) - 2),
+            |  i -> struct(element_at(w, i + 1) AS w1,
+            |              element_at(w, i + 2) AS w2))""".stripMargin))
+          .as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val c12 = docPairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val c1 = docPairs.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val lm = c12.join(c1, "w1")
+        .select(col("w1"), col("w2"),
+          (col("c12").cast("double") / col("c1")).as("prob"))
+      docPairs.join(broadcast(lm), Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(-log2(col("prob"))), 6).as("xent"))
+        .orderBy("doc_id")
+    }),
+
+    // Winnowing fingerprints (the MOSS-style local fingerprinting
+    // scheme): a word-5-gram's md5 is SELECTED when it is the minimum
+    // of its forward window of 4 grams — a deterministic ~1/4
+    // subsample that any duplicate passage reproduces regardless of
+    // position. Per-row gram explode + one partitioned window; the
+    // per-doc fingerprint is the md5 of the sorted selected hashes.
+    "llm_winnow_fingerprint" -> ((s: SparkSession, dir: String) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+      load(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("wd"))
+        .filter(size(col("wd")) >= 5)
+        .select(col("doc_id"), posexplode(expr(
+          """transform(sequence(0, size(wd) - 5),
+            |  i -> md5(concat_ws(' ',
+            |    element_at(wd, i + 1), element_at(wd, i + 2),
+            |    element_at(wd, i + 3), element_at(wd, i + 4),
+            |    element_at(wd, i + 5))))""".stripMargin)))
+        .toDF("doc_id", "pos", "gh")
+        .withColumn("sel", col("gh") === min(col("gh")).over(w))
+        .filter(col("sel"))
+        .groupBy("doc_id")
+        .agg(countDistinct(col("gh")).as("n_fp"),
+          md5(concat_ws(",", sort_array(collect_set(col("gh")))))
+            .as("fingerprint"))
+        .orderBy("doc_id")
+    }),
+
     // Inverted index: term -> document frequency + sorted posting
     // list. collect_list is per-term (bounded by df); the aggregate
     // shuffles once on the term.
@@ -287,6 +343,44 @@ object LlmOps4 {
         |  round(CAST(c12.c12 AS DOUBLE) / CAST(c1.c1 AS DOUBLE), 6) AS p
         |FROM c12 JOIN c1 ON c12.w1 = c1.w1
         |ORDER BY c12.w1, c12.w2""".stripMargin,
+
+    "llm_lm_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |q AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |    i -> {'w1': w[i], 'w2': w[i + 1]})) AS s
+        |  FROM t WHERE len(w) >= 2),
+        |pr AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM q),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM pr GROUP BY w1, w2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM pr GROUP BY w1),
+        |lm AS (
+        |  SELECT c12.w1, c12.w2,
+        |    CAST(c12.c12 AS DOUBLE) / CAST(c1.c1 AS DOUBLE) AS prob
+        |  FROM c12 JOIN c1 ON c12.w1 = c1.w1)
+        |SELECT pr.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(avg(-log2(lm.prob)), 6) AS xent
+        |FROM pr JOIN lm ON pr.w1 = lm.w1 AND pr.w2 = lm.w2
+        |GROUP BY pr.doc_id ORDER BY pr.doc_id""".stripMargin,
+
+    "llm_winnow_fingerprint" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS wd FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(wd) - 3),
+        |    i -> {'pos': i, 'gh': md5(wd[i] || ' ' || wd[i+1] || ' ' ||
+        |      wd[i+2] || ' ' || wd[i+3] || ' ' || wd[i+4])})) AS s
+        |  FROM t WHERE len(wd) >= 5),
+        |h AS (SELECT doc_id, s.pos AS pos, s.gh AS gh FROM g),
+        |m AS (
+        |  SELECT doc_id, pos, gh,
+        |    min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+        |  FROM h)
+        |SELECT doc_id, count(DISTINCT gh) AS n_fp,
+        |  md5(array_to_string(list_sort(list(DISTINCT gh)), ',')) AS fingerprint
+        |FROM m WHERE gh = wmin
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "llm_inverse_index" ->
       """WITH t AS (
