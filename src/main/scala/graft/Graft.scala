@@ -137,4 +137,13 @@ object Graft {
     * engines, partitionings, and reruns, unlike seeded RNG sampling. */
   def hashSampleKeep(id: Column, hexMax: String): Column =
     LlmOps4.hashKeep(id, hexMax)
+
+  /** Corpus bigram LM over (doc_id, text): (w1, w2, c12, prob) from
+    * exact counts; both aggregates hash on the leading word. */
+  def bigramLm(docs: DataFrame): DataFrame = LlmOps4.bigramLm(docs)
+
+  /** Per-doc cross-entropy under the corpus's own bigram LM — the
+    * LM-based quality-filter signal (doc bigrams join a broadcast
+    * vocabulary-sized LM; one hash-agg per doc). */
+  def lmScore(docs: DataFrame): DataFrame = LlmOps4.lmScore(docs)
 }

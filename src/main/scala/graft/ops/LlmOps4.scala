@@ -131,6 +131,45 @@ object LlmOps4 {
     substring(md5(concat(lit("graft"), id.cast("string"))), 1, 2) <= hexMax
   }
 
+  /** Word-bigram pairs (doc_id, w1, w2) of any (doc_id, text)
+    * relation. The token array is materialized ONCE per doc (HOF
+    * lambdas are interpreted — split() must not be inlined). Shared
+    * by the LM estimate and the LM-scoring operators. */
+  private[graft] def bigramPairs(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(w) - 2),
+          |  i -> struct(element_at(w, i + 1) AS w1,
+          |              element_at(w, i + 2) AS w2))""".stripMargin))
+        .as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+
+  /** Corpus bigram LM: (w1, w2, c12, prob = c12 / c(w1 ·)) from exact
+    * integer counts. Both aggregates hash-partition on the leading
+    * word. SINGLE definition — `llm_ngram_lm`, `llm_lm_score`, and
+    * the facade all derive from it. */
+  private[graft] def bigramLm(docs: DataFrame): DataFrame = {
+    val pairs = bigramPairs(docs)
+    val c12 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
+    c12.join(broadcast(c1), "w1")
+      .select(col("w1"), col("w2"), col("c12"),
+        (col("c12").cast("double") / col("c1")).as("prob"))
+  }
+
+  /** Per-doc cross-entropy under the corpus's own bigram LM: the
+    * vocabulary-sized LM broadcasts, doc bigrams join it without
+    * shuffling, one hash-agg per doc. */
+  private[graft] def lmScore(docs: DataFrame): DataFrame =
+    bigramPairs(docs)
+      .join(broadcast(bigramLm(docs).select("w1", "w2", "prob")),
+        Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log2(col("prob"))), 6).as("xent"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Duplicate-cluster resolution: edges = exact-dup links UNION
     // bigram-Jaccard >= 0.5 near-dup pairs, components solved by
@@ -179,56 +218,19 @@ object LlmOps4 {
         .orderBy("vec_id")),
 
     // Bigram language-model estimates: P(w2|w1) = c(w1 w2) / c(w1 ·)
-    // from exact integer counts (the classic n-gram LM / corpus-stats
-    // primitive). The token array is materialized ONCE per doc (HOF
-    // lambdas are interpreted — split() must not be inlined); both
-    // aggregates hash-partition on the leading word; the tiny
-    // vocabulary side broadcasts into the probability join.
-    "llm_ngram_lm" -> ((s: SparkSession, dir: String) => {
-      val pairs = load(s, dir, "documents")
-        .select(split(col("text"), " ").as("w"))
-        .filter(size(col("w")) >= 2)
-        .select(explode(expr(
-          """transform(sequence(0, size(w) - 2),
-            |  i -> struct(element_at(w, i + 1) AS w1,
-            |              element_at(w, i + 2) AS w2))""".stripMargin))
-          .as("p"))
-        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
-      val c12 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      val c1 = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
-      c12.join(broadcast(c1), "w1")
+    // — see [[bigramLm]] for the plan shape.
+    "llm_ngram_lm" -> ((s: SparkSession, dir: String) =>
+      bigramLm(load(s, dir, "documents"))
         .select(col("w1"), col("w2"), col("c12"),
-          round(col("c12").cast("double") / col("c1"), 6).as("p"))
-        .orderBy("w1", "w2")
-    }),
+          round(col("prob"), 6).as("p"))
+        .orderBy("w1", "w2")),
 
     // Per-doc cross-entropy under the corpus's own bigram LM — the
-    // classic LM-based quality filter. The LM (exact count ratios) is
-    // vocabulary-sized and broadcasts; doc bigrams join it without
-    // shuffling, then one hash-agg per doc. avg(-log2 p) is a double
-    // mean over ~10^2 terms/doc — association noise ~1e-14, absorbed
-    // by the 6-dp rounding both engines share.
-    "llm_lm_score" -> ((s: SparkSession, dir: String) => {
-      val docPairs = load(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .filter(size(col("w")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          """transform(sequence(0, size(w) - 2),
-            |  i -> struct(element_at(w, i + 1) AS w1,
-            |              element_at(w, i + 2) AS w2))""".stripMargin))
-          .as("p"))
-        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-      val c12 = docPairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      val c1 = docPairs.groupBy("w1").agg(count(lit(1)).as("c1"))
-      val lm = c12.join(c1, "w1")
-        .select(col("w1"), col("w2"),
-          (col("c12").cast("double") / col("c1")).as("prob"))
-      docPairs.join(broadcast(lm), Seq("w1", "w2"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          round(avg(-log2(col("prob"))), 6).as("xent"))
-        .orderBy("doc_id")
-    }),
+    // classic LM-based quality filter ([[lmScore]]). avg(-log2 p) is
+    // a double mean over ~10^2 terms/doc — association noise ~1e-14,
+    // absorbed by the 6-dp rounding both engines share.
+    "llm_lm_score" -> ((s: SparkSession, dir: String) =>
+      lmScore(load(s, dir, "documents")).orderBy("doc_id")),
 
     // Winnowing fingerprints (the MOSS-style local fingerprinting
     // scheme): a word-5-gram's md5 is SELECTED when it is the minimum
