@@ -181,6 +181,27 @@ object Aggregates {
           .as("priorities"))
         .orderBy("o_custkey")),
 
+    // Column profiling — the ETL data-quality staple: one row per
+    // profiled column with row/null/distinct counts and min/max
+    // (stringified AFTER the typed min/max so numeric semantics are
+    // kept). One pass per column over a pruned scan; each aggregate
+    // partially combines map-side.
+    "agg_profile" -> ((s, dir) => {
+      val l = load(s, dir, "lineitem")
+      def prof(c: String) =
+        l.agg(count(lit(1)).as("n_rows"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+          countDistinct(col(c)).as("n_distinct"),
+          min(col(c)).cast("string").as("min_s"),
+          max(col(c)).cast("string").as("max_s"))
+          .select(lit(c).as("column"), col("n_rows"), col("n_null"),
+            col("n_distinct"), col("min_s"), col("max_s"))
+      prof("l_quantity")
+        .unionAll(prof("l_extendedprice"))
+        .unionAll(prof("l_returnflag"))
+        .orderBy("column")
+    }),
+
     // Deterministic per-group mode: most frequent value, lowest value
     // on ties (mode()'s tie choice is engine-specific, so the
     // count-then-rank formulation is spelled out identically in both
@@ -306,6 +327,28 @@ object Aggregates {
         |  quantile_cont(l_quantity, 0.9) AS p90,
         |  quantile_cont(l_quantity, 0.99) AS p99
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_profile" ->
+      """SELECT 'l_quantity' AS "column", count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  count(DISTINCT l_quantity) AS n_distinct,
+        |  CAST(min(l_quantity) AS VARCHAR) AS min_s,
+        |  CAST(max(l_quantity) AS VARCHAR) AS max_s
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_extendedprice', count(*),
+        |  CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT l_extendedprice),
+        |  CAST(min(l_extendedprice) AS VARCHAR),
+        |  CAST(max(l_extendedprice) AS VARCHAR)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_returnflag', count(*),
+        |  CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT l_returnflag),
+        |  min(l_returnflag), max(l_returnflag)
+        |FROM lineitem
+        |ORDER BY "column"""".stripMargin,
 
     "agg_mode" ->
       """SELECT l_linestatus, mode_flag, cnt FROM (

@@ -142,6 +142,25 @@ object Scans {
         .groupBy("doc_id") // a doc may split across part files
         .agg(sum(col("n_bytes")).as("n_bytes"))
         .orderBy("doc_id")
+    }),
+
+    // Schema evolution: two parquet generations (the second adds a
+    // column) merged back by mergeSchema — the missing column reads
+    // as NULL for old-generation rows, exactly the additive-column
+    // migration path a long-lived 100 TB table lives through.
+    "scan_parquet_merge_schema" -> ((s, dir) => {
+      val p = tmp(s, dir, "evolve")
+      val l = load(s, dir, "lineitem")
+      l.filter(col("l_linenumber") % 2 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$p/gen1")
+      l.filter(col("l_linenumber") % 2 === 1)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$p/gen2")
+      s.read.option("mergeSchema", "true").parquet(s"$p/gen1", s"$p/gen2")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          asc_nulls_first("l_extendedprice"))
     })
   )
 
@@ -166,6 +185,14 @@ object Scans {
     // n_chars + 1: the text writer terminates each line with '\n'
     "scan_binaryfile" ->
       """SELECT doc_id, CAST(n_chars + 1 AS BIGINT) AS n_bytes
-        |FROM documents WHERE doc_id % 100 = 0 ORDER BY doc_id""".stripMargin
+        |FROM documents WHERE doc_id % 100 = 0 ORDER BY doc_id""".stripMargin,
+
+    "scan_parquet_merge_schema" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  CASE WHEN l_linenumber % 2 = 1 THEN l_extendedprice END
+        |    AS l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_quantity,
+        |  l_extendedprice NULLS FIRST""".stripMargin
   )
 }
