@@ -144,6 +144,23 @@ object Scans {
         .orderBy("doc_id")
     }),
 
+    // Spark 4 built-in XML source (the spark-xml merge): same
+    // roundtrip contract as the CSV/JSON/ORC rows — explicit schema
+    // on the way back, shortest-roundtrip double formatting. XML
+    // parse cost is ~5× the text formats', so the roundtrip covers a
+    // deterministic 20% key slice — identical source semantics,
+    // bench latency in line with the other roundtrips.
+    "scan_xml_roundtrip" -> ((s, dir) => {
+      val p = tmp(s, dir, "xml")
+      load(s, dir, "lineitem").filter(col("l_orderkey") % 5 === 0)
+        .select(rtCols.map(col): _*)
+        .write.mode(SaveMode.Overwrite)
+        .option("rootTag", "rows").option("rowTag", "row")
+        .format("xml").save(p)
+      s.read.schema(rtSchema).option("rowTag", "row").format("xml").load(p)
+        .orderBy(rtCols.head, rtCols.tail: _*)
+    }),
+
     // Schema evolution: two parquet generations (the second adds a
     // column) merged back by mergeSchema — the missing column reads
     // as NULL for old-generation rows, exactly the additive-column
@@ -171,6 +188,10 @@ object Scans {
       "SELECT l_orderkey, l_quantity FROM lineitem ORDER BY l_orderkey, l_quantity",
     "scan_csv_roundtrip" -> rtOracle,
     "scan_orc_roundtrip" -> rtOracle,
+    "scan_xml_roundtrip" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+        |FROM lineitem WHERE l_orderkey % 5 = 0
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag""".stripMargin,
     "scan_json_roundtrip" -> rtOracle,
     "sink_parquet" ->
       "SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",

@@ -76,4 +76,19 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
       plan.contains("BroadcastHashJoin"), s"no join in funnel plan:\n$plan")
   }
+
+  test("llm_lm_score: the vocabulary-sized LM broadcasts into the doc-bigram join") {
+    val plan = executed("llm_lm_score")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"LM join not broadcast:\n$plan")
+  }
+
+  test("scan_parquet_merge_schema: merged read keeps both generations' files") {
+    val df = SparkEntry.queries("scan_parquet_merge_schema")(spark, sf)
+    // the added column must be present and nullable across generations
+    assert(df.schema.fieldNames.contains("l_extendedprice"))
+    val n = df.count()
+    val base = graft.util.Tables.load(spark, sf, "lineitem").count()
+    assert(n == base, s"merged read lost rows: $n != $base")
+  }
 }
