@@ -232,7 +232,39 @@ object Aggregates {
           .as("bucket"))
         .agg(count(lit(1)).as("n"),
           asD(sum(money(col("l_extendedprice")))).as("sum_price"))
-        .orderBy("bucket"))
+        .orderBy("bucket")),
+
+    // Conditional (FILTER-clause) aggregates: several differently-
+    // filtered measures in ONE pass over the fact table — the
+    // alternative (one scan per measure + join) multiplies I/O by the
+    // measure count, which is the difference between one and five
+    // reads of a 100 TB table.
+    "agg_filtered" -> ((s, dir) =>
+      load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("total"),
+          count(when(col("l_quantity") > 25, 1)).as("n_heavy"),
+          asD(sum(when(col("l_linestatus") === "F",
+            money(col("l_extendedprice"))))).as("rev_f"),
+          countDistinct(when(col("l_linestatus") === "O",
+            col("l_orderkey"))).as("n_orders_open"))
+        .orderBy("l_returnflag")),
+
+    // arg-max/arg-min per group via max_by/min_by with a composite
+    // (value, key) ordering struct — the unique key breaks value ties
+    // deterministically. One hash aggregate; no window sort, no
+    // self-join back onto the max.
+    "agg_arg_max" -> ((s, dir) =>
+      load(s, dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+          max_by(col("c_custkey"),
+            struct(col("c_acctbal"), col("c_custkey"))).as("top_custkey"),
+          max(col("c_acctbal")).as("top_acctbal"),
+          min_by(col("c_custkey"),
+            struct(col("c_acctbal"), col("c_custkey"))).as("bottom_custkey"),
+          min(col("c_acctbal")).as("bottom_acctbal"))
+        .orderBy("c_nationkey"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -362,6 +394,30 @@ object Aggregates {
       """SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bucket,
         |  count(*) AS n,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) AS sum_price
-        |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin
+        |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "agg_filtered" ->
+      """SELECT l_returnflag, count(*) AS total,
+        |  count(*) FILTER (WHERE l_quantity > 25) AS n_heavy,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2)))
+        |    FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS rev_f,
+        |  count(DISTINCT l_orderkey) FILTER (WHERE l_linestatus = 'O')
+        |    AS n_orders_open
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_arg_max" ->
+      """WITH r AS (
+        |  SELECT c_nationkey, c_custkey, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |      ORDER BY c_acctbal DESC, c_custkey DESC) AS rmax,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |      ORDER BY c_acctbal ASC, c_custkey ASC) AS rmin
+        |  FROM customer)
+        |SELECT c_nationkey,
+        |  max(c_custkey) FILTER (WHERE rmax = 1) AS top_custkey,
+        |  max(c_acctbal) AS top_acctbal,
+        |  max(c_custkey) FILTER (WHERE rmin = 1) AS bottom_custkey,
+        |  min(c_acctbal) AS bottom_acctbal
+        |FROM r GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
   )
 }

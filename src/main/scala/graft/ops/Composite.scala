@@ -94,6 +94,60 @@ object Composite {
       .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
   }
 
+  // TPC-H Q14 (promotion effect): share of one month's revenue from
+  // PROMO parts. part is the small side — broadcast — so the only
+  // shuffle is the final single-row aggregate. The ratio is computed
+  // in DOUBLE after exact decimal accumulation of both sums, with
+  // identical parenthesization on both engines.
+  private def tpchQ14(s: SparkSession, dir: String): DataFrame = {
+    val l = load(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+    val p = load(s, dir, "part")
+    val line = money(col("l_extendedprice")) *
+      (lit(1) - money(col("l_discount"))).cast("decimal(8,4)")
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg((lit(100.0) *
+        (asD(sum(when(col("p_type").startsWith("PROMO"), line))) /
+          asD(sum(line)))).as("promo_share"))
+  }
+
+  // TPC-H Q18 (large-volume customers): orders whose total quantity
+  // exceeds a threshold, with their customer. The HAVING aggregate
+  // hashes lineitem on l_orderkey once; the survivor set is tiny, so
+  // it broadcasts INTO orders and customer joins rather than
+  // shuffling them.
+  private def tpchQ18(s: SparkSession, dir: String): DataFrame = {
+    val big = load(s, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sum(money(col("l_quantity"))).as("qty"))
+      .filter(col("qty") > 150)
+    load(s, dir, "orders")
+      .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(load(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), asD(col("qty")).as("total_qty"))
+      .orderBy(desc("total_qty"), asc("o_orderkey"))
+      .limit(20)
+  }
+
+  // TPC-H Q12 adapted to this corpus (no l_shipmode/commitdate
+  // columns): late-shipment counts — lineitems shipped more than 60
+  // days after their order date — per order priority. One shuffled
+  // fact-fact join on orderkey, then a counted CASE aggregate.
+  private def lateShipments(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+      .join(load(s, dir, "orders")
+          .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(when(
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        1)).as("late"),
+        count(lit(1)).as("total"))
+      .orderBy("o_orderpriority")
+
   /** Bucketed co-located join: both sides written CLUSTERED BY the
     * join key into the session warehouse with the same bucket count,
     * then joined — the executed plan has no shuffle over either scan
@@ -138,6 +192,9 @@ object Composite {
     "sql_tpch_q3" -> (tpchQ3 _),
     "sql_tpch_q5" -> (tpchQ5 _),
     "sql_tpch_q10" -> (tpchQ10 _),
+    "sql_tpch_q14" -> (tpchQ14 _),
+    "sql_tpch_q18" -> (tpchQ18 _),
+    "sql_late_shipments" -> (lateShipments _),
     "join_bucketed" -> (bucketedJoin _)
   )
 
@@ -174,6 +231,38 @@ object Composite {
          |  AND o_orderdate < TIMESTAMP '1998-01-01'
          |GROUP BY c_custkey, c_name, c_acctbal, n_name
          |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "sql_tpch_q14" ->
+      """SELECT 100.0 * (
+        |  CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+        |    THEN CAST(l_extendedprice AS DECIMAL(15,2)) *
+        |      CAST(1 - CAST(l_discount AS DECIMAL(15,2)) AS DECIMAL(8,4)) END)
+        |    AS DOUBLE) /
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2)) *
+        |      CAST(1 - CAST(l_discount AS DECIMAL(15,2)) AS DECIMAL(8,4)))
+        |    AS DOUBLE)) AS promo_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+        |  AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin,
+
+    "sql_tpch_q18" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(15,2))) AS qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(15,2))) > 150)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+        |  CAST(qty AS DOUBLE) AS total_qty
+        |FROM big JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "sql_late_shipments" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |    AS late,
+        |  count(*) AS total
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "join_bucketed" ->
       """SELECT c_custkey, count(*) AS n_orders,

@@ -157,6 +157,47 @@ object Events {
         .orderBy("cohort_week", "k")
     }),
 
+    // CDC latest-row-wins materialization (the upsert-compaction every
+    // changelog-consuming 100 TB table needs): one hash aggregate on
+    // the key with max_by ordered by (ts, event_id) — event_id breaks
+    // ts ties deterministically. ONE shuffle on the key; no window
+    // sort, no self-join. In streaming form this is the classic
+    // dropDuplicates-by-key-keep-latest state machine; in batch it is
+    // a single map-side-combining aggregate.
+    "evt_cdc_upsert" -> ((s, dir) =>
+      loadEvents(s, dir)
+        .groupBy("user_id")
+        .agg(max_by(
+          struct(col("event_id"), col("event_type"), col("value"), col("ts")),
+          struct(col("ts"), col("event_id"))).as("last"))
+        .select(col("user_id"), col("last.event_id").as("event_id"),
+          col("last.event_type").as("event_type"),
+          col("last.value").as("value"), col("last.ts").as("ts"))
+        .orderBy("user_id")),
+
+    // IQR outlier counts per event type (Tukey fences): pass 1
+    // computes exact interpolated quartiles per type (sort-based — at
+    // 100 TB swap for approx_percentile, same plan shape); the
+    // per-type fence table is bounded by |event_type| so it
+    // broadcasts, and pass 2 is a scan-side counted comparison — the
+    // fact side never shuffles for the join.
+    "evt_anomaly_iqr" -> ((s, dir) => {
+      val e = loadEvents(s, dir).select("event_type", "value")
+      val fences = e.groupBy("event_type")
+        .agg(expr("percentile(value, 0.25)").as("q1"),
+          expr("percentile(value, 0.75)").as("q3"))
+        .withColumn("lo", col("q1") - (col("q3") - col("q1")) * 1.5)
+        .withColumn("hi", col("q3") + (col("q3") - col("q1")) * 1.5)
+      e.join(broadcast(fences), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("total"),
+          count(when(col("value") < col("lo") || col("value") > col("hi"), 1))
+            .as("n_outliers"),
+          round(first(col("lo")), 6).as("lo"),
+          round(first(col("hi")), 6).as("hi"))
+        .orderBy("event_type")
+    }),
+
     // Ordered conversion funnel: first view -> first click at-or-after
     // it -> first purchase at-or-after that. Three per-user min
     // aggregates chained by joins that all hash on user_id — the
@@ -264,6 +305,29 @@ object Events {
         |  count(DISTINCT w.user_id) AS n_users
         |FROM w JOIN c ON w.user_id = c.user_id
         |GROUP BY 1, 2 ORDER BY cohort_week, k""".stripMargin,
+
+    "evt_cdc_upsert" ->
+      """SELECT user_id, event_id, event_type, value,
+        |  CAST(ts AS TIMESTAMP) AS ts
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id
+        |  ORDER BY ts DESC, event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
+
+    "evt_anomaly_iqr" ->
+      """WITH f AS (
+        |  SELECT event_type,
+        |    quantile_cont(value, 0.25) AS q1,
+        |    quantile_cont(value, 0.75) AS q3
+        |  FROM events GROUP BY event_type),
+        |b AS (
+        |  SELECT event_type, q1 - (q3 - q1) * 1.5 AS lo,
+        |    q3 + (q3 - q1) * 1.5 AS hi FROM f)
+        |SELECT e.event_type, count(*) AS total,
+        |  count(*) FILTER (WHERE value < lo OR value > hi) AS n_outliers,
+        |  round(any_value(lo), 6) AS lo, round(any_value(hi), 6) AS hi
+        |FROM events e JOIN b ON e.event_type = b.event_type
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
 
     "evt_funnel" ->
       """WITH e AS (

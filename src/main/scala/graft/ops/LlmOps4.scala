@@ -184,6 +184,23 @@ object LlmOps4 {
         .orderBy("doc_id")
     }),
 
+    // Fixed-size overlapping chunking (RAG / context-window prep):
+    // one generated start-offset sequence per doc (stride 400, width
+    // 500 -> 100-char overlap), exploded and substring'd. Narrow,
+    // embarrassingly parallel, no shuffle before the compare sort; at
+    // 100 TB this is a pure map stage. Chunks surface as (md5, length)
+    // so the dump stays key-sized while still pinning exact content.
+    "llm_doc_chunk" -> ((s: SparkSession, dir: String) =>
+      load(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0L),
+            greatest(col("n_chars") - 1, lit(0L)), lit(400L))).as("start"))
+        .select(col("doc_id"), col("start"),
+          expr("substr(text, CAST(start + 1 AS INT), 500)").as("chunk"))
+        .select(col("doc_id"), col("start"), md5(col("chunk")).as("chunk_md5"),
+          length(col("chunk")).as("chunk_len"))
+        .orderBy("doc_id", "start")),
+
     // Reproducible stratified sample: md5-prefix threshold per row,
     // per-source kept counts + kept-id checksum (proves the SELECTION
     // is deterministic, not just the count). The checksum accumulates
@@ -278,6 +295,17 @@ object LlmOps4 {
   )
 
   val oracle: Map[String, String] = Map(
+    "llm_doc_chunk" ->
+      """SELECT doc_id, start, md5(chunk) AS chunk_md5,
+        |  CAST(length(chunk) AS INT) AS chunk_len
+        |FROM (
+        |  SELECT doc_id,
+        |    unnest(range(0, CAST(greatest(n_chars, 1) AS BIGINT), 400)) AS start,
+        |    text
+        |  FROM documents) t,
+        |LATERAL (SELECT substr(text, CAST(start + 1 AS INT), 500) AS chunk) c
+        |ORDER BY doc_id, start""".stripMargin,
+
     "llm_dedup_cluster" ->
       """WITH RECURSIVE t AS (
         |  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),

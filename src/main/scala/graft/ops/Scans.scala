@@ -161,6 +161,29 @@ object Scans {
         .orderBy(rtCols.head, rtCols.tail: _*)
     }),
 
+    // Small-file compaction (the table-maintenance job every
+    // long-lived 100 TB table runs): a 64-way fragmented write is
+    // compacted by a range-repartition on the sort key down to 4
+    // files, each internally sorted — restoring both file sizes and
+    // the clustering that makes min/max row-group pruning effective.
+    // Round4Spec asserts the physical file counts (64 -> 4); the
+    // oracle checks the data survived byte-exactly.
+    "sink_compact" -> ((s, dir) => {
+      val p = tmp(s, dir, "compact")
+      load(s, dir, "lineitem").select("l_orderkey", "l_quantity", "l_returnflag")
+        .repartition(64)
+        .write.mode(SaveMode.Overwrite).parquet(s"$p/small")
+      s.read.parquet(s"$p/small")
+        .repartitionByRange(4, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey")
+        .write.mode(SaveMode.Overwrite).parquet(s"$p/compacted")
+      s.read.parquet(s"$p/compacted")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"),
+          asD(sum(money(col("l_quantity")))).as("qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // Schema evolution: two parquet generations (the second adds a
     // column) merged back by mergeSchema — the missing column reads
     // as NULL for old-generation rows, exactly the additive-column
@@ -207,6 +230,11 @@ object Scans {
     "scan_binaryfile" ->
       """SELECT doc_id, CAST(n_chars + 1 AS BIGINT) AS n_bytes
         |FROM documents WHERE doc_id % 100 = 0 ORDER BY doc_id""".stripMargin,
+
+    "sink_compact" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "scan_parquet_merge_schema" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,

@@ -83,6 +83,18 @@ class PlanSpec extends AnyFunSuite {
       s"LM join not broadcast:\n$plan")
   }
 
+  test("agg_filtered: all four conditional measures run in ONE scan of the fact table") {
+    val plan = executed("agg_filtered")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected a single lineitem scan, got $scans:\n$plan")
+  }
+
+  test("sql_tpch_q18: the HAVING survivor set broadcasts into orders/customer") {
+    val plan = executed("sql_tpch_q18")
+    val n = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(n >= 2, s"expected both Q18 joins broadcast, got $n:\n$plan")
+  }
+
   test("scan_parquet_merge_schema: merged read keeps both generations' files") {
     val df = SparkEntry.queries("scan_parquet_merge_schema")(spark, sf)
     // the added column must be present and nullable across generations

@@ -79,6 +79,29 @@ class Round4Spec extends AnyFunSuite {
     }
   }
 
+  test("sink_compact: 64 fragments compact to at most 4 sorted files") {
+    graft.ops.Scans.queries("sink_compact")(spark, sf).collect()
+    val base = graft.ops.Scans.tmp(spark, sf, "compact")
+    def parts(sub: String) =
+      new java.io.File(s"$base/$sub").listFiles()
+        .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(parts("small") == 64, s"expected 64 fragment files, got ${parts("small")}")
+    assert(parts("compacted") <= 4, s"expected <=4 compacted files, got ${parts("compacted")}")
+  }
+
+  test("evt_cdc_upsert: one surviving row per key, and it is the latest") {
+    import spark.implicits._
+    val out = graft.ops.Events.queries("evt_cdc_upsert")(spark, sf)
+    val keys = out.groupBy("user_id").count().filter(col("count") > 1).count()
+    assert(keys == 0, "a key surfaced more than one surviving row")
+    // spot-check: the survivor's ts is the max ts for its key
+    val maxTs = graft.util.Tables.loadEvents(spark, sf)
+      .groupBy("user_id").agg(max("ts").as("max_ts"))
+    val bad = out.join(maxTs, "user_id")
+      .filter(col("ts") =!= col("max_ts")).count()
+    assert(bad == 0, s"$bad survivors are not the latest row for their key")
+  }
+
   test("evt_funnel: stages are monotonically shrinking") {
     val rows = graft.ops.Events.queries("evt_funnel")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
