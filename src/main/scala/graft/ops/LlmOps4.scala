@@ -184,6 +184,75 @@ object LlmOps4 {
         .orderBy("doc_id")
     }),
 
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
+    // in embedding space — pairs above the cosine threshold WITHIN a
+    // cluster (the `label` column plays the k-means cell) resolved to
+    // components; survivor = min-id representative. The pair join is
+    // cluster-blocked (never all-pairs across the corpus), the
+    // component pass reuses [[connectedComponents]], and every vector
+    // surfaces with its representative + survivor flag, so downstream
+    // filtering is a join, not a recompute.
+    "llm_semdedup" -> ((s: SparkSession, dir: String) => {
+      val e = load(s, dir, "embeddings")
+      val pairs = e.as("a").join(e.as("b"),
+          col("a.label") === col("b.label") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .filter(round(graft.functions.CosineSim(
+          col("a.embedding"), col("b.embedding")), 6) >= 0.4)
+        .select(col("a.vec_id").as("a"), col("b.vec_id").as("b"))
+      val cc = connectedComponents(pairs)
+      e.select(col("vec_id"), col("label"))
+        .join(cc, col("vec_id") === col("node"), "left")
+        .select(col("vec_id"), col("label"),
+          coalesce(col("cluster_id"), col("vec_id")).as("rep"))
+        .withColumn("survivor", col("rep") === col("vec_id"))
+        .orderBy("vec_id")
+    }),
+
+    // Normalization-then-hash dedup (the C4/CCNet "fuzzy-exact" tier
+    // between byte-exact md5 and MinHash): lowercase, strip
+    // non-alphanumerics, collapse whitespace, THEN hash. Same
+    // one-hash-aggregate plan as llm_dedup_exact — normalization is a
+    // per-row projection, so the scale shape is unchanged.
+    "llm_dedup_exact_norm" -> ((s: SparkSession, dir: String) => {
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+      val survivors = LlmOps.exactSurvivorKeys(
+        load(s, dir, "documents"), col("doc_id"), norm)
+      load(s, dir, "documents")
+        .join(survivors, col("doc_id") === col("survivor_key"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("source")
+    }),
+
+    // Gopher-style quality rules (Rae et al. 2021, arXiv:2112.11446
+    // table A1, thresholds adapted to this corpus' 10-99-word docs):
+    // word-count band, mean-word-length band, minimum stopword count,
+    // and a short-word-fraction cap — each surfaced as its own flag
+    // plus the conjunction, so downstream filtering can audit WHICH
+    // rule dropped a doc. Pure per-row projection; no shuffle.
+    "llm_quality_gopher" -> ((s: SparkSession, dir: String) => {
+      val w = split(col("text"), " ")
+      val nTok = size(w).cast("double")
+      val meanWlen = (length(col("text")) - (size(w) - 1)).cast("double") / nTok
+      val nStop = size(expr(
+        "filter(split(text, ' '), t -> array_contains(array('the','a','of','and'), t))"))
+      val shortFrac = size(expr(
+        "filter(split(text, ' '), t -> length(t) <= 1)")).cast("double") / nTok
+      load(s, dir, "documents")
+        .select(col("doc_id"), size(w).as("n_tok"),
+          round(meanWlen, 6).as("mean_wlen"),
+          nStop.as("n_stop"), round(shortFrac, 6).as("short_frac"),
+          (size(w) >= 20 && size(w) <= 80).as("r_len"),
+          (meanWlen >= 3.0 && meanWlen <= 10.0).as("r_wlen"),
+          (nStop >= 2).as("r_stop"),
+          (shortFrac <= 0.1).as("r_short"))
+        .withColumn("pass",
+          col("r_len") && col("r_wlen") && col("r_stop") && col("r_short"))
+        .orderBy("doc_id")
+    }),
+
     // Fixed-size overlapping chunking (RAG / context-window prep):
     // one generated start-offset sequence per doc (stride 400, width
     // 500 -> 100-char overlap), exploded and substring'd. Narrow,
@@ -295,6 +364,59 @@ object LlmOps4 {
   )
 
   val oracle: Map[String, String] = Map(
+    "llm_semdedup" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])), 6) >= 0.4),
+        |u AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p),
+        |reach(x, r) AS (
+        |  SELECT a, a FROM u
+        |  UNION
+        |  SELECT u.a, reach.r FROM u JOIN reach ON u.b = reach.x),
+        |c AS (SELECT x AS node, min(r) AS rep FROM reach GROUP BY x)
+        |SELECT vec_id, label, coalesce(c.rep, vec_id) AS rep,
+        |  coalesce(c.rep, vec_id) = vec_id AS survivor
+        |FROM embeddings LEFT JOIN c ON vec_id = c.node
+        |ORDER BY vec_id""".stripMargin,
+
+    "llm_dedup_exact_norm" ->
+      """WITH n AS (
+        |  SELECT doc_id, source,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+        |  FROM documents),
+        |s AS (SELECT min(doc_id) AS doc_id FROM n GROUP BY md5(norm))
+        |SELECT source, count(*) AS n_docs
+        |FROM n JOIN s USING (doc_id)
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "llm_quality_gopher" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS INT) AS n_tok,
+        |    CAST(length(text) - (len(w) - 1) AS DOUBLE) /
+        |      CAST(len(w) AS DOUBLE) AS mean_wlen,
+        |    CAST(len(list_filter(w,
+        |      t -> list_contains(['the','a','of','and'], t))) AS INT) AS n_stop,
+        |    CAST(len(list_filter(w, t -> length(t) <= 1)) AS DOUBLE) /
+        |      CAST(len(w) AS DOUBLE) AS short_frac
+        |  FROM t)
+        |SELECT doc_id, n_tok, round(mean_wlen, 6) AS mean_wlen, n_stop,
+        |  round(short_frac, 6) AS short_frac,
+        |  n_tok >= 20 AND n_tok <= 80 AS r_len,
+        |  mean_wlen >= 3.0 AND mean_wlen <= 10.0 AS r_wlen,
+        |  n_stop >= 2 AS r_stop,
+        |  short_frac <= 0.1 AS r_short,
+        |  (n_tok >= 20 AND n_tok <= 80) AND
+        |    (mean_wlen >= 3.0 AND mean_wlen <= 10.0) AND
+        |    n_stop >= 2 AND short_frac <= 0.1 AS pass
+        |FROM m ORDER BY doc_id""".stripMargin,
+
     "llm_doc_chunk" ->
       """SELECT doc_id, start, md5(chunk) AS chunk_md5,
         |  CAST(length(chunk) AS INT) AS chunk_len

@@ -102,6 +102,21 @@ class Round4Spec extends AnyFunSuite {
     assert(bad == 0, s"$bad survivors are not the latest row for their key")
   }
 
+  test("llm_semdedup: reps are minimal, survivors, and closed under membership") {
+    val rows = graft.ops.LlmOps4.queries("llm_semdedup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+    val reps = rows.map(_._2).toSet
+    val ids = rows.map(_._1).toSet
+    assert(rows.nonEmpty && reps.subsetOf(ids), "a rep is not a corpus vector")
+    rows.foreach { case (id, rep, survivor) =>
+      assert(rep <= id, s"rep $rep > member $id (not the min-id representative)")
+      assert(survivor == (rep == id), s"survivor flag wrong for $id")
+    }
+    // every rep must itself be flagged a survivor
+    val survivorIds = rows.filter(_._3).map(_._1).toSet
+    assert(reps.subsetOf(survivorIds), "a representative is not a survivor")
+  }
+
   test("evt_funnel: stages are monotonically shrinking") {
     val rows = graft.ops.Events.queries("evt_funnel")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
