@@ -157,6 +157,17 @@ object Events {
         .orderBy("cohort_week", "k")
     }),
 
+    // Spark 4 transformWithState (the arbitrary-state API replacing
+    // flatMapGroupsWithState): per-user running totals carried in a
+    // typed ValueState cell. Batch runs one state epoch — each key's
+    // rows arrive in one handleInputRows call, so the batch output is
+    // the per-user total and the oracle is a plain GROUP BY. The
+    // multi-batch state-persistence semantics are asserted in
+    // StreamingSpec with MemoryStream + RocksDB state store.
+    "evt_transform_with_state" -> ((s, dir) =>
+      graft.streaming.StatefulOps.runningTotals(loadEvents(s, dir))
+        .toDF().orderBy("user_id")),
+
     // CDC latest-row-wins materialization (the upsert-compaction every
     // changelog-consuming 100 TB table needs): one hash aggregate on
     // the key with max_by ordered by (ts, event_id) — event_id breaks
@@ -305,6 +316,11 @@ object Events {
         |  count(DISTINCT w.user_id) AS n_users
         |FROM w JOIN c ON w.user_id = c.user_id
         |GROUP BY 1, 2 ORDER BY cohort_week, k""".stripMargin,
+
+    "evt_transform_with_state" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_floor_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "evt_cdc_upsert" ->
       """SELECT user_id, event_id, event_type, value,

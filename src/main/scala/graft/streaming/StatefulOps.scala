@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming._
+
+/** Emitted by [[RunningTotalProcessor]]: the per-user totals as of the
+  * latest processed batch. */
+case class UserRunningTotal(user_id: Long, n_events: Long,
+    sum_floor_value: Long)
+
+/** Spark 4 `transformWithState` processor: per-user running event
+  * count + exact integer sum of floor(value), carried across batches
+  * in a single ValueState cell.
+  *
+  * This is the arbitrary-state API that replaces
+  * flatMapGroupsWithState (compare [[Streams.thresholdAlerts]]): state
+  * is declared as typed cells on the handle (value/list/map), TTL is
+  * first-class, and timers are explicit. State lives in the RocksDB
+  * state store, partitioned by the grouping key — the 100 TB shape is
+  * state sharded across executors with changelog checkpointing, never
+  * a driver-side map.
+  */
+class RunningTotalProcessor
+    extends StatefulProcessor[Long, (Long, Double), UserRunningTotal] {
+
+  @transient private var totals: ValueState[(Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    totals = getHandle.getValueState[(Long, Long)]("totals",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+      timerValues: TimerValues): Iterator[UserRunningTotal] = {
+    var (n, s) = if (totals.exists()) totals.get() else (0L, 0L)
+    rows.foreach { case (_, v) => n += 1; s += math.floor(v).toLong }
+    totals.update((n, s))
+    Iterator.single(UserRunningTotal(key, n, s))
+  }
+}
+
+object StatefulOps {
+
+  /** Per-user running totals over a (streaming or batch) events frame
+    * with `user_id`/`value` columns, via `transformWithState`. In
+    * streaming mode each batch emits the keys it touched with their
+    * cumulative totals (Update mode); state persists across batches in
+    * the state store.
+    */
+  def runningTotals(events: DataFrame): Dataset[UserRunningTotal] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    if (!events.isStreaming)
+      // Batch runs one state epoch against a throwaway state store,
+      // but still resolves the coordinator endpoint — which only
+      // streaming queries create lazily. Stand it up first.
+      org.apache.spark.sql.graftshim.Shim.ensureStateStoreCoordinator(spark)
+    events.select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new RunningTotalProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+}

@@ -24,4 +24,14 @@ object Shim {
 
   def logicalPlan(df: DataFrame): LogicalPlan =
     df.queryExecution.analyzed
+
+  /** Force-create the driver's StateStoreCoordinator RPC endpoint.
+    * Streaming queries create it lazily on first run; BATCH execution
+    * of a stateful operator (`transformWithState` in batch mode) needs
+    * it already up, or every task dies with
+    * RpcEndpointNotFoundException. Idempotent — the lazy val caches.
+    */
+  def ensureStateStoreCoordinator(spark: SparkSession): Unit =
+    spark.streams.asInstanceOf[org.apache.spark.sql.classic.StreamingQueryManager]
+      .stateStoreCoordinator: Unit
 }

@@ -190,6 +190,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.select("batch_id").distinct().count() == 2)
   }
 
+  test("transformWithState: per-user totals persist across micro-batches (RocksDB state)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Ev]
+      val q = graft.streaming.StatefulOps.runningTotals(ms.toDF())
+        .writeStream.format("memory").queryName("tws").outputMode("update").start()
+      ms.addData(Seq(
+        Ev(1, t("10:00"), 1, "a", 1.9), Ev(2, t("10:01"), 1, "a", 2.9),
+        Ev(3, t("10:02"), 2, "a", 5.5)))
+      q.processAllAvailable()
+      ms.addData(Seq(
+        Ev(4, t("10:03"), 1, "a", 3.1), Ev(5, t("10:04"), 3, "a", 7.0)))
+      q.processAllAvailable(); q.stop()
+      // Update mode: take each user's LAST emission = cumulative total.
+      val finals = spark.table("tws").groupBy("user_id")
+        .agg(max("n_events").as("n"), max("sum_floor_value").as("s"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      // user 1: batches 1+2 -> 3 events, floor sums 1+2+3; state carried over.
+      assert(finals === Map(1L -> (3L, 6L), 2L -> (1L, 5L), 3L -> (1L, 7L)),
+        s"got $finals")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-static enrichment join equals batch join") {
     import spark.implicits._
     val customers = Seq((1L, "ALPHA"), (2L, "BETA"))
