@@ -132,6 +132,50 @@ object Composite {
       .limit(20)
   }
 
+  // TPC-H Q6 (forecasting revenue change): pure filter + single-row
+  // aggregate — the canonical pushdown showcase. All three predicates
+  // reach the parquet scan (PushedFilters), so at 100 TB the stage
+  // reads only matching row groups and shuffles ONE partial-sum row.
+  private def tpchQ6(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(asD(sum(money(col("l_extendedprice")) * money(col("l_discount"))))
+        .as("revenue"))
+
+  // TPC-H Q13 (customer distribution): order counts per customer
+  // (LEFT join keeps the zero-order customers), then the distribution
+  // of those counts. Two chained hash aggregates; the second one's
+  // input is already tiny.
+  private def tpchQ13(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "customer")
+      .join(load(s, dir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+
+  // TPC-H Q19 (discounted revenue): disjunctive brand/size/quantity
+  // predicate bands. The OR tree cannot push past the join, but each
+  // band's part-side conjuncts prune the broadcast build side, and
+  // the lineitem quantity range (the OR hull) is pushed to the scan.
+  private def tpchQ19(s: SparkSession, dir: String): DataFrame = {
+    val l = load(s, dir, "lineitem")
+    val p = load(s, dir, "part")
+    val band1 = col("p_brand") === "Brand#12" &&
+      col("p_size").between(1, 5) && col("l_quantity").between(1, 11)
+    val band2 = col("p_brand") === "Brand#23" &&
+      col("p_size").between(1, 10) && col("l_quantity").between(10, 20)
+    val band3 = col("p_brand") === "Brand#34" &&
+      col("p_size").between(1, 15) && col("l_quantity").between(20, 30)
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(band1 || band2 || band3)
+      .agg(rev.as("revenue"))
+  }
+
   // TPC-H Q12 adapted to this corpus (no l_shipmode/commitdate
   // columns): late-shipment counts — lineitems shipped more than 60
   // days after their order date — per order priority. One shuffled
@@ -192,8 +236,11 @@ object Composite {
     "sql_tpch_q3" -> (tpchQ3 _),
     "sql_tpch_q5" -> (tpchQ5 _),
     "sql_tpch_q10" -> (tpchQ10 _),
+    "sql_tpch_q6" -> (tpchQ6 _),
+    "sql_tpch_q13" -> (tpchQ13 _),
     "sql_tpch_q14" -> (tpchQ14 _),
     "sql_tpch_q18" -> (tpchQ18 _),
+    "sql_tpch_q19" -> (tpchQ19 _),
     "sql_late_shipments" -> (lateShipments _),
     "join_bucketed" -> (bucketedJoin _)
   )
@@ -231,6 +278,32 @@ object Composite {
          |  AND o_orderdate < TIMESTAMP '1998-01-01'
          |GROUP BY c_custkey, c_name, c_acctbal, n_name
          |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "sql_tpch_q6" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2)) *
+        |  CAST(l_discount AS DECIMAL(15,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "sql_tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey) t
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "sql_tpch_q19" ->
+      s"""SELECT $revSql AS revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+         |    AND l_quantity BETWEEN 1 AND 11)
+         |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+         |    AND l_quantity BETWEEN 10 AND 20)
+         |  OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+         |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
 
     "sql_tpch_q14" ->
       """SELECT 100.0 * (

@@ -89,6 +89,15 @@ class PlanSpec extends AnyFunSuite {
     assert(scans == 1, s"expected a single lineitem scan, got $scans:\n$plan")
   }
 
+  test("sql_tpch_q6: all three predicates reach the parquet scan") {
+    val df = SparkEntry.queries("sql_tpch_q6")(spark, sf)
+    df.count()
+    val scan = df.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(scan.contains("l_shipdate") && scan.contains("l_discount") &&
+      scan.contains("l_quantity"), s"Q6 predicates not pushed:\n$scan")
+  }
+
   test("sql_tpch_q18: the HAVING survivor set broadcasts into orders/customer") {
     val plan = executed("sql_tpch_q18")
     val n = "BroadcastHashJoin".r.findAllIn(plan).length
