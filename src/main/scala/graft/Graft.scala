@@ -146,4 +146,32 @@ object Graft {
     * LM-based quality-filter signal (doc bigrams join a broadcast
     * vocabulary-sized LM; one hash-agg per doc). */
   def lmScore(docs: DataFrame): DataFrame = LlmOps4.lmScore(docs)
+
+  /** SemDeDup (arXiv:2303.09540): cluster-blocked cosine pairs at/
+    * above `threshold` resolved to components; every row returns with
+    * its min-id representative and a survivor flag. */
+  def semDedup(vectors: DataFrame, idCol: String, clusterCol: String,
+      embCol: String, threshold: Double): DataFrame =
+    LlmOps4.semDedup(vectors, idCol, clusterCol, embCol, threshold)
+
+  /** Fixed-size overlapping character chunks (RAG / context-window
+    * prep): one (id, start, chunk) row per stride offset; pure map
+    * stage. */
+  def docChunks(docs: DataFrame, idCol: String, textCol: String,
+      width: Int, stride: Int): DataFrame =
+    LlmOps4.docChunks(docs, idCol, textCol, width, stride)
+
+  /** CDC latest-row-wins compaction: one surviving row per key — the
+    * greatest under `orderCols` (end with a unique id for a
+    * deterministic pick). One `max_by` hash aggregate; no window
+    * sort. */
+  def latestByKey(df: DataFrame, keyCols: Seq[String],
+      orderCols: Seq[String]): DataFrame =
+    graft.ops.Events.latestByKey(df, keyCols, orderCols)
+
+  /** Per-user running totals via Spark 4 `transformWithState` (typed
+    * ValueState carried across micro-batches; in batch, one state
+    * epoch). Input needs `user_id` and `value` columns. */
+  def runningTotals(events: DataFrame): DataFrame =
+    graft.streaming.StatefulOps.runningTotals(events).toDF()
 }

@@ -23,6 +23,20 @@ import graft.util.Tables._
   */
 object Events {
 
+  /** CDC latest-row-wins compaction: one surviving row per key, the
+    * one greatest under `orderCols` (make the last order column a
+    * unique id for a deterministic pick). A single `max_by` hash
+    * aggregate — ONE shuffle on the key, no window sort, no
+    * self-join; the streaming twin is dropDuplicates-keep-latest. */
+  def latestByKey(df: DataFrame, keyCols: Seq[String],
+      orderCols: Seq[String]): DataFrame = {
+    val payload = df.columns.filterNot(keyCols.contains).toSeq
+    df.groupBy(keyCols.map(col): _*)
+      .agg(max_by(struct(payload.map(col): _*),
+        struct(orderCols.map(col): _*)).as("_last"))
+      .select(keyCols.map(col) ++ payload.map(c => col(s"_last.$c").as(c)): _*)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_tumbling_window" -> ((s, dir) =>
       loadEvents(s, dir)
@@ -176,14 +190,8 @@ object Events {
     // dropDuplicates-by-key-keep-latest state machine; in batch it is
     // a single map-side-combining aggregate.
     "evt_cdc_upsert" -> ((s, dir) =>
-      loadEvents(s, dir)
-        .groupBy("user_id")
-        .agg(max_by(
-          struct(col("event_id"), col("event_type"), col("value"), col("ts")),
-          struct(col("ts"), col("event_id"))).as("last"))
-        .select(col("user_id"), col("last.event_id").as("event_id"),
-          col("last.event_type").as("event_type"),
-          col("last.value").as("value"), col("last.ts").as("ts"))
+      latestByKey(loadEvents(s, dir), Seq("user_id"), Seq("ts", "event_id"))
+        .select("user_id", "event_id", "event_type", "value", "ts")
         .orderBy("user_id")),
 
     // IQR outlier counts per event type (Tukey fences): pass 1

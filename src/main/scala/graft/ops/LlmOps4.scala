@@ -170,6 +170,40 @@ object LlmOps4 {
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg(-log2(col("prob"))), 6).as("xent"))
 
+  /** SemDeDup (arXiv:2303.09540): semantic dedup in embedding space.
+    * Cosine pairs at/above `threshold` WITHIN a cluster (`clusterCol`
+    * plays the k-means cell — blocked, never all-pairs) are resolved
+    * to components; each row surfaces with its min-id representative
+    * `rep` and a `survivor` flag. Similarity is rounded to 6 dp
+    * before the threshold compare so the keep-set is float-stable. */
+  def semDedup(vectors: DataFrame, idCol: String, clusterCol: String,
+      embCol: String, threshold: Double): DataFrame = {
+    val pairs = vectors.as("a").join(vectors.as("b"),
+        col(s"a.$clusterCol") === col(s"b.$clusterCol") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .filter(round(graft.functions.CosineSim(
+        col(s"a.$embCol"), col(s"b.$embCol")), 6) >= threshold)
+      .select(col(s"a.$idCol").as("a"), col(s"b.$idCol").as("b"))
+    vectors.select(col(idCol), col(clusterCol))
+      .join(connectedComponents(pairs), col(idCol) === col("node"), "left")
+      .select(col(idCol), col(clusterCol),
+        coalesce(col("cluster_id"), col(idCol)).as("rep"))
+      .withColumn("survivor", col("rep") === col(idCol))
+  }
+
+  /** Fixed-size overlapping character chunks of `textCol`: one row
+    * per (id, start) with the `width`-char chunk starting there,
+    * strided by `stride` (empty docs yield one empty chunk). A pure
+    * map stage — the RAG / context-window prep shape. */
+  def docChunks(docs: DataFrame, idCol: String, textCol: String,
+      width: Int, stride: Int): DataFrame =
+    docs.select(col(idCol), col(textCol),
+        explode(sequence(lit(0L),
+          greatest(length(col(textCol)).cast("long") - 1, lit(0L)),
+          lit(stride.toLong))).as("start"))
+      .select(col(idCol), col("start"),
+        expr(s"substr($textCol, CAST(start + 1 AS INT), $width)").as("chunk"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Duplicate-cluster resolution: edges = exact-dup links UNION
     // bigram-Jaccard >= 0.5 near-dup pairs, components solved by
@@ -192,22 +226,10 @@ object LlmOps4 {
     // component pass reuses [[connectedComponents]], and every vector
     // surfaces with its representative + survivor flag, so downstream
     // filtering is a join, not a recompute.
-    "llm_semdedup" -> ((s: SparkSession, dir: String) => {
-      val e = load(s, dir, "embeddings")
-      val pairs = e.as("a").join(e.as("b"),
-          col("a.label") === col("b.label") &&
-            col("a.vec_id") < col("b.vec_id"))
-        .filter(round(graft.functions.CosineSim(
-          col("a.embedding"), col("b.embedding")), 6) >= 0.4)
-        .select(col("a.vec_id").as("a"), col("b.vec_id").as("b"))
-      val cc = connectedComponents(pairs)
-      e.select(col("vec_id"), col("label"))
-        .join(cc, col("vec_id") === col("node"), "left")
-        .select(col("vec_id"), col("label"),
-          coalesce(col("cluster_id"), col("vec_id")).as("rep"))
-        .withColumn("survivor", col("rep") === col("vec_id"))
-        .orderBy("vec_id")
-    }),
+    "llm_semdedup" -> ((s: SparkSession, dir: String) =>
+      semDedup(load(s, dir, "embeddings"), "vec_id", "label", "embedding",
+        threshold = 0.4)
+        .orderBy("vec_id")),
 
     // Normalization-then-hash dedup (the C4/CCNet "fuzzy-exact" tier
     // between byte-exact md5 and MinHash): lowercase, strip
@@ -260,12 +282,8 @@ object LlmOps4 {
     // 100 TB this is a pure map stage. Chunks surface as (md5, length)
     // so the dump stays key-sized while still pinning exact content.
     "llm_doc_chunk" -> ((s: SparkSession, dir: String) =>
-      load(s, dir, "documents")
-        .select(col("doc_id"), col("text"),
-          explode(sequence(lit(0L),
-            greatest(col("n_chars") - 1, lit(0L)), lit(400L))).as("start"))
-        .select(col("doc_id"), col("start"),
-          expr("substr(text, CAST(start + 1 AS INT), 500)").as("chunk"))
+      docChunks(load(s, dir, "documents"), "doc_id", "text",
+          width = 500, stride = 400)
         .select(col("doc_id"), col("start"), md5(col("chunk")).as("chunk_md5"),
           length(col("chunk")).as("chunk_len"))
         .orderBy("doc_id", "start")),

@@ -90,6 +90,38 @@ class GraftFacadeSpec extends AnyFunSuite {
     }
   }
 
+  test("facade: semDedup collapses a planted near-identical pair within a cluster") {
+    import spark.implicits._
+    val v = Seq(
+      (1L, 0, Array(1f, 0f, 0f)), (2L, 0, Array(0.999f, 0.01f, 0f)), // dup pair
+      (3L, 0, Array(0f, 1f, 0f)),                                    // same cluster, far
+      (4L, 1, Array(1f, 0f, 0f))                                     // other cluster
+    ).toDF("vec_id", "label", "embedding")
+    val got = Graft.semDedup(v, "vec_id", "label", "embedding", threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(got === Map(1L -> (1L, true), 2L -> (1L, false),
+      3L -> (3L, true), 4L -> (4L, true)), s"got $got")
+  }
+
+  test("facade: docChunks strides with overlap and keeps empty docs") {
+    import spark.implicits._
+    val docs = Seq((1L, "abcdefghij"), (2L, "")).toDF("doc_id", "text")
+    val got = Graft.docChunks(docs, "doc_id", "text", width = 5, stride = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    assert(got.sameElements(Array(
+      (1L, 0L, "abcde"), (1L, 4L, "efghi"), (1L, 8L, "ij"), (2L, 0L, ""))),
+      s"got ${got.mkString(",")}")
+  }
+
+  test("facade: latestByKey keeps exactly the greatest row per key") {
+    import spark.implicits._
+    val df = Seq((1L, 10L, "old"), (1L, 20L, "new"), (2L, 5L, "only"))
+      .toDF("k", "ord", "v")
+    val got = Graft.latestByKey(df, Seq("k"), Seq("ord"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(got === Map(1L -> (20L, "new"), 2L -> (5L, "only")))
+  }
+
   test("facade: connectedComponents + hashSampleKeep behave as the library ops") {
     import spark.implicits._
     val cc = Graft.connectedComponents(Seq((5L, 9L), (9L, 7L)).toDF("a", "b"))
