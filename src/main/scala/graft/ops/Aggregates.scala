@@ -250,6 +250,19 @@ object Aggregates {
             col("l_orderkey"))).as("n_orders_open"))
         .orderBy("l_returnflag")),
 
+    // Quantity-weighted average price per flag: both the weighted sum
+    // and the weight total accumulate in exact DECIMAL, so the final
+    // double division is the ONLY float op — order-independent at any
+    // partitioning. One map-side-combining aggregate.
+    "agg_weighted" -> ((s, dir) =>
+      load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          (asD(sum(money(col("l_extendedprice")) * money(col("l_quantity")))) /
+            asD(sum(money(col("l_quantity"))))).as("wavg_price"),
+          asD(sum(money(col("l_quantity")))).as("total_weight"))
+        .orderBy("l_returnflag")),
+
     // arg-max/arg-min per group via max_by/min_by with a composite
     // (value, key) ordering struct — the unique key breaks value ties
     // deterministically. One hash aggregate; no window sort, no
@@ -403,6 +416,16 @@ object Aggregates {
         |    FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS rev_f,
         |  count(DISTINCT l_orderkey) FILTER (WHERE l_linestatus = 'O')
         |    AS n_orders_open
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_weighted" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2)) *
+        |    CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) /
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE)
+        |    AS wavg_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE)
+        |    AS total_weight
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "agg_arg_max" ->

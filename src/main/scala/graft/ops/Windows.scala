@@ -146,6 +146,25 @@ object Windows {
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
           col("z"))
         .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // Gaps-and-islands: per-user runs of CONSECUTIVE active days. The
+    // island key is day minus the per-user day rank — constant within
+    // a run, strictly dropping across a gap. One window shuffle on
+    // user_id (distinct days first, so the window input is tiny),
+    // then a hash agg per island.
+    "win_gap_islands" -> ((s, dir) => {
+      val days = loadEvents(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      days
+        .withColumn("grp", date_sub(col("day"), row_number().over(w)))
+        .groupBy("user_id", "grp")
+        .agg(min("day").as("streak_start"), max("day").as("streak_end"),
+          count(lit(1)).as("len"))
+        .select("user_id", "streak_start", "streak_end", "len")
+        .orderBy("user_id", "streak_start")
     })
   )
 
@@ -237,6 +256,19 @@ object Windows {
         |  FROM s WHERE n >= 2 AND (sxx - sx * sx / n) / (n - 1) > 0)
         |SELECT o_custkey, o_orderkey, o_totalprice, z
         |FROM z WHERE abs(z) > 2
-        |ORDER BY o_custkey, o_orderkey""".stripMargin
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "win_gap_islands" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |g AS (
+        |  SELECT user_id, day,
+        |    day - CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY day) AS INT) AS grp
+        |  FROM d)
+        |SELECT user_id, min(day) AS streak_start, max(day) AS streak_end,
+        |  count(*) AS len
+        |FROM g GROUP BY user_id, grp
+        |ORDER BY user_id, streak_start""".stripMargin
   )
 }
