@@ -84,12 +84,53 @@ object SqlSurface {
       |WHERE o.n_orders > 0
       |ORDER BY c.c_custkey""".stripMargin
 
+  /** SQL PIVOT syntax (the parser path; the DataFrame `.pivot` twin
+    * is `agg_pivot`). Sums cast to BIGINT per SURVEY §1.5 r5. */
+  private val pivotSql =
+    """SELECT * FROM (
+      |  SELECT l_linestatus, l_returnflag, CAST(l_quantity AS BIGINT) AS q
+      |  FROM lineitem)
+      |PIVOT (CAST(sum(q) AS BIGINT) FOR l_returnflag IN ('A' AS A, 'N' AS N, 'R' AS R))
+      |ORDER BY l_linestatus""".stripMargin
+
+  /** SQL UNPIVOT syntax (wide → long; the DataFrame twin is
+    * `proj_unpivot`). Ordered by the full output tuple. */
+  private val unpivotSql =
+    """SELECT l_orderkey, metric, val FROM (
+      |  SELECT l_orderkey, CAST(l_quantity AS DOUBLE) AS quantity,
+      |    CAST(l_extendedprice AS DOUBLE) AS price
+      |  FROM lineitem)
+      |UNPIVOT (val FOR metric IN (quantity, price))
+      |ORDER BY l_orderkey, metric, val""".stripMargin
+
+  /** Join-strategy hint via SQL comment syntax: the dimension is
+    * forced broadcast (PlanSpec asserts the executed plan). */
+  private val hintSql =
+    """SELECT /*+ BROADCAST(nation) */ n_name, count(*) AS cnt
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** DISTRIBUTE BY + SORT BY (partition-control SQL): rows hashed to
+    * partitions by flag, sorted within each — the manual form of the
+    * clustered-write shape. The outer ORDER BY restores the total
+    * order the hash compare needs. */
+  private val clusterBySql =
+    """SELECT l_returnflag, l_orderkey, l_quantity FROM (
+      |  SELECT l_returnflag, l_orderkey, l_quantity
+      |  FROM lineitem
+      |  DISTRIBUTE BY l_returnflag SORT BY l_returnflag, l_orderkey)
+      |ORDER BY l_returnflag, l_orderkey, l_quantity""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_exists_subquery" -> (q(existsSql) _),
     "sql_scalar_subquery" -> (q(scalarSubSql) _),
     "sql_cte_reuse" -> (q(cteSql) _),
     "sql_recursive_cte" -> (q(recursiveSql) _),
-    "sql_lateral_join" -> (q(lateralSql) _)
+    "sql_lateral_join" -> (q(lateralSql) _),
+    "sql_pivot" -> (q(pivotSql) _),
+    "sql_unpivot" -> (q(unpivotSql) _),
+    "sql_join_hint" -> (q(hintSql) _),
+    "sql_cluster_by" -> (q(clusterBySql) _)
   )
 
   // DuckDB accepts the identical text for all five (ANSI forms);
@@ -101,6 +142,32 @@ object SqlSurface {
     "sql_recursive_cte" -> recursiveSql,
     "sql_lateral_join" ->
       lateralSql.replace("count(*) AS n_orders",
-        "CAST(count(*) AS BIGINT) AS n_orders")
+        "CAST(count(*) AS BIGINT) AS n_orders"),
+
+    // Spark-specific syntax (PIVOT column list, hints, DISTRIBUTE BY)
+    // oracled by their ANSI equivalents.
+    "sql_pivot" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS A,
+        |  CAST(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS N,
+        |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS R
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "sql_unpivot" ->
+      """SELECT l_orderkey, 'quantity' AS metric, CAST(l_quantity AS DOUBLE) AS val
+        |FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, 'price', CAST(l_extendedprice AS DOUBLE)
+        |FROM lineitem
+        |ORDER BY l_orderkey, metric, val""".stripMargin,
+
+    "sql_join_hint" ->
+      """SELECT n_name, count(*) AS cnt
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "sql_cluster_by" ->
+      """SELECT l_returnflag, l_orderkey, l_quantity FROM lineitem
+        |ORDER BY l_returnflag, l_orderkey, l_quantity""".stripMargin
   )
 }

@@ -104,6 +104,11 @@ class PlanSpec extends AnyFunSuite {
     assert(n >= 2, s"expected both Q18 joins broadcast, got $n:\n$plan")
   }
 
+  test("sql_join_hint: the BROADCAST hint forces a broadcast join from SQL") {
+    val plan = executed("sql_join_hint")
+    assert(plan.contains("BroadcastHashJoin"), s"hint ignored:\n$plan")
+  }
+
   test("scan_parquet_merge_schema: merged read keeps both generations' files") {
     val df = SparkEntry.queries("scan_parquet_merge_schema")(spark, sf)
     // the added column must be present and nullable across generations
