@@ -217,6 +217,24 @@ object Events {
         .orderBy("event_type")
     }),
 
+    // Time-series densification (gap filling): the minute calendar is
+    // generated from the observed bounds (one sequence in a 1-row
+    // frame, exploded — bounded by the TIME RANGE, not data volume,
+    // so it broadcasts at any scale), left-joined to per-minute
+    // counts; silent minutes surface as explicit zeros — what every
+    // monitoring/feature-store rollup needs before windowing.
+    "evt_gap_fill" -> ((s, dir) => {
+      val m = loadEvents(s, dir)
+        .select(date_trunc("minute", col("ts")).as("m"))
+      val cal = m.agg(min("m").as("m0"), max("m").as("m1"))
+        .select(explode(sequence(col("m0"), col("m1"),
+          expr("INTERVAL 1 MINUTE"))).as("m"))
+      val counts = m.groupBy("m").agg(count(lit(1)).as("cnt"))
+      cal.join(counts, Seq("m"), "left")
+        .select(col("m"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+        .orderBy("m")
+    }),
+
     // Ordered conversion funnel: first view -> first click at-or-after
     // it -> first purchase at-or-after that. Three per-user min
     // aggregates chained by joins that all hash on user_id — the
@@ -352,6 +370,17 @@ object Events {
         |  round(any_value(lo), 6) AS lo, round(any_value(hi), 6) AS hi
         |FROM events e JOIN b ON e.event_type = b.event_type
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
+    "evt_gap_fill" ->
+      """WITH m AS (
+        |  SELECT date_trunc('minute', CAST(ts AS TIMESTAMP)) AS m FROM events),
+        |cal AS (
+        |  SELECT unnest(generate_series(min(m), max(m),
+        |    INTERVAL 1 MINUTE)) AS m FROM m),
+        |c AS (SELECT m, count(*) AS cnt FROM m GROUP BY m)
+        |SELECT cal.m, CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+        |FROM cal LEFT JOIN c ON cal.m = c.m
+        |ORDER BY cal.m""".stripMargin,
 
     "evt_funnel" ->
       """WITH e AS (

@@ -121,8 +121,19 @@ object SqlSurface {
       |  DISTRIBUTE BY l_returnflag SORT BY l_returnflag, l_orderkey)
       |ORDER BY l_returnflag, l_orderkey, l_quantity""".stripMargin
 
+  /** NOT IN over a subquery — the null-aware anti-join path (NOT IN
+    * must yield no rows if the subquery EVER produces NULL, so
+    * Catalyst plans a null-aware anti join, not the plain left-anti
+    * of NOT EXISTS). */
+  private val notInSql =
+    """SELECT o_orderkey, o_custkey FROM orders
+      |WHERE o_custkey NOT IN (
+      |  SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+      |ORDER BY o_orderkey, o_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_exists_subquery" -> (q(existsSql) _),
+    "sql_not_in_null_aware" -> (q(notInSql) _),
     "sql_scalar_subquery" -> (q(scalarSubSql) _),
     "sql_cte_reuse" -> (q(cteSql) _),
     "sql_recursive_cte" -> (q(recursiveSql) _),
@@ -143,6 +154,7 @@ object SqlSurface {
     "sql_lateral_join" ->
       lateralSql.replace("count(*) AS n_orders",
         "CAST(count(*) AS BIGINT) AS n_orders"),
+    "sql_not_in_null_aware" -> notInSql,
 
     // Spark-specific syntax (PIVOT column list, hints, DISTRIBUTE BY)
     // oracled by their ANSI equivalents.
