@@ -102,6 +102,20 @@ object Aggregates {
         .agg(expr("hll_sketch_estimate(hll_union_agg(sketch))")
           .as("merged_distinct"))),
 
+    // Count-min sketch beside the HLL pair: the OTHER mergeable
+    // sketch a 100 TB pipeline ships between stages — per-group
+    // sketches built map-side, merged with count_min_sketch's binary
+    // merge, probed for heavy-hitter estimates. Estimates are
+    // seed-deterministic but engine-specific (no DuckDB twin) →
+    // ✗-row; OpsSpec bounds the estimates against exact counts.
+    "agg_count_min" -> ((s, dir) =>
+      load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("count_min_sketch(l_partkey, 0.001d, 0.99d, 42)").as("cms"))
+        .select(col("l_returnflag"),
+          length(col("cms")).cast("int").as("sketch_bytes"))
+        .orderBy("l_returnflag")),
+
     "agg_grouping_sets" -> ((s, dir) =>
       load(s, dir, "lineitem")
         .groupingSets(

@@ -275,6 +275,22 @@ object LlmOps4 {
         .orderBy("doc_id")
     }),
 
+    // Hashing-trick featurization (Weinberger et al. 2009): terms
+    // hashed into a fixed 128-bucket feature space via an md5-prefix
+    // (engine-portable, unlike murmur) — the bag-of-words → sparse-
+    // vector step that needs NO vocabulary build, so at 100 TB it is
+    // one explode + one hash-aggregate with no global dictionary
+    // shuffle or broadcast.
+    "llm_hash_features" -> ((s: SparkSession, dir: String) =>
+      load(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+        .select(col("doc_id"),
+          (expr("CAST(conv(substring(md5(t), 1, 6), 16, 10) AS BIGINT)")
+            % 128).as("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("doc_id", "bucket")),
+
     // Fixed-size overlapping chunking (RAG / context-window prep):
     // one generated start-offset sequence per doc (stride 400, width
     // 500 -> 100-char overlap), exploded and substring'd. Narrow,
@@ -382,6 +398,14 @@ object LlmOps4 {
   )
 
   val oracle: Map[String, String] = Map(
+    "llm_hash_features" ->
+      """SELECT doc_id,
+        |  CAST(concat('0x', substr(md5(t), 1, 6)) AS BIGINT) % 128 AS bucket,
+        |  count(*) AS cnt
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |      FROM documents) x
+        |GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin,
+
     "llm_semdedup" ->
       """WITH RECURSIVE p AS (
         |  SELECT a.vec_id AS a, b.vec_id AS b

@@ -56,6 +56,29 @@ class OpsSpec extends AnyFunSuite {
       s"merged=$merged exact=$exact")
   }
 
+  test("agg_count_min: merged sketch estimates bound exact counts from above within eps*N") {
+    import org.apache.spark.sql.functions._
+    val l = graft.util.Tables.load(spark, sf, "lineitem")
+    val bytes = l
+      .agg(expr("count_min_sketch(l_partkey, 0.001d, 0.99d, 42)").as("cms"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+    val exact = l.groupBy("l_partkey").count().orderBy(desc("count"))
+      .limit(5).collect().map(r => r.getLong(0) -> r.getLong(1))
+    val n = l.count()
+    exact.foreach { case (k, c) =>
+      val est = cms.estimateCount(k)
+      // CMS never under-estimates; over-estimate bounded by eps * N
+      assert(est >= c, s"key $k: est $est < exact $c")
+      assert(est <= c + (0.001 * n).toLong + 1,
+        s"key $k: est $est exceeds exact $c + eps*N")
+    }
+    // the query entry surfaces per-group sketches deterministically
+    val rows = SparkEntry.queries("agg_count_min")(spark, sf).collect()
+    assert(rows.length == 3 && rows.forall(_.getInt(1) > 0))
+  }
+
   test("sink_parquet: hive-style partition directory layout on disk") {
     SparkEntry.queries("sink_parquet")(spark, sf).collect()
     val base = new java.io.File(graft.ops.Scans.tmp(spark, sf, "sinkpart"))
