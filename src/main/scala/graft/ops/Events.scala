@@ -190,7 +190,13 @@ object Events {
     // dropDuplicates-by-key-keep-latest state machine; in batch it is
     // a single map-side-combining aggregate.
     "evt_cdc_upsert" -> ((s, dir) =>
-      latestByKey(loadEvents(s, dir), Seq("user_id"), Seq("ts", "event_id"))
+      // Project BEFORE the aggregate: latestByKey carries every
+      // non-key column through the max_by struct, so dropping props
+      // here prunes it from the scan and the shuffle.
+      latestByKey(
+          loadEvents(s, dir)
+            .select("user_id", "event_id", "event_type", "value", "ts"),
+          Seq("user_id"), Seq("ts", "event_id"))
         .select("user_id", "event_id", "event_type", "value", "ts")
         .orderBy("user_id")),
 
