@@ -88,15 +88,19 @@ object Bench {
 
     // Full per-query map → bench_full.json (cwd is the repo root under
     // both the driver's sbt invocation and tools/run_class.sh).
+    // SPARK_GRAFT_ONLY runs land in bench_only.json instead:
+    // bench_full.json must always hold the COMPLETE surface — a
+    // filtered debug run clobbering it once cost a round's snapshot.
     val fullQs = results.map { case (k, v) => s""""$k":${fmt(v)}""" }
       .mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$fullQs,"sf":"$sfDir"}"""
+    val outFile = if (only.nonEmpty) "bench_only.json" else "bench_full.json"
     try {
-      val w = new java.io.PrintWriter("bench_full.json")
+      val w = new java.io.PrintWriter(outFile)
       try w.println(fullLine) finally w.close()
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] bench_full.json write failed: $e") }
+      System.err.println(s"[bench] $outFile write failed: $e") }
 
     // Stdout line: anchors first, then the slowest remaining queries,
     // adding entries only while the line stays under MaxLineChars.
@@ -104,7 +108,7 @@ object Bench {
     val rest = results.toSeq.filterNot { case (k, _) => Anchors.contains(k) }
       .sortBy { case (_, v) => -v }
     val ordered = anchorEntries ++ rest
-    val prefix = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"detail":"bench_full.json","queries":{"""
+    val prefix = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"detail":"$outFile","queries":{"""
     val suffix = s"""},"sf":"$sfDir"}"""
     val budget = MaxLineChars - prefix.length - suffix.length
     val picked = scala.collection.mutable.ListBuffer.empty[String]

@@ -29,9 +29,15 @@ import graft.util.Tables._
   */
 object Composite {
 
-  private val rev =
-    asD(sum(money(col("l_extendedprice")) *
-      (lit(1) - money(col("l_discount"))).cast("decimal(8,4)")))
+  /** Per-line discounted revenue — THE decimal-exactness-critical
+    * product (15,2 × 8,4 parenthesization, SURVEY §1.5); every
+    * revenue aggregate in this file derives from this one
+    * definition. */
+  private val lineRev =
+    money(col("l_extendedprice")) *
+      (lit(1) - money(col("l_discount"))).cast("decimal(8,4)")
+
+  private val rev = asD(sum(lineRev))
 
   private val revSql =
     "CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2)) * CAST(1 - CAST(l_discount AS DECIMAL(15,2)) AS DECIMAL(8,4))) AS DOUBLE)"
@@ -104,12 +110,10 @@ object Composite {
       .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
         col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
     val p = load(s, dir, "part")
-    val line = money(col("l_extendedprice")) *
-      (lit(1) - money(col("l_discount"))).cast("decimal(8,4)")
     l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .agg((lit(100.0) *
-        (asD(sum(when(col("p_type").startsWith("PROMO"), line))) /
-          asD(sum(line)))).as("promo_share"))
+        (asD(sum(when(col("p_type").startsWith("PROMO"), lineRev))) /
+          asD(sum(lineRev)))).as("promo_share"))
   }
 
   // TPC-H Q18 (large-volume customers): orders whose total quantity

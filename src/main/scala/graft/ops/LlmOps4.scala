@@ -196,13 +196,16 @@ object LlmOps4 {
     * strided by `stride` (empty docs yield one empty chunk). A pure
     * map stage — the RAG / context-window prep shape. */
   def docChunks(docs: DataFrame, idCol: String, textCol: String,
-      width: Int, stride: Int): DataFrame =
+      width: Int, stride: Int): DataFrame = {
+    require(width > 0 && stride > 0,
+      s"docChunks: width ($width) and stride ($stride) must be positive")
     docs.select(col(idCol), col(textCol),
         explode(sequence(lit(0L),
           greatest(length(col(textCol)).cast("long") - 1, lit(0L)),
           lit(stride.toLong))).as("start"))
       .select(col(idCol), col("start"),
         expr(s"substr($textCol, CAST(start + 1 AS INT), $width)").as("chunk"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Duplicate-cluster resolution: edges = exact-dup links UNION

@@ -144,8 +144,11 @@ object SqlSurface {
     "sql_cluster_by" -> (q(clusterBySql) _)
   )
 
-  // DuckDB accepts the identical text for all five (ANSI forms);
-  // count(*) returns BIGINT in both engines.
+  // The ANSI forms (EXISTS/scalar-subquery/CTE/recursive/NOT IN) run
+  // as IDENTICAL text in DuckDB; the Spark-specific syntax rows
+  // (PIVOT column list, UNPIVOT, /*+ hints */, DISTRIBUTE BY) are
+  // oracled by ANSI rewrites — never paste Spark-only syntax into a
+  // DuckDB oracle. count(*) returns BIGINT in both engines.
   val oracle: Map[String, String] = Map(
     "sql_exists_subquery" -> existsSql,
     "sql_scalar_subquery" -> scalarSubSql,

@@ -200,13 +200,15 @@ class StreamingSpec extends AnyFunSuite {
       val ms = MemoryStream[Ev]
       val q = graft.streaming.StatefulOps.runningTotals(ms.toDF())
         .writeStream.format("memory").queryName("tws").outputMode("update").start()
-      ms.addData(Seq(
-        Ev(1, t("10:00"), 1, "a", 1.9), Ev(2, t("10:01"), 1, "a", 2.9),
-        Ev(3, t("10:02"), 2, "a", 5.5)))
-      q.processAllAvailable()
-      ms.addData(Seq(
-        Ev(4, t("10:03"), 1, "a", 3.1), Ev(5, t("10:04"), 3, "a", 7.0)))
-      q.processAllAvailable(); q.stop()
+      try {
+        ms.addData(Seq(
+          Ev(1, t("10:00"), 1, "a", 1.9), Ev(2, t("10:01"), 1, "a", 2.9),
+          Ev(3, t("10:02"), 2, "a", 5.5)))
+        q.processAllAvailable()
+        ms.addData(Seq(
+          Ev(4, t("10:03"), 1, "a", 3.1), Ev(5, t("10:04"), 3, "a", 7.0)))
+        q.processAllAvailable()
+      } finally q.stop() // never leak a RocksDB-backed query into later tests
       // Update mode: take each user's LAST emission = cumulative total.
       val finals = spark.table("tws").groupBy("user_id")
         .agg(max("n_events").as("n"), max("sum_floor_value").as("s"))
