@@ -395,6 +395,37 @@ object Relational {
         .select("p_id", "c_id").orderBy("p_id", "c_id")
     }),
 
+    // Interval-interval OVERLAP join (the general form beside
+    // `join_interval`'s point-in-band): purchase intervals
+    // [ts, ts + floor(value) minutes] of VARIABLE length, overlapping
+    // pairs per user. Scale rewrite: each interval explodes to the
+    // 100-min grid cells it spans (replication = ceil(len/W)+1, never
+    // n²), the join is EQUI on (user, cell) with the exact overlap
+    // predicate residual, and the "overlap-start cell" condition
+    // (cell == greatest(s_a, s_b) div W) emits each qualifying pair
+    // EXACTLY once — no DISTINCT pass over the pair set.
+    "join_interval_overlap" -> ((s, dir) => {
+      val W = 100L * 60L * 1000000L // 100-minute cells, µs
+      val i = loadEvents(s, dir).filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("st"),
+          (unix_micros(col("ts")) +
+            floor(col("value")).cast("long") * 60L * 1000000L).as("en"))
+      val a = i.select(col("user_id").as("u_a"), col("event_id").as("id_a"),
+          col("st").as("s_a"), col("en").as("e_a"))
+        .withColumn("cell_a", explode(expr(s"sequence(s_a div $W, e_a div $W)")))
+      val b = i.select(col("user_id").as("u_b"), col("event_id").as("id_b"),
+          col("st").as("s_b"), col("en").as("e_b"))
+        .withColumn("cell_b", explode(expr(s"sequence(s_b div $W, e_b div $W)")))
+      a.join(b,
+          col("u_a") === col("u_b") && col("cell_a") === col("cell_b") &&
+            col("id_a") < col("id_b") &&
+            col("s_a") <= col("e_b") && col("s_b") <= col("e_a") &&
+            col("cell_a") === expr(s"greatest(s_a, s_b) div $W"))
+        .select(col("u_a").as("user_id"), col("id_a"), col("id_b"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // Skew-safe salted join: event_type has only 5 values, so a plain
     // shuffle join lands 1/5 of a 100 TB fact table on single reducer
     // keys. Salt deterministically (pmod of the row key, never rand())
@@ -558,6 +589,18 @@ object Relational {
         |  ON p.user_id = c.user_id
         | AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts + INTERVAL 1 HOUR
         |ORDER BY p_id, c_id""".stripMargin,
+    "join_interval_overlap" ->
+      """WITH i AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) +
+        |      CAST(floor(value) AS BIGINT) * 60 * 1000000 AS e
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b
+        |FROM i a JOIN i b ON a.user_id = b.user_id
+        |  AND a.event_id < b.event_id
+        |  AND a.s <= b.e AND b.s <= a.e
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "join_skew_salted" ->
       """SELECT event_type, count(*) AS cnt,
         |  CAST(sum(length(event_type)) AS BIGINT) AS total_weight

@@ -161,6 +161,35 @@ object Scans {
         .orderBy(rtCols.head, rtCols.tail: _*)
     }),
 
+    // Malformed-record handling (every real ingest's first problem):
+    // a CSV generation with deterministically-corrupted rows (every
+    // 50th doc writes a non-numeric n_chars) read back PERMISSIVE
+    // with a corrupt-record column — bad rows are quarantined, not
+    // dropped and not job-fatal, and the good subset aggregates
+    // exactly. The corruption is a pure row property, so the oracle
+    // reconstructs both populations from the source table.
+    "scan_csv_malformed" -> ((s, dir) => {
+      val p = tmp(s, dir, "csvbad")
+      load(s, dir, "documents")
+        .select(concat_ws(",", col("doc_id"),
+          when(col("doc_id") % 50 === 0, lit("BAD"))
+            .otherwise(col("n_chars").cast("string")),
+          col("lang")).as("value"))
+        .write.mode(SaveMode.Overwrite).text(p)
+      val badSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("n_chars", LongType),
+        StructField("lang", StringType),
+        StructField("_corrupt_record", StringType)))
+      s.read.schema(badSchema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(p)
+        .agg(count(lit(1)).as("total"),
+          count(col("_corrupt_record")).as("n_corrupt"),
+          sum(when(col("_corrupt_record").isNull, col("n_chars")))
+            .as("sum_chars_good"))
+    }),
+
     // Small-file compaction (the table-maintenance job every
     // long-lived 100 TB table runs): a 64-way fragmented write is
     // compacted by a range-repartition on the sort key down to 4
@@ -230,6 +259,13 @@ object Scans {
     "scan_binaryfile" ->
       """SELECT doc_id, CAST(n_chars + 1 AS BIGINT) AS n_bytes
         |FROM documents WHERE doc_id % 100 = 0 ORDER BY doc_id""".stripMargin,
+
+    "scan_csv_malformed" ->
+      """SELECT count(*) AS total,
+        |  count(*) FILTER (WHERE doc_id % 50 = 0) AS n_corrupt,
+        |  CAST(sum(CASE WHEN doc_id % 50 <> 0 THEN n_chars END) AS BIGINT)
+        |    AS sum_chars_good
+        |FROM documents""".stripMargin,
 
     "sink_compact" ->
       """SELECT l_returnflag, count(*) AS cnt,

@@ -52,6 +52,26 @@ class Round4Spec extends AnyFunSuite {
     assert(bucketed.nonEmpty)
   }
 
+  test("join_interval_overlap: cell-bucketed join equals the brute-force theta join exactly once") {
+    val i = graft.util.Tables.loadEvents(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("s"),
+        (unix_micros(col("ts")) +
+          floor(col("value")).cast("long") * 60L * 1000000L).as("e"))
+    val brute = i.as("a").join(i.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_id") < col("b.event_id") &&
+          col("a.s") <= col("b.e") && col("b.s") <= col("a.e"))
+      .select(col("a.event_id"), col("b.event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val bucketed = graft.ops.Relational.queries("join_interval_overlap")(spark, sf)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(bucketed.sameElements(brute), // sameElements also fails on duplicates
+      s"bucketed ${bucketed.length} pairs != brute ${brute.length}")
+    assert(bucketed.nonEmpty)
+  }
+
   test("llm_sample_hash: keep-set is a pure row property (partitioning-proof)") {
     val once = graft.ops.LlmOps4.queries("llm_sample_hash")(spark, sf).collect()
     // Same query over a repartitioned source must select the SAME rows
