@@ -109,4 +109,39 @@ object PropertiesSpec extends Properties("graft-laws") {
         got == expected
       }
     }
+
+  property("latestByKey == in-memory maxBy per key") =
+    forAll(rows.suchThat(_.nonEmpty)) { xs =>
+      import spark.implicits._
+      // (key, ord) pairs with a unique row id appended as tiebreaker
+      val data = xs.zipWithIndex.map { case ((k, v), i) => (k, v, i.toLong) }
+      val got = graft.Graft.latestByKey(
+          data.toDF("k", "v", "rid"), Seq("k"), Seq("v", "rid"))
+        .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+      val expected = data.groupBy(_._1).map { case (k, g) =>
+        val m = g.maxBy(t => (t._2, t._3))
+        k -> (m._2, m._3)
+      }
+      got == expected
+    }
+
+  property("docChunks reconstruct: stride-prefixes ++ last chunk == text") =
+    forAll(Gen.listOf(Gen.alphaNumStr.map(_.take(25))),
+      Gen.chooseNum(2, 8)) { (texts, stride) =>
+      import spark.implicits._
+      val width = stride + 2 // overlap of 2
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val chunks = graft.Graft.docChunks(docs, "doc_id", "text", width, stride)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toList).toMap
+      texts.zipWithIndex.forall { case (t, i) =>
+        val cs = chunks(i.toLong)
+        val rebuilt = cs.init.map(_.take(stride)).mkString + cs.last
+        // a non-last chunk always has at least stride+1 chars left to
+        // take (width only when the doc extends that far)
+        rebuilt == t &&
+          cs.init.forall(_.length > stride) && cs.last.length <= width
+      }
+    }
 }
