@@ -182,6 +182,15 @@ object Events {
       graft.streaming.StatefulOps.runningTotals(loadEvents(s, dir))
         .toDF().orderBy("user_id")),
 
+    // ListState variant of transformWithState: bounded most-recent-3
+    // buffer per user ("user journey" feature). Batch = one epoch, so
+    // the output is the per-user top-3 by (ts, event_id) — which the
+    // oracle reproduces with a window; the bounded-state trimming
+    // across batches is asserted in StreamingSpec.
+    "evt_tws_recent" -> ((s, dir) =>
+      graft.streaming.StatefulOps.recentEvents(loadEvents(s, dir), keep = 3)
+        .toDF().orderBy("user_id")),
+
     // CDC latest-row-wins materialization (the upsert-compaction every
     // changelog-consuming 100 TB table needs): one hash aggregate on
     // the key with max_by ordered by (ts, event_id) — event_id breaks
@@ -353,6 +362,18 @@ object Events {
       """SELECT user_id, count(*) AS n_events,
         |  CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_floor_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "evt_tws_recent" ->
+      """SELECT user_id,
+        |  string_agg(event_type, ',' ORDER BY ts DESC, event_id DESC)
+        |    AS recent
+        |FROM (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn <= 3
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "evt_cdc_upsert" ->
       """SELECT user_id, event_id, event_type, value,

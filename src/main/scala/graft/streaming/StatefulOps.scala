@@ -39,6 +39,40 @@ class RunningTotalProcessor
   }
 }
 
+/** Emitted by [[RecentEventsProcessor]]: the newest `keep` event
+  * types for the user, newest first, comma-joined. */
+case class UserRecent(user_id: Long, recent: String)
+
+/** ListState variant of the arbitrary-state API: a bounded
+  * most-recent-events buffer per user (the "user journey" feature a
+  * ranking pipeline reads). State holds at most `keep` (ts, event_id,
+  * event_type) triples — appended, re-sorted, trimmed each batch, so
+  * state size is O(keep) per key regardless of stream length.
+  * (ts, event_id) ordering makes the survivor set deterministic:
+  * event_id breaks timestamp ties.
+  */
+class RecentEventsProcessor(keep: Int)
+    extends StatefulProcessor[Long, (Long, Long, Long, String), UserRecent] {
+
+  @transient private var buf: ListState[(Long, Long, String)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    buf = getHandle.getListState[(Long, Long, String)]("recent",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.STRING),
+      TTLConfig.NONE)
+
+  override def handleInputRows(key: Long,
+      rows: Iterator[(Long, Long, Long, String)],
+      timerValues: TimerValues): Iterator[UserRecent] = {
+    val merged = (buf.get().toSeq ++
+        rows.map { case (_, ts, id, tpe) => (ts, id, tpe) })
+      .sortBy { case (ts, id, _) => (-ts, -id) }
+      .take(keep)
+    buf.put(merged.toArray) // atomic replace of the bounded buffer
+    Iterator.single(UserRecent(key, merged.map(_._3).mkString(",")))
+  }
+}
+
 object StatefulOps {
 
   /** Per-user running totals over a (streaming or batch) events frame
@@ -59,6 +93,23 @@ object StatefulOps {
       .as[(Long, Double)]
       .groupByKey(_._1)
       .transformWithState(new RunningTotalProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Most-recent `keep` event types per user (newest first) via a
+    * ListState buffer. Needs `user_id`/`ts`/`event_id`/`event_type`
+    * columns; ties on ts break by event_id. */
+  def recentEvents(events: DataFrame, keep: Int): Dataset[UserRecent] = {
+    require(keep > 0, s"recentEvents: keep ($keep) must be positive")
+    val spark = events.sparkSession
+    import spark.implicits._
+    if (!events.isStreaming)
+      org.apache.spark.sql.graftshim.Shim.ensureStateStoreCoordinator(spark)
+    events.select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new RecentEventsProcessor(keep),
         TimeMode.None(), OutputMode.Update())
   }
 }

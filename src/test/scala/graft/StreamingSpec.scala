@@ -224,6 +224,35 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState ListState: recent-events buffer trims across batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Ev]
+      val q = graft.streaming.StatefulOps.recentEvents(ms.toDF(), keep = 3)
+        .writeStream.format("memory").queryName("twsl").outputMode("update").start()
+      try {
+        ms.addData(Seq(
+          Ev(1, t("10:00"), 1, "view", 0), Ev(2, t("10:01"), 1, "click", 0)))
+        q.processAllAvailable()
+        ms.addData(Seq(
+          Ev(3, t("10:02"), 1, "cart", 0), Ev(4, t("10:03"), 1, "purchase", 0)))
+        q.processAllAvailable()
+      } finally q.stop()
+      // last emission: newest-first top-3 ACROSS both batches (view trimmed)
+      val last = spark.table("twsl").collect().map(_.getString(1)).last
+      assert(last == "purchase,cart,click", s"got $last")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-static enrichment join equals batch join") {
     import spark.implicits._
     val customers = Seq((1L, "ALPHA"), (2L, "BETA"))
