@@ -232,6 +232,28 @@ object Events {
         .orderBy("event_type")
     }),
 
+    // SCD Type-2 dimension versioning: each user's event_type stream
+    // becomes versioned attribute rows [valid_from, valid_to) with
+    // consecutive repeats collapsed and the open row flagged current
+    // — the slowly-changing-dimension shape every warehouse dim table
+    // maintains. Two windows over ONE shuffle on user_id (lag to
+    // detect change, lead to close the interval).
+    "evt_scd2" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      loadEvents(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .withColumn("valid_to",
+          lead(col("ts"), 1).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))))
+        .select(col("user_id"), col("event_id").as("version_id"),
+          col("event_type"), col("ts").as("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current"))
+        .orderBy("user_id", "valid_from", "version_id")
+    }),
+
     // Time-series densification (gap filling): the minute calendar is
     // generated from the observed bounds (one sequence in a 1-row
     // frame, exploded — bounded by the TIME RANGE, not data volume,
@@ -397,6 +419,23 @@ object Events {
         |  round(any_value(lo), 6) AS lo, round(any_value(hi), 6) AS hi
         |FROM events e JOIN b ON e.event_type = b.event_type
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
+    "evt_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, event_type, ts, event_id FROM e
+        |  WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_id AS version_id, event_type,
+        |  ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS valid_to,
+        |  lead(ts) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) IS NULL AS is_current
+        |FROM c ORDER BY user_id, valid_from, version_id""".stripMargin,
 
     "evt_gap_fill" ->
       """WITH m AS (

@@ -213,6 +213,35 @@ object Scans {
         .orderBy("l_returnflag")
     }),
 
+    // MERGE-style upsert rewrite (the DML every warehouse runs,
+    // expressed engine-agnostically): target customer rows full-outer
+    // joined with a CDC update feed (latest purchase value per user,
+    // keys shifted so all three actions occur) → matched rows update,
+    // source-only rows insert, target-only rows keep. The merged
+    // generation is WRITTEN and read back — the copy-on-write shape
+    // table formats implement natively. One shuffle on the merge key.
+    "sink_merge_upsert" -> ((s, dir) => {
+      val p = tmp(s, dir, "merge")
+      val t = load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val u = Events.latestByKey(
+          loadEvents(s, dir).filter(col("event_type") === "purchase")
+            .select("user_id", "value", "ts", "event_id"),
+          Seq("user_id"), Seq("ts", "event_id"))
+        .select((col("user_id") + 1400L).as("user_id"),
+          col("value").as("new_bal"))
+      t.join(u, col("c_custkey") === col("user_id"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("user_id")).as("key"),
+          coalesce(col("c_name"), lit("NEW")).as("name"),
+          coalesce(col("new_bal"), col("c_acctbal")).as("acctbal"),
+          when(col("c_custkey").isNull, "insert")
+            .when(col("user_id").isNull, "keep")
+            .otherwise("update").as("action"))
+        .write.mode(SaveMode.Overwrite).parquet(p)
+      s.read.parquet(p).orderBy("key")
+    }),
+
     // Schema evolution: two parquet generations (the second adds a
     // column) merged back by mergeSchema — the missing column reads
     // as NULL for old-generation rows, exactly the additive-column
@@ -271,6 +300,21 @@ object Scans {
       """SELECT l_returnflag, count(*) AS cnt,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) AS qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "sink_merge_upsert" ->
+      """WITH u AS (
+        |  SELECT user_id + 1400 AS user_id, value AS new_bal
+        |  FROM events WHERE event_type = 'purchase'
+        |  QUALIFY row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) = 1)
+        |SELECT coalesce(c_custkey, user_id) AS key,
+        |  coalesce(c_name, 'NEW') AS name,
+        |  coalesce(new_bal, c_acctbal) AS acctbal,
+        |  CASE WHEN c_custkey IS NULL THEN 'insert'
+        |       WHEN user_id IS NULL THEN 'keep'
+        |       ELSE 'update' END AS action
+        |FROM customer FULL OUTER JOIN u ON c_custkey = user_id
+        |ORDER BY key""".stripMargin,
 
     "scan_parquet_merge_schema" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
