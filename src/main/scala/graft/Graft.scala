@@ -174,4 +174,18 @@ object Graft {
     * epoch). Input needs `user_id` and `value` columns. */
   def runningTotals(events: DataFrame): DataFrame =
     graft.streaming.StatefulOps.runningTotals(events).toDF()
+
+  /** Bounded most-recent-`keep` event types per user via
+    * `transformWithState` ListState (needs `user_id`/`ts`/`event_id`/
+    * `event_type`). */
+  def recentEvents(events: DataFrame, keep: Int): DataFrame =
+    graft.streaming.StatefulOps.recentEvents(events, keep).toDF()
+
+  /** Per-user inactivity sessions via `transformWithState` event-time
+    * timers: interim counts each batch, a closed row when the
+    * watermark passes last-seen + `gap` (streaming; batch emits the
+    * single-epoch interim counts). */
+  def inactivitySessions(events: DataFrame,
+      gap: java.time.Duration): DataFrame =
+    graft.streaming.StatefulOps.inactivitySessions(events, gap).toDF()
 }

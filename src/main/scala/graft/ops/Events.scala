@@ -182,6 +182,16 @@ object Events {
       graft.streaming.StatefulOps.runningTotals(loadEvents(s, dir))
         .toDF().orderBy("user_id")),
 
+    // Timer variant of transformWithState: per-user inactivity
+    // sessions — streaming re-arms an event-time timer per batch and
+    // handleExpiredTimer closes the session when the watermark
+    // passes (asserted in StreamingSpec); the batch single epoch
+    // emits the interim per-user counts, which the oracle checks.
+    "evt_tws_timers" -> ((s, dir) =>
+      graft.streaming.StatefulOps.inactivitySessions(
+          loadEvents(s, dir), java.time.Duration.ofMinutes(30))
+        .toDF().orderBy("user_id")),
+
     // ListState variant of transformWithState: bounded most-recent-3
     // buffer per user ("user journey" feature). Batch = one epoch, so
     // the output is the per-user top-3 by (ts, event_id) — which the
@@ -383,6 +393,10 @@ object Events {
     "evt_transform_with_state" ->
       """SELECT user_id, count(*) AS n_events,
         |  CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_floor_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "evt_tws_timers" ->
+      """SELECT user_id, count(*) AS n_events, false AS closed
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "evt_tws_recent" ->

@@ -73,6 +73,53 @@ class RecentEventsProcessor(keep: Int)
   }
 }
 
+/** Emitted by [[InactivitySessionProcessor]]: a user's event count so
+  * far (`closed = false`, Update-mode interim row) or the final count
+  * when the inactivity timer fired (`closed = true`). */
+case class UserSession(user_id: Long, n_events: Long, closed: Boolean)
+
+/** Event-time TIMER variant of the arbitrary-state API: per-user
+  * inactivity sessions. Each batch re-arms a timer at
+  * last-event-time + gap; when the watermark passes it,
+  * handleExpiredTimer emits the closed session and clears state —
+  * the timeout path mapGroupsWithState spelled as GroupStateTimeout,
+  * now explicit. Interim counts emit per batch (Update mode), so the
+  * batch (single-epoch) form is the plain per-user count with
+  * closed = false, which the oracle checks.
+  */
+class InactivitySessionProcessor(gapMs: Long, useTimers: Boolean)
+    extends StatefulProcessor[Long, (Long, Long), UserSession] {
+
+  @transient private var state: ValueState[(Long, Long)] = _ // (n, lastMs)
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[(Long, Long)]("sess",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+      timerValues: TimerValues): Iterator[UserSession] = {
+    var (n, lastMs) = if (state.exists()) state.get() else (0L, Long.MinValue)
+    rows.foreach { case (_, tsMs) => n += 1; lastMs = math.max(lastMs, tsMs) }
+    state.update((n, lastMs))
+    if (useTimers) {
+      // re-arm: drop the previous deadline, set last-seen + gap.
+      // Batch runs TimeMode.NoTime (EventTime needs the watermark
+      // machinery), where timer registration is unsupported — the
+      // single epoch just emits the interim counts.
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(lastMs + gapMs)
+    }
+    Iterator.single(UserSession(key, n, closed = false))
+  }
+
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[UserSession] = {
+    val (n, _) = state.get()
+    state.clear()
+    Iterator.single(UserSession(key, n, closed = true))
+  }
+}
+
 object StatefulOps {
 
   /** Per-user running totals over a (streaming or batch) events frame
@@ -94,6 +141,28 @@ object StatefulOps {
       .groupByKey(_._1)
       .transformWithState(new RunningTotalProcessor,
         TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Per-user inactivity sessions via event-time timers: interim
+    * counts each batch, a closed session row when the watermark
+    * passes last-seen + `gap`. The input needs `user_id`/`ts` and —
+    * in streaming mode — a watermark on `ts` (timers fire off the
+    * watermark). */
+  def inactivitySessions(events: DataFrame,
+      gap: java.time.Duration): Dataset[UserSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val streaming = events.isStreaming
+    if (!streaming)
+      org.apache.spark.sql.graftshim.Shim.ensureStateStoreCoordinator(spark)
+    events.select(col("user_id"),
+        (unix_micros(col("ts")) / 1000L).cast("long").as("ts_ms"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new InactivitySessionProcessor(gap.toMillis, useTimers = streaming),
+        if (streaming) TimeMode.EventTime() else TimeMode.None(),
+        OutputMode.Update())
   }
 
   /** Most-recent `keep` event types per user (newest first) via a

@@ -253,6 +253,44 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState timers: inactivity sessions close when the watermark passes") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Ev]
+      val q = graft.streaming.StatefulOps.inactivitySessions(
+          ms.toDF().withWatermark("ts", "0 seconds"),
+          java.time.Duration.ofMinutes(30))
+        .writeStream.format("memory").queryName("twst").outputMode("update").start()
+      try {
+        // batch 1: two users active around 10:00
+        ms.addData(Seq(
+          Ev(1, t("10:00"), 1, "a", 0), Ev(2, t("10:05"), 1, "a", 0),
+          Ev(3, t("10:00"), 2, "a", 0)))
+        q.processAllAvailable()
+        // batch 2: a 12:00 event advances the watermark far past both
+        // users' 30-min inactivity deadlines -> their sessions close
+        ms.addData(Seq(Ev(4, t("12:00"), 3, "a", 0)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val closed = spark.table("twst").filter(col("closed"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(closed === Map(1L -> 2L, 2L -> 1L), s"closed sessions: $closed")
+      // user 3's session is still open (watermark has not passed 12:30)
+      val openUsers = spark.table("twst").filter(!col("closed"))
+        .select("user_id").collect().map(_.getLong(0)).toSet
+      assert(openUsers.contains(3L))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-static enrichment join equals batch join") {
     import spark.implicits._
     val customers = Seq((1L, "ALPHA"), (2L, "BETA"))
