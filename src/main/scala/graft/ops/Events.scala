@@ -255,9 +255,7 @@ object Events {
         .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
         .withColumn("prev", lag(col("event_type"), 1).over(w))
         .filter(col("prev").isNull || col("prev") =!= col("event_type"))
-        .withColumn("valid_to",
-          lead(col("ts"), 1).over(org.apache.spark.sql.expressions.Window
-            .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))))
+        .withColumn("valid_to", lead(col("ts"), 1).over(w))
         .select(col("user_id"), col("event_id").as("version_id"),
           col("event_type"), col("ts").as("valid_from"), col("valid_to"),
           col("valid_to").isNull.as("is_current"))
