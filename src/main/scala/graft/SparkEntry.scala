@@ -23,6 +23,7 @@ object SparkEntry {
       (LlmOps3.queries, LlmOps3.oracle),
       (LlmOps4.queries, LlmOps4.oracle),
       (Composite.queries, Composite.oracle),
+      (Composite2.queries, Composite2.oracle),
       (SqlSurface.queries, SqlSurface.oracle),
       (Typed.queries, Typed.oracle)
     )
