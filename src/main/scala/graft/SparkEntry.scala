@@ -22,8 +22,10 @@ object SparkEntry {
       (LlmOps2.queries, LlmOps2.oracle),
       (LlmOps3.queries, LlmOps3.oracle),
       (LlmOps4.queries, LlmOps4.oracle),
+      (LlmOps5.queries, LlmOps5.oracle),
       (Composite.queries, Composite.oracle),
       (Composite2.queries, Composite2.oracle),
+      (Composite3.queries, Composite3.oracle),
       (SqlSurface.queries, SqlSurface.oracle),
       (Typed.queries, Typed.oracle)
     )

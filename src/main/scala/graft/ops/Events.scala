@@ -122,6 +122,21 @@ object Events {
         .orderBy("click_id", "purchase_id")
     }),
 
+    // LEFT OUTER stream-stream join, batch twin: clicks with no
+    // purchase in the following hour surface with a null match — the
+    // outer-emission semantics only the watermark makes possible in
+    // streaming (see Streams.clickPurchaseLeftOuter, exercised
+    // multi-batch in StreamingSpec). Same single user_id shuffle as
+    // the inner form; null purchase_id rows order NULLS FIRST to pin
+    // the compare.
+    "evt_stream_outer_join" -> ((s, dir) => {
+      val e = loadEvents(s, dir)
+      graft.streaming.Streams.clickPurchaseLeftOuter(
+          e.filter(col("event_type") === "click"),
+          e.filter(col("event_type") === "purchase"))
+        .orderBy(asc("click_id"), asc_nulls_first("purchase_id"))
+    }),
+
     // flatMapGroupsWithState, batch form (one batch = one state
     // epoch): threshold-crossing alerts per user. No oracle — the
     // per-group double accumulation order is engine-specific, so the
@@ -367,6 +382,18 @@ object Events {
         |  AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
         |  AND CAST(b.ts AS TIMESTAMP) < CAST(a.ts AS TIMESTAMP) + INTERVAL 1 HOUR
         |ORDER BY click_id, purchase_id""".stripMargin,
+
+    "evt_stream_outer_join" ->
+      """SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+        |  a.user_id,
+        |  CAST(a.ts AS TIMESTAMP) AS click_ts,
+        |  CAST(b.ts AS TIMESTAMP) AS purchase_ts
+        |FROM events a LEFT JOIN events b ON a.user_id = b.user_id
+        |  AND b.event_type = 'purchase'
+        |  AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
+        |  AND CAST(b.ts AS TIMESTAMP) < CAST(a.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+        |WHERE a.event_type = 'click'
+        |ORDER BY click_id, purchase_id NULLS FIRST""".stripMargin,
 
     "evt_active_users_rolling" ->
       """WITH d AS (

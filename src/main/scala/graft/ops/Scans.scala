@@ -36,6 +36,18 @@ object Scans {
     p
   }
 
+  /** 16-bit Morton (Z-order) interleave of two 8-bit values: bit i of
+    * x lands at position 2i+1, bit i of y at 2i (x-first, so the
+    * highest z bit is x's top bit). Pure long bit-ops → whole-stage
+    * codegen; used by sink_zorder's layout rewrite. */
+  private[graft] def morton(x: org.apache.spark.sql.Column,
+      y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 8).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i + 1))
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i))
+    }
+
   /** Columns safe to round-trip through text formats: integral,
     * double (Java shortest-roundtrip formatting), and string. */
   private val rtCols = Seq("l_orderkey", "l_linenumber", "l_quantity",
@@ -242,6 +254,72 @@ object Scans {
       s.read.parquet(p).orderBy("key")
     }),
 
+    // Dynamic partition overwrite (the incremental-reload primitive):
+    // generation 1 writes all five priority partitions; a second
+    // overwrite carrying ONLY the 1-URGENT slice (prices doubled, so
+    // the change is observable) replaces just that directory under
+    // partitionOverwriteMode=dynamic — the other four partitions
+    // survive untouched. A static overwrite would have deleted them,
+    // so the read-back aggregate proves the mode. Doubling a 2-dp
+    // price is exact in both double (×2 is a power of two) and
+    // decimal, so the oracle's CASE reconstruction matches bit-wise.
+    "sink_dynamic_overwrite" -> ((s, dir) => {
+      val p = tmp(s, dir, "dynover")
+      val o = load(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+      o.write.mode(SaveMode.Overwrite).partitionBy("o_orderpriority").parquet(p)
+      o.filter(col("o_orderpriority") === "1-URGENT")
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("o_orderpriority").parquet(p)
+      s.read.parquet(p).groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          asD(sum(money(col("o_totalprice")))).as("total"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Z-order clustered layout: orders rewritten sorted by the Morton
+    // interleave of (o_custkey, epoch-day of o_orderdate), so a
+    // range-partitioned file covers a bounded rectangle in BOTH
+    // dimensions and parquet min/max stats prune files for filters on
+    // EITHER column — the multi-dimensional generalization of
+    // sink_compact's single-key clustering. Each dimension is min-max
+    // scaled to 8 bits first (exact integer math, bounds computed
+    // in-plan and broadcast): raw interleave would let the wider
+    // domain's high bits monopolize the top z bits and degrade to a
+    // single-column sort — the same range-normalization step
+    // production OPTIMIZE ZORDER implementations perform. Round6Spec
+    // asserts the skipping effect (a narrow custkey band touches ≤
+    // half the z-ordered files but all of a date-clustered layout's).
+    // The z value is layout-only (dropped before write), so the
+    // oracle is the plain data-identity aggregate.
+    "sink_zorder" -> ((s, dir) => {
+      val p = tmp(s, dir, "zorder")
+      val o = load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate",
+          "o_totalprice", "o_orderpriority")
+        .withColumn("xd", col("o_custkey"))
+        .withColumn("yd",
+          datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+            .cast("long"))
+      val bounds = o.agg(min("xd").as("xlo"), max("xd").as("xhi"),
+        min("yd").as("ylo"), max("yd").as("yhi"))
+      o.crossJoin(broadcast(bounds))
+        .withColumn("z", morton(
+          expr("((xd - xlo) * 256) div (xhi - xlo + 1)"),
+          expr("((yd - ylo) * 256) div (yhi - ylo + 1)")))
+        .repartitionByRange(8, col("z"))
+        .sortWithinPartitions("z")
+        .select("o_orderkey", "o_custkey", "o_orderdate",
+          "o_totalprice", "o_orderpriority")
+        .write.mode(SaveMode.Overwrite).parquet(p)
+      s.read.parquet(p).groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          asD(sum(money(col("o_totalprice")))).as("total"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Schema evolution: two parquet generations (the second adds a
     // column) merged back by mergeSchema — the missing column reads
     // as NULL for old-generation rows, exactly the additive-column
@@ -315,6 +393,20 @@ object Scans {
         |       ELSE 'update' END AS action
         |FROM customer FULL OUTER JOIN u ON c_custkey = user_id
         |ORDER BY key""".stripMargin,
+
+    "sink_dynamic_overwrite" ->
+      """SELECT o_orderpriority, count(*) AS cnt,
+        |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+        |    THEN CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 2 AS DECIMAL(17,2))
+        |    ELSE CAST(o_totalprice AS DECIMAL(15,2)) END) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "sink_zorder" ->
+      """SELECT o_orderpriority, count(*) AS cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "scan_parquet_merge_schema" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,

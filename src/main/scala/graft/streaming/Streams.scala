@@ -80,6 +80,33 @@ object Streams {
         col("click_ts"), col("purchase_ts"))
   }
 
+  /** `evt_stream_outer_join` streaming form: the LEFT OUTER variant of
+    * [[clickPurchaseJoin]]. Outer stream-stream joins REQUIRE the
+    * watermark + time-bound pair (inner joins merely benefit): a null
+    * match can only be emitted once the right-side watermark proves no
+    * future purchase can land inside the click's interval, so the
+    * unmatched row is held in state exactly until then — bounded
+    * state, eventual emission, the semantics corner batch left joins
+    * get for free. Same algebra on a batch frame (watermarks are
+    * no-ops there), so the batch twin oracles it. */
+  def clickPurchaseLeftOuter(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "30 minutes")
+    val p = purchases
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "30 minutes")
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") < col("click_ts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
   /** Arbitrary custom state via mapGroupsWithState (§1.4): a running
     * per-user event count that survives across micro-batches. State is
     * keyed by user — the KeyValueGroupedDataset shuffle partitions the

@@ -151,6 +151,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.sameElements(Array((1L, 10L))), s"got ${got.mkString(",")}")
   }
 
+  test("stream-stream LEFT OUTER join: null match emitted only after the watermark closes the interval") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val q = Streams.clickPurchaseLeftOuter(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("ssouter")
+      .outputMode("append").start()
+    clicks.addData(Seq(
+      Ev(1, t("10:00"), 1, "click", 0),   // will match
+      Ev(2, t("10:30"), 2, "click", 0)))  // never matches
+    purchases.addData(Seq(Ev(10, t("10:20"), 1, "purchase", 0)))
+    q.processAllAvailable()
+    // click 2's interval is still open — no null row may exist yet
+    val early = spark.table("ssouter").select("click_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(!early.contains((2L, -1L)),
+      s"null match emitted before watermark: ${early.mkString(",")}")
+    // advance both watermarks past click 2's interval end (11:30)
+    clicks.addData(Seq(Ev(3, t("14:00"), 8, "click", 0)))
+    purchases.addData(Seq(Ev(13, t("14:00"), 9, "purchase", 0)))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ssouter").select("click_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .sorted
+    assert(got.sameElements(Array((1L, 10L), (2L, -1L))),
+      s"got ${got.mkString(",")}")
+  }
+
   test("flatMapGroupsWithState: one alert per threshold multiple crossed") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
