@@ -170,7 +170,29 @@ object Composite2 {
       .orderBy("c_mktsegment")
   }
 
+  // TPC-H Q15 (top supplier): revenue per supplier over one quarter,
+  // keep the supplier(s) achieving the maximum. The revenue view is a
+  // |suppliers|-sized aggregate of one filtered fact scan; its max is
+  // a single broadcast row, and the supplier dim broadcasts into the
+  // (tiny) surviving set. max() over the decimal-exact revenue is
+  // order-independent, so no float hazard.
+  private def tpchQ15(s: SparkSession, dir: String): DataFrame = {
+    val revenue = load(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(rev.as("total_rev"))
+    val mx = revenue.agg(max(col("total_rev")).as("mx"))
+    revenue.crossJoin(broadcast(mx))
+      .filter(col("total_rev") === col("mx"))
+      .join(broadcast(load(s, dir, "supplier").select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+      .orderBy("s_suppkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_tpch_q15" -> (tpchQ15 _),
     "sql_tpch_q7" -> (tpchQ7 _),
     "sql_tpch_q8" -> (tpchQ8 _),
     "sql_tpch_q17" -> (tpchQ17 _),
@@ -179,6 +201,17 @@ object Composite2 {
   )
 
   val oracle: Map[String, String] = Map(
+    "sql_tpch_q15" ->
+      s"""WITH revenue AS (
+         |  SELECT l_suppkey, $revSql AS total_rev
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |    AND l_shipdate <  TIMESTAMP '1996-04-01'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, total_rev
+         |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+         |WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+         |ORDER BY s_suppkey""".stripMargin,
     "sql_tpch_q7" ->
       s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          |  CAST(year(l_shipdate) AS INT) AS l_year, $revSql AS revenue

@@ -355,6 +355,29 @@ object LlmOps4 {
     "llm_lm_score" -> ((s: SparkSession, dir: String) =>
       lmScore(load(s, dir, "documents")).orderBy("doc_id")),
 
+    // CCNet-style perplexity bucketing: docs split into head/middle/
+    // tail terciles of LM cross-entropy WITHIN each language (the
+    // language-conditioned quality tiers the CCNet pipeline samples
+    // from). Ranks come from the already-rounded xent with a doc_id
+    // tiebreak, so the tercile boundaries are exact. The ntile window
+    // shuffles on lang (low-cardinality by nature) — at 100 TB the
+    // scale path is approx_percentile boundaries broadcast back, which
+    // avoids ranking entirely; exact terciles are the oracle-checkable
+    // contract here.
+    "llm_perplexity_buckets" -> ((s: SparkSession, dir: String) => {
+      val docs = load(s, dir, "documents")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("xent"), col("doc_id"))
+      lmScore(docs)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .withColumn("bucket", ntile(3).over(w))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          round(min(col("xent")), 6).as("min_xent"),
+          round(max(col("xent")), 6).as("max_xent"))
+        .orderBy("lang", "bucket")
+    }),
+
     // Winnowing fingerprints (the MOSS-style local fingerprinting
     // scheme): a word-5-gram's md5 is SELECTED when it is the minimum
     // of its forward window of 4 grams — a deterministic ~1/4
@@ -399,6 +422,30 @@ object LlmOps4 {
             .as("postings"))
         .orderBy("term"))
   )
+
+  /** ONE oracle-side definition of the bigram LM and the per-doc
+    * cross-entropy table `x` — shared by llm_lm_score and
+    * llm_perplexity_buckets exactly as [[lmScore]] is on the Spark
+    * side, so the two formulations cannot drift apart. */
+  private val lmXentCtes =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |q AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+      |    i -> {'w1': w[i], 'w2': w[i + 1]})) AS s
+      |  FROM t WHERE len(w) >= 2),
+      |pr AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM q),
+      |c12 AS (SELECT w1, w2, count(*) AS c12 FROM pr GROUP BY w1, w2),
+      |c1 AS (SELECT w1, count(*) AS c1 FROM pr GROUP BY w1),
+      |lm AS (
+      |  SELECT c12.w1, c12.w2,
+      |    CAST(c12.c12 AS DOUBLE) / CAST(c1.c1 AS DOUBLE) AS prob
+      |  FROM c12 JOIN c1 ON c12.w1 = c1.w1),
+      |x AS (
+      |  SELECT pr.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |    round(avg(-log2(lm.prob)), 6) AS xent
+      |  FROM pr JOIN lm ON pr.w1 = lm.w1 AND pr.w2 = lm.w2
+      |  GROUP BY pr.doc_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "llm_hash_features" ->
@@ -542,23 +589,21 @@ object LlmOps4 {
         |ORDER BY c12.w1, c12.w2""".stripMargin,
 
     "llm_lm_score" ->
-      """WITH t AS (
-        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |q AS (
-        |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
-        |    i -> {'w1': w[i], 'w2': w[i + 1]})) AS s
-        |  FROM t WHERE len(w) >= 2),
-        |pr AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM q),
-        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM pr GROUP BY w1, w2),
-        |c1 AS (SELECT w1, count(*) AS c1 FROM pr GROUP BY w1),
-        |lm AS (
-        |  SELECT c12.w1, c12.w2,
-        |    CAST(c12.c12 AS DOUBLE) / CAST(c1.c1 AS DOUBLE) AS prob
-        |  FROM c12 JOIN c1 ON c12.w1 = c1.w1)
-        |SELECT pr.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        |  round(avg(-log2(lm.prob)), 6) AS xent
-        |FROM pr JOIN lm ON pr.w1 = lm.w1 AND pr.w2 = lm.w2
-        |GROUP BY pr.doc_id ORDER BY pr.doc_id""".stripMargin,
+      s"""$lmXentCtes
+         |SELECT doc_id, n_bigrams, xent FROM x ORDER BY doc_id""".stripMargin,
+
+    "llm_perplexity_buckets" ->
+      s"""$lmXentCtes,
+         |wl AS (SELECT x.doc_id, x.xent, documents.lang
+         |  FROM x JOIN documents USING (doc_id)),
+         |b AS (SELECT lang, xent,
+         |  CAST(ntile(3) OVER (PARTITION BY lang
+         |    ORDER BY xent, doc_id) AS INT) AS bucket
+         |  FROM wl)
+         |SELECT lang, bucket, count(*) AS n_docs,
+         |  round(min(xent), 6) AS min_xent,
+         |  round(max(xent), 6) AS max_xent
+         |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
 
     "llm_winnow_fingerprint" ->
       """WITH t AS (

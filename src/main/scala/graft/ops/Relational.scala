@@ -467,6 +467,29 @@ object Relational {
         .orderBy("user_id")
     }),
 
+    // Pure-inequality join — NO equi key at all, so the only correct
+    // physical strategy is BroadcastNestedLoopJoin: every fact row
+    // probes every band (the bands deliberately OVERLAP, so a row can
+    // match twice — semantics a CASE rewrite could not express). BNLJ
+    // is O(|fact| × |build|): correct at 100 TB ONLY because the band
+    // table is a constant handful of rows on the broadcast side; when
+    // both sides grow, the bucketized rewrite (join_range_bucketed)
+    // is the scale path.
+    "join_inequality_bnl" -> ((s, dir) => {
+      import s.implicits._
+      val bands = Seq(
+        (1, 0.0, 200000.0), (2, 100000.0, 300000.0),
+        (3, 200000.0, 400000.0), (4, 300000.0, 600000.0))
+        .toDF("band_id", "lo", "hi")
+      load(s, dir, "orders")
+        .join(broadcast(bands),
+          col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+        .groupBy("band_id")
+        .agg(count(lit(1)).as("cnt"),
+          asD(sum(money(col("o_totalprice")))).as("total"))
+        .orderBy("band_id")
+    }),
+
     // 4-table chain; nation is a broadcast dim, the fact joins shuffle.
     "join_multiway" -> ((s, dir) => {
       val l = load(s, dir, "lineitem")
@@ -605,6 +628,16 @@ object Relational {
       """SELECT event_type, count(*) AS cnt,
         |  CAST(sum(length(event_type)) AS BIGINT) AS total_weight
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "join_inequality_bnl" ->
+      """SELECT band_id, count(*) AS cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS total
+        |FROM orders
+        |JOIN (VALUES (1, 0.0, 200000.0), (2, 100000.0, 300000.0),
+        |             (3, 200000.0, 400000.0), (4, 300000.0, 600000.0))
+        |  AS bands(band_id, lo, hi)
+        |  ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band_id ORDER BY band_id""".stripMargin,
 
     "join_multiway" ->
       """SELECT n_name,

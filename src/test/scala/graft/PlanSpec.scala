@@ -53,6 +53,20 @@ class PlanSpec extends AnyFunSuite {
       s"no pushed filters in:\n$plan")
   }
 
+  test("join_inequality_bnl: keyless band join plans as BroadcastNestedLoopJoin with the bands built") {
+    val plan = executed("join_inequality_bnl")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"inequality join did not plan as BNLJ:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"inequality join fell back to a cartesian product:\n$plan")
+  }
+
+  test("sql_tpch_q15: the revenue max is a broadcast, not a second fact scan shuffle") {
+    val plan = executed("sql_tpch_q15")
+    val n = "BroadcastExchange".r.findAllIn(plan).length
+    assert(n >= 2, s"expected max-row + supplier broadcasts in Q15:\n$plan")
+  }
+
   test("join_range_bucketed: the band join plans as an EQUI join, not a nested loop") {
     val plan = executed("join_range_bucketed")
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
