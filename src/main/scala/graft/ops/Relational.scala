@@ -722,6 +722,23 @@ object Relational {
         .except(load(s, dir, "orders").select(col("o_custkey").as("custkey")))
         .orderBy("custkey")),
 
+    // Schema-aligning union: the two branches project DIFFERENT column
+    // sets; unionByName(allowMissingColumns) aligns by NAME and fills
+    // the absent column with typed nulls — the evolution-tolerant
+    // union positional UNION ALL cannot express. Pure map-side concat,
+    // no shuffle beyond the output sort.
+    "set_union_by_name" -> ((s, dir) => {
+      val l = load(s, dir, "lineitem")
+      val a = l.filter(col("l_linenumber") % 2 === 0)
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+      val b = l.filter(col("l_linenumber") % 2 === 1)
+        .select("l_orderkey", "l_extendedprice", "l_returnflag")
+      a.unionByName(b, allowMissingColumns = true)
+        .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
+        .orderBy(asc("l_orderkey"), asc_nulls_first("l_quantity"),
+          asc_nulls_first("l_extendedprice"), asc("l_returnflag"))
+    }),
+
     // Symmetric difference as composed except/union — each leg
     // dedups+anti-joins on the same hashed key, so the three shuffles
     // share one partitioning.
@@ -745,6 +762,15 @@ object Relational {
     "set_except" ->
       """SELECT c_custkey AS custkey FROM customer
         |EXCEPT SELECT o_custkey FROM orders ORDER BY custkey""".stripMargin,
+    "set_union_by_name" ->
+      """SELECT l_orderkey, l_quantity, NULL AS l_extendedprice, l_returnflag
+        |FROM lineitem WHERE l_linenumber % 2 = 0
+        |UNION ALL
+        |SELECT l_orderkey, NULL, l_extendedprice, l_returnflag
+        |FROM lineitem WHERE l_linenumber % 2 = 1
+        |ORDER BY l_orderkey, l_quantity NULLS FIRST,
+        |  l_extendedprice NULLS FIRST, l_returnflag""".stripMargin,
+
     "set_symmetric_diff" ->
       """SELECT custkey FROM (
         |  SELECT c_custkey AS custkey FROM customer

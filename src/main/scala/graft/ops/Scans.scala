@@ -320,6 +320,39 @@ object Scans {
         .orderBy("o_orderpriority")
     }),
 
+    // Dynamic partition pruning: the fact is laid out partitioned by
+    // l_returnflag; the join key IS the partition column and the dim
+    // carries a selective filter Catalyst cannot see at planning time
+    // (it is a runtime value of the build side). DPP inserts a
+    // dynamicpruningexpression subquery into the fact's
+    // PartitionFilters, so only the surviving partition directories
+    // are listed and read — at 100 TB this is the difference between
+    // scanning one partition and scanning the table. PlanSpec asserts
+    // the pruning subquery is present; the oracle reconstructs the
+    // semantics from the source table.
+    "join_dpp" -> ((s, dir) => {
+      import s.implicits._
+      val p = tmp(s, dir, "dpp")
+      load(s, dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_linestatus", "l_returnflag")
+        .write.mode(SaveMode.Overwrite).partitionBy("l_returnflag").parquet(s"$p/fact")
+      // the dim must be a REAL relation carrying a LIKELY-SELECTIVE
+      // predicate: a LocalRelation's filter constant-folds away, and a
+      // boolean-attribute filter (keep / keep = true) simplifies to a
+      // bare attribute the PartitionPruning rule does not treat as
+      // selective — a string comparison survives both optimizer passes
+      Seq(("R", "keep"), ("A", "drop"), ("N", "drop")).toDF("flag", "tag")
+        .write.mode(SaveMode.Overwrite).parquet(s"$p/dim")
+      s.read.parquet(s"$p/fact")
+        .join(broadcast(s.read.parquet(s"$p/dim")
+            .filter(col("tag") === "keep")),
+          col("l_returnflag") === col("flag"))
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).as("cnt"),
+          asD(sum(money(col("l_quantity")))).as("qty"))
+        .orderBy("l_linestatus")
+    }),
+
     // Schema evolution: two parquet generations (the second adds a
     // column) merged back by mergeSchema — the missing column reads
     // as NULL for old-generation rows, exactly the additive-column
@@ -393,6 +426,12 @@ object Scans {
         |       ELSE 'update' END AS action
         |FROM customer FULL OUTER JOIN u ON c_custkey = user_id
         |ORDER BY key""".stripMargin,
+
+    "join_dpp" ->
+      """SELECT l_linestatus, count(*) AS cnt,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) AS qty
+        |FROM lineitem WHERE l_returnflag = 'R'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
 
     "sink_dynamic_overwrite" ->
       """SELECT o_orderpriority, count(*) AS cnt,

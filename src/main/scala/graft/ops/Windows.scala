@@ -88,6 +88,25 @@ object Windows {
             |  RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW) AS near_n""".stripMargin)
         .orderBy("o_orderpriority", "o_orderkey")),
 
+    // Time-interval RANGE frame: each order's trailing-7-day revenue
+    // for its customer — the event-time sibling of the numeric RANGE
+    // frame above. The frame bound is an INTERVAL against the ORDER
+    // BY timestamp; same-date peers share a frame, so the windowed
+    // values are tie-insensitive and the decimal accumulation keeps
+    // them exact. One window shuffle on o_custkey.
+    "win_time_range_frame" -> ((s, dir) =>
+      load(s, dir, "orders")
+        .selectExpr("o_custkey", "o_orderkey", "o_orderdate",
+          """CAST(sum(CAST(o_totalprice AS DECIMAL(15,2))) OVER (
+            |  PARTITION BY o_custkey ORDER BY o_orderdate
+            |  RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+            |  AS DOUBLE) AS wk_rev""".stripMargin,
+          """count(*) OVER (
+            |  PARTITION BY o_custkey ORDER BY o_orderdate
+            |  RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+            |  AS wk_n""".stripMargin)
+        .orderBy("o_custkey", "o_orderkey")),
+
     "win_first_last" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_orderpriority"))
         .orderBy(asc("o_orderkey"))
@@ -213,6 +232,15 @@ object Windows {
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice
         |  RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW)
         |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+
+    "win_time_range_frame" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(15,2))) OVER w AS DOUBLE) AS wk_rev,
+        |  count(*) OVER w AS wk_n
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+        |  RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "win_first_last" ->
       """SELECT o_orderpriority, o_orderkey,

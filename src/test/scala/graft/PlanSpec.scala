@@ -53,6 +53,12 @@ class PlanSpec extends AnyFunSuite {
       s"no pushed filters in:\n$plan")
   }
 
+  test("join_dpp: fact scan carries a dynamic partition pruning subquery") {
+    val plan = executed("join_dpp")
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning in the fact scan:\n$plan")
+  }
+
   test("join_inequality_bnl: keyless band join plans as BroadcastNestedLoopJoin with the bands built") {
     val plan = executed("join_inequality_bnl")
     assert(plan.contains("BroadcastNestedLoopJoin"),
