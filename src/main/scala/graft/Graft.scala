@@ -188,4 +188,31 @@ object Graft {
   def inactivitySessions(events: DataFrame,
       gap: java.time.Duration): DataFrame =
     graft.streaming.StatefulOps.inactivitySessions(events, gap).toDF()
+
+  /** Okapi BM25 score per doc against a fixed bag of query terms:
+    * one token explode + two co-partitioned hash aggregates; corpus
+    * stats and document frequencies are 1-row broadcasts. Returns
+    * (idCol, bm25), 6-dp rounded. */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    graft.ops.LlmOps5.bm25Scores(docs, idCol, textCol, terms, k1, b)
+
+  /** Reciprocal-rank fusion of two (idCol, scoreCol) rankings, each
+    * truncated to its top-`topN` via TakeOrderedAndProject (no global
+    * sort): Σ 1/(k + rank), absent rankings contributing 0. */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String,
+      scoreCol: String, k: Int = 60, topN: Int = 100): DataFrame =
+    graft.ops.LlmOps5.rrfFuse(a, b, idCol, scoreCol, k, topN)
+
+  /** Gopher/RefinedWeb duplicated-n-gram coverage: per doc, the
+    * fraction of its `n`-token spans occurring in any OTHER doc.
+    * One shuffle on the span hash + one per-doc aggregate. */
+  def dupSpanFraction(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame =
+    graft.ops.LlmOps5.dupSpanFractions(docs, idCol, textCol, n)
+
+  /** 16-bit Morton (Z-order) interleave of two 8-bit column values —
+    * the clustering key behind the sink_zorder layout rewrite
+    * (min-max scale your dimensions to 0..255 first). */
+  def morton(x: Column, y: Column): Column = graft.ops.Scans.morton(x, y)
 }

@@ -43,40 +43,49 @@ object LlmOps5 {
   // avgdl (exact long sum / count).
   private val bmTerms = Seq("spark", "vector", "window")
 
-  private def bmTermFormula(i: Int): String =
-    s"ln(1.0 + (n_docs - df$i + 0.5) / (df$i + 0.5)) * (tf$i * 2.2) / " +
-      s"(tf$i + 1.2 * (0.25 + 0.75 * (dl / avgdl)))"
+  private def bmTermFormula(i: Int, k1: Double, b: Double): String =
+    s"ln(1.0 + (n_docs - df$i + 0.5) / (df$i + 0.5)) * (tf$i * ${k1 + 1}) / " +
+      s"(tf$i + $k1 * (${1 - b} + $b * (dl / avgdl)))"
 
-  private val bm25Formula =
-    s"round(${(1 to 3).map(bmTermFormula).mkString(" + ")}, 6)"
+  private def bm25Formula(n: Int, k1: Double, b: Double): String =
+    s"round(${(1 to n).map(bmTermFormula(_, k1, b)).mkString(" + ")}, 6)"
 
-  private def bm25(s: SparkSession, dir: String): DataFrame = {
-    val d = load(s, dir, "documents")
-    val lens = d.select(col("doc_id"),
-      size(split(col("text"), " ")).as("li"))
+  /** Per-doc Okapi BM25 score of `idCol`/`textCol` docs against a
+    * fixed bag of query `terms` — the library form ([[Graft.bm25]]).
+    * One token explode, two idCol-co-partitioned hash aggregates,
+    * 1-row broadcasts for df/corpus stats; 6-dp-rounded score. */
+  private[graft] def bm25Scores(docs: DataFrame, idCol: String,
+      textCol: String, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25Scores: terms must be non-empty")
+    val lens = docs.select(col(idCol),
+      size(split(col(textCol), " ")).as("li"))
     val stats = lens.agg(
       count(lit(1)).cast("double").as("n_docs"),
       (sum(col("li")).cast("double") / count(lit(1)).cast("double"))
         .as("avgdl"))
-    val toks = d.select(col("doc_id"),
-      explode(split(col("text"), " ")).as("w"))
-    val tfCols = bmTerms.zipWithIndex.map { case (t, i) =>
+    val toks = docs.select(col(idCol),
+      explode(split(col(textCol), " ")).as("w"))
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
       count(when(col("w") === t, lit(1))).cast("double").as(s"tf${i + 1}")
     }
-    val tf = toks.groupBy(col("doc_id")).agg(tfCols.head, tfCols.tail: _*)
-    val dfCols = bmTerms.zipWithIndex.map { case (t, i) =>
-      countDistinct(when(col("w") === t, col("doc_id"))).cast("double")
+    val tf = toks.groupBy(col(idCol)).agg(tfCols.head, tfCols.tail: _*)
+    val dfCols = terms.zipWithIndex.map { case (t, i) =>
+      countDistinct(when(col("w") === t, col(idCol))).cast("double")
         .as(s"df${i + 1}")
     }
     val dfreq = toks.agg(dfCols.head, dfCols.tail: _*)
-    tf.join(lens, "doc_id")
+    tf.join(lens, idCol)
       .withColumn("dl", col("li").cast("double"))
       .crossJoin(broadcast(stats))
       .crossJoin(broadcast(dfreq))
-      .selectExpr("doc_id", s"$bm25Formula AS bm25")
+      .selectExpr(idCol, s"${bm25Formula(terms.size, k1, b)} AS bm25")
+  }
+
+  private def bm25(s: SparkSession, dir: String): DataFrame =
+    bm25Scores(load(s, dir, "documents"), "doc_id", "text", bmTerms)
       .orderBy(desc("bm25"), asc("doc_id"))
       .limit(20)
-  }
 
   // ---- llm_rrf_fusion ----------------------------------------------
   // Reciprocal-rank fusion (k = 60) of two cosine rankings (query
@@ -122,34 +131,91 @@ object LlmOps5 {
       .limit(20)
   }
 
+  /** Generic reciprocal-rank fusion for the facade ([[Graft.rrfFuse]]):
+    * each ranking frame (`idCol`, `scoreCol`) is truncated to its
+    * top-`topN` by (score desc, id), ranked, and fused as
+    * Σ 1/(k + rank); ids outside a ranking contribute 0 from it. The
+    * truncations are TakeOrderedAndProject — no global sort of either
+    * input. */
+  private[graft] def rrfFuse(a: DataFrame, b: DataFrame, idCol: String,
+      scoreCol: String, k: Int = 60, topN: Int = 100): DataFrame = {
+    def top(df: DataFrame, rankCol: String): DataFrame = {
+      val w = Window.orderBy(desc(scoreCol), asc(idCol))
+      df.orderBy(desc(scoreCol), asc(idCol)).limit(topN)
+        .withColumn(rankCol, row_number().over(w))
+        .select(col(idCol), col(rankCol))
+    }
+    val ra = top(a, "ra")
+    val rb = top(b, "rb").withColumnRenamed(idCol, s"${idCol}_b")
+    ra.join(rb, col(idCol) === col(s"${idCol}_b"), "full_outer")
+      .select(coalesce(col(idCol), col(s"${idCol}_b")).as(idCol),
+        round(
+          coalesce(lit(1.0) / (lit(k.toDouble) + col("ra")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(k.toDouble) + col("rb")), lit(0.0)),
+          6).as("rrf"))
+  }
+
   // ---- llm_dup_span_fraction ---------------------------------------
-  // Per document: the fraction of its 8-token spans (all positions)
-  // whose text also occurs in at least one OTHER document. Top 20 by
-  // fraction. Docs shorter than 8 tokens have no spans and drop out —
-  // a corpus property, identical on both sides.
-  private def dupSpanFraction(s: SparkSession, dir: String): DataFrame = {
-    val spans = load(s, dir, "documents")
-      .withColumn("t", split(col("text"), " "))
-      .filter(size(col("t")) >= 8)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(t) - 8), i -> md5(array_join(slice(t, i + 1, 8), ' ')))"
+  /** Per document: the fraction of its `n`-token spans (all
+    * positions) whose text also occurs in at least one OTHER document
+    * — the Gopher/RefinedWeb duplicated-n-gram coverage measure, as a
+    * library op ([[Graft.dupSpanFraction]]). Docs shorter than `n`
+    * tokens have no spans and drop out. ONE shuffle on the span md5
+    * (a window computes the distinct-doc count in place), then a
+    * per-doc hash aggregate. */
+  private[graft] def dupSpanFractions(docs: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    require(n >= 2, s"dupSpanFractions: span width $n must be >= 2")
+    val spans = docs
+      .withColumn("t", split(col(textCol), " "))
+      .filter(size(col("t")) >= n)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(0, size(t) - $n, 1), i -> md5(array_join(slice(t, i + 1, $n), ' ')))"
       )).as("h"))
     val byHash = Window.partitionBy("h")
     spans
-      .withColumn("nd", size(collect_set(col("doc_id")).over(byHash)))
-      .groupBy(col("doc_id"))
+      .withColumn("nd", size(collect_set(col(idCol)).over(byHash)))
+      .groupBy(col(idCol))
       .agg(
         round(sum(when(col("nd") >= 2, 1).otherwise(0)).cast("double") /
           count(lit(1)).cast("double"), 6).as("dup_frac"),
         count(lit(1)).as("n_spans"))
+  }
+
+  private def dupSpanFraction(s: SparkSession, dir: String): DataFrame =
+    dupSpanFractions(load(s, dir, "documents"), "doc_id", "text", n = 8)
       .orderBy(desc("dup_frac"), asc("doc_id"))
       .limit(20)
+
+  // ---- llm_temperature_mix -----------------------------------------
+  // Temperature-weighted multilingual sampling (XLM-R, arXiv:1911.02116,
+  // α = 0.3): q_l ∝ p_l^α flattens the language distribution so
+  // low-resource languages are upsampled. p comes from exact counts;
+  // the α-power and the (few-term) normalizing sum are the only float
+  // ops, shared as one formula text and 6-dp rounded.
+  private val pFormula = "CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE)"
+  private val paFormula = s"power($pFormula, 0.3)"
+
+  private def temperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val counts = load(s, dir, "documents")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(sum(col("n_docs")).as("n_total"))
+    val pa = counts.crossJoin(broadcast(tot))
+      .selectExpr("lang", "n_docs", pFormula + " AS p", paFormula + " AS pa")
+    val denom = pa.agg(sum(col("pa")).as("denom"))
+    pa.crossJoin(broadcast(denom))
+      .selectExpr("lang", "CAST(n_docs AS BIGINT) AS n_docs",
+        "round(p, 6) AS p",
+        "round(pa / denom, 6) AS q",
+        "round((pa / denom) / p, 6) AS boost")
+      .orderBy("lang")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_bm25" -> (bm25 _),
     "llm_rrf_fusion" -> (rrfFusion _),
-    "llm_dup_span_fraction" -> (dupSpanFraction _)
+    "llm_dup_span_fraction" -> (dupSpanFraction _),
+    "llm_temperature_mix" -> (temperatureMix _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -171,7 +237,7 @@ object LlmOps5 {
          |  CAST(count(DISTINCT CASE WHEN w = '${bmTerms(1)}' THEN doc_id END) AS DOUBLE) AS df2,
          |  CAST(count(DISTINCT CASE WHEN w = '${bmTerms(2)}' THEN doc_id END) AS DOUBLE) AS df3
          |  FROM toks)
-         |SELECT doc_id, $bm25Formula AS bm25
+         |SELECT doc_id, ${bm25Formula(3, 1.2, 0.75)} AS bm25
          |FROM (SELECT tf.*, CAST(li AS DOUBLE) AS dl, n_docs, avgdl,
          |        df1, df2, df3
          |      FROM tf JOIN lens USING (doc_id)
@@ -198,6 +264,19 @@ object LlmOps5 {
          |  $rrfFormula AS rrf
          |FROM r0 FULL OUTER JOIN r1 ON r0.vec_id = r1.vec_id
          |ORDER BY rrf DESC, vec_id LIMIT 20""".stripMargin,
+
+    "llm_temperature_mix" ->
+      s"""WITH counts AS (
+         |  SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+         |tot AS (SELECT sum(n_docs) AS n_total FROM counts),
+         |pa AS (SELECT lang, n_docs, $pFormula AS p, $paFormula AS pa
+         |  FROM counts CROSS JOIN tot),
+         |denom AS (SELECT sum(pa) AS denom FROM pa)
+         |SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+         |  round(p, 6) AS p,
+         |  round(pa / denom, 6) AS q,
+         |  round((pa / denom) / p, 6) AS boost
+         |FROM pa CROSS JOIN denom ORDER BY lang""".stripMargin,
 
     "llm_dup_span_fraction" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t

@@ -122,6 +122,45 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(got === Map(1L -> (20L, "new"), 2L -> (5L, "only")))
   }
 
+  test("facade: bm25 ranks term-dense docs above sparse ones, zero without terms") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark spark filler filler"),
+      (2L, "spark filler filler filler filler"),
+      (3L, "filler filler filler filler filler")).toDF("doc_id", "text")
+    val got = Graft.bm25(docs, "doc_id", "text", Seq("spark"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) > got(2L), s"tf monotonicity lost: $got")
+    assert(got(2L) > 0.0 && got(3L) == 0.0, s"got $got")
+  }
+
+  test("facade: rrfFuse computes exact reciprocal-rank sums with absent-rank zeros") {
+    import spark.implicits._
+    val a = Seq((1L, 0.9), (2L, 0.8), (3L, 0.7)).toDF("id", "score")
+    val b = Seq((2L, 0.99), (4L, 0.5)).toDF("id", "score")
+    val got = Graft.rrfFuse(a, b, "id", "score", k = 60, topN = 100)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def r(n: Int) = 1.0 / (60.0 + n)
+    assert(got(1L) == math.rint(r(1) * 1e6) / 1e6)
+    assert(got(2L) == math.rint((r(2) + r(1)) * 1e6) / 1e6)
+    assert(got(3L) == math.rint(r(3) * 1e6) / 1e6)
+    assert(got(4L) == math.rint(r(2) * 1e6) / 1e6)
+  }
+
+  test("facade: dupSpanFraction honours the span width") {
+    import spark.implicits._
+    // docs share a 4-token prefix but no 5-token span
+    val docs = Seq(
+      (1L, "a b c d x y z w v"),
+      (2L, "a b c d q r s t u")).toDF("doc_id", "text")
+    val at4 = Graft.dupSpanFraction(docs, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val at5 = Graft.dupSpanFraction(docs, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(at4(1L) > 0.0 && at4(2L) > 0.0, s"shared 4-span missed: $at4")
+    assert(at5(1L) == 0.0 && at5(2L) == 0.0, s"phantom 5-span: $at5")
+  }
+
   test("facade: connectedComponents + hashSampleKeep behave as the library ops") {
     import spark.implicits._
     val cc = Graft.connectedComponents(Seq((5L, 9L), (9L, 7L)).toDF("a", "b"))
