@@ -91,14 +91,9 @@ object LlmOps5 {
   // Reciprocal-rank fusion (k = 60) of two cosine rankings (query
   // vectors 0 and 1) truncated to their top-100: documents outside a
   // ranking contribute 0 from it. Ranks are ints derived from rounded
-  // scores with a vec_id tiebreak, so the fusion is exact.
-  // CAST(1.0 AS DOUBLE): a bare 1.0 literal parses as DECIMAL in both
-  // SQL dialects, and ra/rb are ints — without the cast the whole
-  // score would silently become decimal arithmetic.
-  private val rrfFormula =
-    "round(coalesce(CAST(1.0 AS DOUBLE) / (60.0 + ra), CAST(0.0 AS DOUBLE)) + " +
-      "coalesce(CAST(1.0 AS DOUBLE) / (60.0 + rb), CAST(0.0 AS DOUBLE)), 6)"
-
+  // scores with a vec_id tiebreak, so the fusion is exact. The
+  // truncate/rank/fuse pipeline IS [[rrfFuse]] — one definition for
+  // the declared query, the facade, and the oracle semantics.
   private def rrfFusion(s: SparkSession, dir: String): DataFrame = {
     val e = load(s, dir, "embeddings")
     val q = e.filter(col("vec_id").isin(0L, 1L)).agg(
@@ -113,20 +108,10 @@ object LlmOps5 {
           .as("s0"),
         round(graft.functions.CosineSim(col("embedding"), col("q1")), 6)
           .as("s1"))
-    def top(scoreCol: String, rankCol: String): DataFrame = {
-      // TakeOrderedAndProject truncation, then a rank over the 100
-      // survivors (the single-partition window is 100 rows by
-      // construction — the corpus never sees a global sort).
-      val w = Window.orderBy(desc(scoreCol), asc("vec_id"))
-      sims.orderBy(desc(scoreCol), asc("vec_id")).limit(100)
-        .withColumn(rankCol, row_number().over(w))
-        .select(col("vec_id"), col(rankCol))
-    }
-    val r0 = top("s0", "ra")
-    val r1 = top("s1", "rb").withColumnRenamed("vec_id", "vec_id_b")
-    r0.join(r1, col("vec_id") === col("vec_id_b"), "full_outer")
-      .select(coalesce(col("vec_id"), col("vec_id_b")).as("vec_id"),
-        expr(rrfFormula).as("rrf"))
+    rrfFuse(
+      sims.select(col("vec_id"), col("s0").as("score")),
+      sims.select(col("vec_id"), col("s1").as("score")),
+      "vec_id", "score", k = 60, topN = 100)
       .orderBy(desc("rrf"), asc("vec_id"))
       .limit(20)
   }
@@ -191,8 +176,11 @@ object LlmOps5 {
   // Temperature-weighted multilingual sampling (XLM-R, arXiv:1911.02116,
   // α = 0.3): q_l ∝ p_l^α flattens the language distribution so
   // low-resource languages are upsampled. p comes from exact counts;
-  // the α-power and the (few-term) normalizing sum are the only float
-  // ops, shared as one formula text and 6-dp rounded.
+  // the α-power is the only per-row float op, and the normalizing sum
+  // is a LEFT FOLD over the SORTED per-language weights — a plain
+  // double sum()'s accumulation order is partition-dependent, which
+  // would make the one aggregate in this family probabilistic instead
+  // of pinned. Formula text shared with the oracle, 6-dp rounded.
   private val pFormula = "CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE)"
   private val paFormula = s"power($pFormula, 0.3)"
 
@@ -202,7 +190,9 @@ object LlmOps5 {
     val tot = counts.agg(sum(col("n_docs")).as("n_total"))
     val pa = counts.crossJoin(broadcast(tot))
       .selectExpr("lang", "n_docs", pFormula + " AS p", paFormula + " AS pa")
-    val denom = pa.agg(sum(col("pa")).as("denom"))
+    val denom = pa.agg(expr(
+      "aggregate(array_sort(collect_list(pa)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    ).as("denom"))
     pa.crossJoin(broadcast(denom))
       .selectExpr("lang", "CAST(n_docs AS BIGINT) AS n_docs",
         "round(p, 6) AS p",
@@ -261,7 +251,8 @@ object LlmOps5 {
          |  CAST(row_number() OVER (ORDER BY s1 DESC, vec_id) AS INT) AS rb
          |  FROM sims ORDER BY s1 DESC, vec_id LIMIT 100)
          |SELECT coalesce(r0.vec_id, r1.vec_id) AS vec_id,
-         |  $rrfFormula AS rrf
+         |  round(coalesce(CAST(1.0 AS DOUBLE) / (60.0 + ra), CAST(0.0 AS DOUBLE))
+         |    + coalesce(CAST(1.0 AS DOUBLE) / (60.0 + rb), CAST(0.0 AS DOUBLE)), 6) AS rrf
          |FROM r0 FULL OUTER JOIN r1 ON r0.vec_id = r1.vec_id
          |ORDER BY rrf DESC, vec_id LIMIT 20""".stripMargin,
 
@@ -271,7 +262,8 @@ object LlmOps5 {
          |tot AS (SELECT sum(n_docs) AS n_total FROM counts),
          |pa AS (SELECT lang, n_docs, $pFormula AS p, $paFormula AS pa
          |  FROM counts CROSS JOIN tot),
-         |denom AS (SELECT sum(pa) AS denom FROM pa)
+         |denom AS (SELECT list_reduce(list_sort(list(pa)),
+         |  (acc, x) -> acc + x) AS denom FROM pa)
          |SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
          |  round(p, 6) AS p,
          |  round(pa / denom, 6) AS q,

@@ -135,25 +135,16 @@ class Round6Spec extends AnyFunSuite {
       assert(f >= 0.0 && f <= 1.0)
       assert(r.getLong(2) >= 1L)
     }
-    // planted check on a synthetic frame: doc 2 copies doc 1 verbatim
-    // -> both must surface with dup_frac 1.0; doc 3 shares nothing.
+    // planted check against the SHIPPED implementation: doc 2 copies
+    // doc 1 verbatim -> both surface with dup_frac 1.0; doc 3 shares
+    // nothing.
     val planted = Seq(
       (1L, "a b c d e f g h i j"),
       (2L, "a b c d e f g h i j"),
       (3L, "q r s t u v w x y z")).toDF("doc_id", "text")
-      .withColumn("t", split(col("text"), " "))
-      .filter(size(col("t")) >= 8)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(t) - 8), i -> md5(array_join(slice(t, i + 1, 8), ' ')))"
-      )).as("h"))
-    val byHash = org.apache.spark.sql.expressions.Window.partitionBy("h")
-    val fr = planted
-      .withColumn("nd", size(collect_set(col("doc_id")).over(byHash)))
-      .groupBy("doc_id")
-      .agg((sum(when(col("nd") >= 2, 1).otherwise(0)) / count(lit(1)))
-        .as("f"))
+    val fr = Graft.dupSpanFraction(planted, "doc_id", "text", n = 8)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    assert(fr(1L) == 1.0 && fr(2L) == 1.0 && fr(3L) == 0.0)
+    assert(fr === Map(1L -> 1.0, 2L -> 1.0, 3L -> 0.0), s"got $fr")
   }
 
   test("sink_dynamic_overwrite: untouched partitions keep generation-1 files") {
