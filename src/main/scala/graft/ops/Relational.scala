@@ -739,6 +739,27 @@ object Relational {
           asc_nulls_first("l_extendedprice"), asc("l_returnflag"))
     }),
 
+    // Bag (ALL) semantics: multiplicity min(even-count, odd-count)
+    // per orderkey — INTERSECT ALL is NOT the distinct intersect when
+    // both sides repeat keys. Plans as a count-aggregated join, one
+    // shuffle per side on the key.
+    "set_intersect_all" -> ((s, dir) => {
+      val l = load(s, dir, "lineitem")
+      l.filter(col("l_linenumber") % 2 === 0).select(col("l_orderkey"))
+        .intersectAll(
+          l.filter(col("l_linenumber") % 2 === 1).select(col("l_orderkey")))
+        .orderBy("l_orderkey")
+    }),
+
+    // Bag EXCEPT: max(0, even-count − odd-count) copies survive.
+    "set_except_all" -> ((s, dir) => {
+      val l = load(s, dir, "lineitem")
+      l.filter(col("l_linenumber") % 2 === 0).select(col("l_orderkey"))
+        .exceptAll(
+          l.filter(col("l_linenumber") % 2 === 1).select(col("l_orderkey")))
+        .orderBy("l_orderkey")
+    }),
+
     // Symmetric difference as composed except/union — each leg
     // dedups+anti-joins on the same hashed key, so the three shuffles
     // share one partitioning.
@@ -770,6 +791,18 @@ object Relational {
         |FROM lineitem WHERE l_linenumber % 2 = 1
         |ORDER BY l_orderkey, l_quantity NULLS FIRST,
         |  l_extendedprice NULLS FIRST, l_returnflag""".stripMargin,
+
+    "set_intersect_all" ->
+      """SELECT l_orderkey FROM lineitem WHERE l_linenumber % 2 = 0
+        |INTERSECT ALL
+        |SELECT l_orderkey FROM lineitem WHERE l_linenumber % 2 = 1
+        |ORDER BY l_orderkey""".stripMargin,
+
+    "set_except_all" ->
+      """SELECT l_orderkey FROM lineitem WHERE l_linenumber % 2 = 0
+        |EXCEPT ALL
+        |SELECT l_orderkey FROM lineitem WHERE l_linenumber % 2 = 1
+        |ORDER BY l_orderkey""".stripMargin,
 
     "set_symmetric_diff" ->
       """SELECT custkey FROM (

@@ -88,6 +88,38 @@ object Windows {
             |  RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW) AS near_n""".stripMargin)
         .orderBy("o_orderpriority", "o_orderkey")),
 
+    // IGNORE NULLS navigation: the previous and the latest purchase
+    // value carried across a user's NON-purchase events — lag/last
+    // with respectNulls would return the interleaved nulls instead of
+    // skipping them. One user_id window shuffle; raw doubles compare
+    // exactly (no accumulation).
+    "win_ignore_nulls" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val pv = when(col("event_type") === "purchase", col("value"))
+      loadEvents(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          lag(pv, 1, null, ignoreNulls = true).over(w).as("prev_purchase"),
+          last(pv, ignoreNulls = true)
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("latest_purchase"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // Windowed COUNT(DISTINCT) — unsupported directly in both engines
+    // — via the standard dense_rank trick: the max dense_rank over the
+    // partition IS the distinct count. Two windows over ONE o_custkey
+    // shuffle (same partitioning, different orderings).
+    "win_distinct_count" -> ((s, dir) => {
+      val wo = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
+      val wp = Window.partitionBy("o_custkey")
+      load(s, dir, "orders")
+        .withColumn("dr", dense_rank().over(wo))
+        .select(col("o_custkey"), col("o_orderkey"),
+          max(col("dr")).over(wp).cast("long").as("n_distinct_prio"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // Time-interval RANGE frame: each order's trailing-7-day revenue
     // for its customer — the event-time sibling of the numeric RANGE
     // frame above. The frame bound is an INTERVAL against the ORDER
@@ -232,6 +264,25 @@ object Windows {
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice
         |  RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW)
         |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+
+    "win_ignore_nulls" ->
+      """SELECT user_id, event_id, event_type,
+        |  lag(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |    OVER w AS prev_purchase,
+        |  last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |    OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS latest_purchase
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "win_distinct_count" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(max(dr) OVER (PARTITION BY o_custkey) AS BIGINT)
+        |    AS n_distinct_prio
+        |FROM (SELECT *, dense_rank() OVER (PARTITION BY o_custkey
+        |  ORDER BY o_orderpriority) AS dr FROM orders)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "win_time_range_frame" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,

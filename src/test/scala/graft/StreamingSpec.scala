@@ -151,6 +151,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.sameElements(Array((1L, 10L))), s"got ${got.mkString(",")}")
   }
 
+  test("file-source streaming: newly arrived files are picked up incrementally") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fsrc").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .writeStream.format("memory").queryName("fsrc")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val n1 = spark.table("fsrc").count()
+    Seq((3L, "c")).toDF("id", "v").write.mode("append").parquet(dir)
+    q.processAllAvailable(); q.stop()
+    val ids = spark.table("fsrc").select("id").collect().map(_.getLong(0)).sorted
+    assert(n1 == 2, s"initial files not fully ingested: $n1")
+    assert(ids.sameElements(Array(1L, 2L, 3L)), s"got ${ids.mkString(",")}")
+  }
+
+  test("foreachBatch: batch-id-keyed overwrite makes epoch replay idempotent") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_febatch").toString
+    val ms = MemoryStream[Ev]
+    val q = ms.toDF().writeStream.foreachBatch {
+      (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        // one directory per epoch + OVERWRITE = the exactly-once
+        // file-sink recipe: a retried epoch rewrites, never appends
+        df.write.mode("overwrite").parquet(s"$out/batch=$id")
+        df.write.mode("overwrite").parquet(s"$out/batch=$id") // retry
+        ()
+    }.start()
+    ms.addData(Seq(Ev(1, t("10:00"), 1, "a", 0), Ev(2, t("10:01"), 1, "a", 0)))
+    q.processAllAvailable()
+    ms.addData(Seq(Ev(3, t("10:02"), 2, "a", 0)))
+    q.processAllAvailable(); q.stop()
+    val got = spark.read.parquet(out).select("event_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(Array(1L, 2L, 3L)),
+      s"replayed epoch duplicated rows: ${got.mkString(",")}")
+  }
+
   test("stream-stream LEFT OUTER join: null match emitted only after the watermark closes the interval") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
