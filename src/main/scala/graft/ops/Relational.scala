@@ -467,6 +467,23 @@ object Relational {
         .orderBy("user_id")
     }),
 
+    // Null-safe equality JOIN (<=> as the join key): null keys MATCH
+    // each other — a standard equi-join drops them silently. Spark
+    // still plans this as a hash join (EqualNullSafe keys hash via a
+    // null-aware coalesce), so the null bucket co-locates like any
+    // other key; the tiny distinct-key dim broadcasts.
+    "join_null_safe" -> ((s, dir) => {
+      val l2 = load(s, dir, "lineitem")
+        .select(expr("nullif(l_returnflag, 'N')").as("rf"))
+      val dim = l2.distinct()
+        .select(col("rf").as("flag"),
+          concat(lit("grp_"), coalesce(col("rf"), lit("null"))).as("label"))
+      l2.join(broadcast(dim), col("rf") <=> col("flag"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("label")
+    }),
+
     // Pure-inequality join — NO equi key at all, so the only correct
     // physical strategy is BroadcastNestedLoopJoin: every fact row
     // probes every band (the bands deliberately OVERLAP, so a row can
@@ -628,6 +645,14 @@ object Relational {
       """SELECT event_type, count(*) AS cnt,
         |  CAST(sum(length(event_type)) AS BIGINT) AS total_weight
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "join_null_safe" ->
+      """WITH l2 AS (SELECT nullif(l_returnflag, 'N') AS rf FROM lineitem),
+        |dim AS (SELECT DISTINCT rf AS flag,
+        |  'grp_' || coalesce(rf, 'null') AS label FROM l2)
+        |SELECT label, count(*) AS cnt
+        |FROM l2 JOIN dim ON rf IS NOT DISTINCT FROM flag
+        |GROUP BY label ORDER BY label""".stripMargin,
 
     "join_inequality_bnl" ->
       """SELECT band_id, count(*) AS cnt,

@@ -125,6 +125,41 @@ object PropertiesSpec extends Properties("graft-laws") {
       got == expected
     }
 
+  property("morton: bijective on 8-bit pairs and recoverable by bit deinterleave") =
+    forAll(Gen.listOfN(12, Gen.zip(Gen.chooseNum(0L, 255L), Gen.chooseNum(0L, 255L)))) { pts =>
+      import spark.implicits._
+      val got = pts.toDF("x", "y")
+        .select(col("x"), col("y"), graft.Graft.morton(col("x"), col("y")).as("z"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      got.forall { case (x, y, z) =>
+        // deinterleave recovers both coordinates; x occupies odd bits
+        val xr = (0 until 8).map(i => ((z >> (2 * i + 1)) & 1L) << i).sum
+        val yr = (0 until 8).map(i => ((z >> (2 * i)) & 1L) << i).sum
+        xr == x && yr == y && z >= 0 && z < (1L << 16)
+      }
+    }
+
+  property("rrfFuse: fused score equals hand-computed rank sums for any rankings") =
+    forAll(Gen.listOfN(8, Gen.chooseNum(0, 100)),
+      Gen.listOfN(8, Gen.chooseNum(0, 100))) { (sa, sb) =>
+      import spark.implicits._
+      val a = sa.zipWithIndex.map { case (s, i) => (i.toLong, s.toDouble) }
+      val b = sb.zipWithIndex.map { case (s, i) => (i.toLong, s.toDouble) }
+      val got = graft.Graft.rrfFuse(a.toDF("id", "score"), b.toDF("id", "score"),
+          "id", "score", k = 60, topN = 5)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      def ranks(xs: List[(Long, Double)]) =
+        xs.sortBy { case (id, s) => (-s, id) }.take(5)
+          .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+      val (ra, rb) = (ranks(a), ranks(b))
+      val ids = ra.keySet ++ rb.keySet
+      ids.forall { id =>
+        val want = ra.get(id).map(r => 1.0 / (60.0 + r)).getOrElse(0.0) +
+          rb.get(id).map(r => 1.0 / (60.0 + r)).getOrElse(0.0)
+        math.abs(got(id) - want) < 1e-6
+      } && got.keySet == ids
+    }
+
   property("docChunks reconstruct: stride-prefixes ++ last chunk == text") =
     forAll(Gen.listOf(Gen.alphaNumStr.map(_.take(25))),
       Gen.chooseNum(2, 8)) { (texts, stride) =>
