@@ -344,15 +344,21 @@ object Aggregates {
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
 
+    // Decimal sums are routed DECIMAL -> VARCHAR -> DOUBLE: DuckDB's
+    // direct decimal-to-double cast double-rounds (int128 -> double,
+    // then / 10^scale) and lands one ulp off Spark's correctly-rounded
+    // BigDecimal conversion once the scaled integer exceeds 2^53 —
+    // observed on sxx at sf0.001. The VARCHAR route parses the exact
+    // digits, which IS correctly rounded (SURVEY §1.5 r7).
     "agg_stats" ->
       """WITH s AS (
         |  SELECT l_returnflag,
         |    CAST(count(*) AS DOUBLE) AS n,
-        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) AS sx,
-        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2)) * CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) AS sxx,
-        |    CAST(sum(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) AS sy,
-        |    CAST(sum(CAST(l_quantity AS DECIMAL(15,2)) * CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) AS syy,
-        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2)) * CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) AS sxy
+        |    CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2))) AS VARCHAR) AS DOUBLE) AS sx,
+        |    CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2)) * CAST(l_extendedprice AS DECIMAL(15,2))) AS VARCHAR) AS DOUBLE) AS sxx,
+        |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(15,2))) AS VARCHAR) AS DOUBLE) AS sy,
+        |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(15,2)) * CAST(l_quantity AS DECIMAL(15,2))) AS VARCHAR) AS DOUBLE) AS syy,
+        |    CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2)) * CAST(l_quantity AS DECIMAL(15,2))) AS VARCHAR) AS DOUBLE) AS sxy
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag,
         |  (n * sxx - sx * sx) / (n * (n - 1.0)) AS var_price,

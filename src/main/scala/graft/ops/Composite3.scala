@@ -126,9 +126,22 @@ object Composite3 {
     "agg_regression" -> (regression _)
   )
 
+  /** DuckDB's direct decimal→double cast double-rounds (int128 →
+    * double, then / 10^scale) and can land one ulp off Spark's
+    * correctly-rounded conversion once the scaled integer exceeds
+    * 2^53 (S3/S4/Σy² here). Routing through VARCHAR parses the exact
+    * digits — correctly rounded, bit-equal to Spark (SURVEY §1.5 r7).
+    * Applies to the ORACLE only; the shared formula text above the
+    * casts is unchanged. */
+  private def oracleCast(e: String): String =
+    e.replace("CAST(sum(", "CAST(CAST(sum(")
+      .replace(") AS DOUBLE)", ") AS VARCHAR) AS DOUBLE)")
+
   private def statsOracle(aggs: Seq[(String, String)], out: Seq[String]) =
     s"""WITH s AS (SELECT l_returnflag,
-       |  ${aggs.map { case (e, a) => s"$e AS $a" }.mkString(",\n  ")}
+       |  ${aggs.map { case (e, a) =>
+            s"${if (e.contains("sum(")) oracleCast(e) else e} AS $a"
+          }.mkString(",\n  ")}
        |  FROM lineitem GROUP BY l_returnflag)
        |SELECT l_returnflag,
        |  ${out.mkString(",\n  ")}
