@@ -26,6 +26,8 @@ object SparkEntry {
       (Composite.queries, Composite.oracle),
       (Composite2.queries, Composite2.oracle),
       (Composite3.queries, Composite3.oracle),
+      (Composite4.queries, Composite4.oracle),
+      (LlmOps6.queries, LlmOps6.oracle),
       (SqlSurface.queries, SqlSurface.oracle),
       (Typed.queries, Typed.oracle)
     )

@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.util.Tables._
+
+/** SURVEY.md §2.18 — round-7 corpus-statistics operators: per-doc
+  * token-distribution entropy (a gibberish/boilerplate filter
+  * feature: low entropy = repetitive text) and a Zipf rank-frequency
+  * power-law fit over the corpus vocabulary (the standard corpus
+  * health diagnostic — natural text fits ln(freq) ≈ a·ln(rank)+b
+  * with a ≈ -1; template spam does not).
+  *
+  * Both are one-explode + hash-aggregate shapes: entropy shuffles on
+  * (doc_id, word) then doc_id — the same co-partitioned pipeline as
+  * llm_text_stats; the Zipf fit aggregates the vocabulary to ONE row
+  * of OLS sums after a top-1000 rank window (the window is global but
+  * runs over the vocabulary table, which is sublinear in corpus size
+  * — Heaps' law — and at true 100 TB scale the same fit works on a
+  * frequency-thresholded vocabulary).
+  *
+  * Float determinism: per-element ln() last-ulp differences between
+  * the engines' libm feed sums whose drift stays ~1e-13 against
+  * outputs of magnitude ~1, so the 6-dp surface rounding absorbs
+  * them (same argument as llm_tfidf). ln(2) is pinned as its exact
+  * double literal rather than computed, removing the one
+  * engine-libm call the rounding could not bound.
+  */
+object LlmOps6 {
+
+  private val LN2 = "0.6931471805599453"
+
+  private def q(sql: String)(s: SparkSession, dir: String): DataFrame = {
+    load(s, dir, "documents").createOrReplaceTempView("documents")
+    s.sql(sql)
+  }
+
+  // ---- llm_token_entropy -------------------------------------------
+  // Shannon entropy (bits) of each document's token distribution.
+  private val entropyFormula =
+    s"round(-sum((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))) / $LN2, 6)"
+
+  private val entropySql =
+    s"""WITH tf AS (
+       |  SELECT doc_id, word, count(*) AS c FROM (
+       |    SELECT doc_id, explode(split(text, ' ')) AS word FROM documents)
+       |  GROUP BY doc_id, word),
+       |tot AS (SELECT doc_id, sum(c) AS n FROM tf GROUP BY doc_id)
+       |SELECT tf.doc_id, CAST(n AS BIGINT) AS n_tokens,
+       |  $entropyFormula AS entropy_bits
+       |FROM tf JOIN tot ON tf.doc_id = tot.doc_id
+       |GROUP BY tf.doc_id, n
+       |ORDER BY tf.doc_id""".stripMargin
+
+  private val entropyOracle =
+    s"""WITH tf AS (
+       |  SELECT doc_id, word, count(*) AS c FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+       |  GROUP BY doc_id, word),
+       |tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM tf GROUP BY doc_id)
+       |SELECT tf.doc_id, n AS n_tokens,
+       |  $entropyFormula AS entropy_bits
+       |FROM tf JOIN tot ON tf.doc_id = tot.doc_id
+       |GROUP BY tf.doc_id, n
+       |ORDER BY tf.doc_id""".stripMargin
+
+  // ---- llm_zipf_fit ------------------------------------------------
+  // OLS of ln(freq) on ln(rank) over the top-1000 vocabulary. The
+  // rank window orders by (cnt DESC, word) — unique, so ranks are
+  // deterministic. The fit is assembled from raw sums in ONE pinned
+  // formula string shared verbatim with the oracle (the same
+  // discipline as agg_regression, SURVEY §2.17).
+  private val slopeNum = "(nt * sxy - sx * sy)"
+  private val slopeDen = "(nt * sxx - sx * sx)"
+  private val zipfOut =
+    s"""CAST(nt AS BIGINT) AS n_terms,
+       |  round($slopeNum / $slopeDen, 6) AS slope,
+       |  round((sy / nt) - ($slopeNum / $slopeDen) * (sx / nt), 6) AS intercept,
+       |  round(($slopeNum * $slopeNum) / ($slopeDen * (nt * syy - sy * sy)), 6) AS r2""".stripMargin
+
+  private val zipfSums =
+    """SELECT CAST(count(*) AS DOUBLE) AS nt,
+      |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+      |    sum(x * x) AS sxx, sum(y * y) AS syy
+      |  FROM xy""".stripMargin
+
+  private val zipfSql =
+    s"""WITH tok AS (
+       |  SELECT word, count(*) AS cnt FROM (
+       |    SELECT explode(split(text, ' ')) AS word FROM documents)
+       |  GROUP BY word),
+       |rk AS (
+       |  SELECT cnt, rank FROM (
+       |    SELECT cnt, row_number() OVER (ORDER BY cnt DESC, word) AS rank
+       |    FROM tok) WHERE rank <= 1000),
+       |xy AS (
+       |  SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y
+       |  FROM rk),
+       |s AS (
+       |  $zipfSums)
+       |SELECT $zipfOut
+       |FROM s""".stripMargin
+
+  private val zipfOracle =
+    s"""WITH tok AS (
+       |  SELECT word, count(*) AS cnt FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  GROUP BY word),
+       |rk AS (
+       |  SELECT cnt, rank FROM (
+       |    SELECT cnt, row_number() OVER (ORDER BY cnt DESC, word) AS rank
+       |    FROM tok) WHERE rank <= 1000),
+       |xy AS (
+       |  SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y
+       |  FROM rk),
+       |s AS (
+       |  $zipfSums)
+       |SELECT $zipfOut
+       |FROM s""".stripMargin
+
+  // ---- registration ------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_token_entropy" -> (q(entropySql) _),
+    "llm_zipf_fit" -> (q(zipfSql) _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "llm_token_entropy" -> entropyOracle,
+    "llm_zipf_fit" -> zipfOracle
+  )
+}

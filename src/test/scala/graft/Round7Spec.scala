@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-7 operators (SURVEY §2.18): runtime bloom-filter injection,
+  * in-memory plan reuse, PageRank invariants, Observation metrics
+  * equivalence, try_* null semantics, collation grouping, and the
+  * corpus-statistics outputs' analytic properties.
+  */
+class Round7Spec extends AnyFunSuite {
+  import TestSpark._
+
+  test("join_runtime_bloom: optimizer injects bloom_filter_might_contain") {
+    val df = graft.ops.Composite4.queries("join_runtime_bloom")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+      s"no runtime bloom filter in plan:\n${plan.take(2000)}")
+  }
+
+  test("cache_reuse: branches read the InMemoryRelation, results match uncached") {
+    val df = graft.ops.Composite4.queries("cache_reuse")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan") || plan.contains("InMemoryRelation"),
+      s"branches do not reuse the cache:\n${plan.take(2000)}")
+    val rows = df.collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("high", "low"))
+    // the two branches partition the customers exactly
+    val total = rows.map(_.getLong(1)).sum
+    val nCust = graft.util.Tables.load(spark, sf, "orders")
+      .select("o_custkey").distinct().count()
+    assert(total == nCust)
+  }
+
+  test("graph_pagerank: rank mass is conserved and every node surfaces") {
+    val df = graft.ops.Composite4.queries("graph_pagerank")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // symmetric co-purchase graph -> no dangling mass; sum r == 1
+    // up to the 12-dp per-iteration rounding.
+    val mass = rows.map(_.getDouble(1)).sum
+    assert(math.abs(mass - 1.0) < 1e-6, s"rank mass $mass")
+    assert(rows.forall(_.getDouble(1) > 0.0))
+  }
+
+  test("obs_metrics: observed metrics equal the declarative aggregate") {
+    val got = graft.ops.Composite4.queries("obs_metrics")(spark, sf).collect()(0)
+    val want = graft.util.Tables.load(spark, sf, "lineitem")
+      .agg(count(lit(1)), sum(graft.util.Tables.money(col("l_extendedprice"))).cast("double"),
+        min(col("l_extendedprice")), max(col("l_extendedprice")))
+      .collect()(0)
+    assert(got.getLong(0) == want.getLong(0))
+    assert(got.getDouble(1) == want.getDouble(1))
+    assert(got.getDouble(2) == want.getDouble(2))
+    assert(got.getDouble(3) == want.getDouble(3))
+  }
+
+  test("math_try_fns: error cases surface as NULL, not failures") {
+    val df = graft.ops.Composite4.queries("math_try_fns")(spark, sf)
+    val qty25 = df.filter(col("l_quantity") === 25.0)
+    if (qty25.count() > 0)
+      assert(qty25.filter(col("safe_ratio").isNotNull).count() == 0)
+    assert(df.filter(col("l_quantity") =!= 25.0)
+      .filter(col("safe_ratio").isNull).count() == 0)
+    // probed is null exactly when the index is past the 2-element array
+    assert(df.filter(col("l_linenumber") > 2)
+      .filter(col("probed").isNotNull).count() == 0)
+    assert(df.filter(col("l_linenumber") <= 2)
+      .filter(col("probed").isNull).count() == 0)
+    // overflow probe: max+positive overflows to NULL
+    assert(df.filter(col("l_orderkey") > 0)
+      .filter(col("overflow_probe").isNotNull).count() == 0)
+  }
+
+  test("str_collation: case-mangled segments collapse to one group per segment") {
+    val rows = graft.ops.Composite4.queries("str_collation")(spark, sf).collect()
+    val plain = graft.util.Tables.load(spark, sf, "customer")
+      .select(lower(col("c_mktsegment"))).distinct().count()
+    assert(rows.length == plain)
+    assert(rows.forall(r => r.getString(0) == r.getString(0).toLowerCase))
+  }
+
+  test("llm_token_entropy: 0 <= H <= log2(n_tokens)") {
+    val rows = graft.ops.LlmOps6.queries("llm_token_entropy")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getLong(1).toDouble
+      val h = r.getDouble(2)
+      // +1e-6: the surfaced H is 6-dp rounded, so it can sit half an
+      // ulp-of-the-grid above the exact log2(n) bound.
+      assert(h >= 0.0 && h <= math.log(n) / math.log(2.0) + 1e-6,
+        s"doc ${r.get(0)}: H=$h n=$n")
+    }
+  }
+
+  test("llm_zipf_fit: slope is negative and r2 in [0,1]") {
+    val r = graft.ops.LlmOps6.queries("llm_zipf_fit")(spark, sf).collect()(0)
+    assert(r.getDouble(1) < 0.0, s"slope ${r.getDouble(1)}")
+    val r2 = r.getDouble(3)
+    assert(r2 >= 0.0 && r2 <= 1.0, s"r2 $r2")
+  }
+}
