@@ -36,33 +36,40 @@ object LlmOps6 {
   }
 
   // ---- llm_token_entropy -------------------------------------------
-  // Shannon entropy (bits) of each document's token distribution.
+  // Shannon entropy (bits) of each document's token distribution,
+  // in the single-pass form H = (ln n − Σ c·ln c / n) / ln 2: the
+  // naive Σ (c/n)·ln(c/n) needs the doc total BEFORE the per-term
+  // sum, which planned as a SECOND documents scan + join (CTEs are
+  // not materialized) — the algebraic rewrite computes n and
+  // Σ c·ln c in ONE aggregate over the term counts, so the plan is
+  // one scan and two co-partitioned shuffles (doc_id, word) → doc_id.
   private val entropyFormula =
-    s"round(-sum((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))) / $LN2, 6)"
+    s"round((ln(CAST(n AS DOUBLE)) - s / CAST(n AS DOUBLE)) / $LN2, 6)"
+
+  private val entropySums =
+    "sum(c) AS n, sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS s"
 
   private val entropySql =
     s"""WITH tf AS (
        |  SELECT doc_id, word, count(*) AS c FROM (
        |    SELECT doc_id, explode(split(text, ' ')) AS word FROM documents)
        |  GROUP BY doc_id, word),
-       |tot AS (SELECT doc_id, sum(c) AS n FROM tf GROUP BY doc_id)
-       |SELECT tf.doc_id, CAST(n AS BIGINT) AS n_tokens,
+       |e AS (SELECT doc_id, $entropySums FROM tf GROUP BY doc_id)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
        |  $entropyFormula AS entropy_bits
-       |FROM tf JOIN tot ON tf.doc_id = tot.doc_id
-       |GROUP BY tf.doc_id, n
-       |ORDER BY tf.doc_id""".stripMargin
+       |FROM e
+       |ORDER BY doc_id""".stripMargin
 
   private val entropyOracle =
     s"""WITH tf AS (
        |  SELECT doc_id, word, count(*) AS c FROM (
        |    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
        |  GROUP BY doc_id, word),
-       |tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM tf GROUP BY doc_id)
-       |SELECT tf.doc_id, n AS n_tokens,
+       |e AS (SELECT doc_id, $entropySums FROM tf GROUP BY doc_id)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
        |  $entropyFormula AS entropy_bits
-       |FROM tf JOIN tot ON tf.doc_id = tot.doc_id
-       |GROUP BY tf.doc_id, n
-       |ORDER BY tf.doc_id""".stripMargin
+       |FROM e
+       |ORDER BY doc_id""".stripMargin
 
   // ---- llm_zipf_fit ------------------------------------------------
   // OLS of ln(freq) on ln(rank) over the top-1000 vocabulary. The
