@@ -344,6 +344,128 @@ object Composite4 {
        |SELECT node, r FROM r5 ORDER BY node""".stripMargin
   }
 
+  // ---- agg_corr_matrix ---------------------------------------------
+  // All 6 pairwise Pearson correlations over (quantity, price,
+  // discount, tax) from ONE scan: 15 exact-decimal sums in a single
+  // map-side-combining aggregate, then `stack` unpivots the 6
+  // statistics out of the one aggregated row — the single-pass
+  // profiling shape (a naive UNION of 6 selects would re-scan the
+  // fact table per pair; at 100 TB that is 6 scans vs 1). Assembly
+  // formulas share their text with the oracle (SURVEY §2.17
+  // discipline); oracle decimal→double casts route through VARCHAR
+  // (§1.5 r7 — the squared-price sums exceed 2^53 scaled).
+  private val corrVars = Seq(
+    "q" -> "CAST(l_quantity AS DECIMAL(12,2))",
+    "p" -> "CAST(l_extendedprice AS DECIMAL(15,2))",
+    "d" -> "CAST(l_discount AS DECIMAL(12,4))",
+    "t" -> "CAST(l_tax AS DECIMAL(12,4))")
+  private val corrPairs = Seq(
+    ("qty_price", "q", "p"), ("qty_disc", "q", "d"), ("qty_tax", "q", "t"),
+    ("price_disc", "p", "d"), ("price_tax", "p", "t"), ("disc_tax", "d", "t"))
+
+  private def corrSums(cast: String => String): String = {
+    val singles = corrVars.map { case (a, e) => s"${cast(s"sum($e)")} AS s$a" }
+    val squares = corrVars.map { case (a, e) => s"${cast(s"sum($e * $e)")} AS s$a$a" }
+    val crosses = corrPairs.map { case (_, a, b) =>
+      val (ea, eb) = (corrVars.toMap.apply(a), corrVars.toMap.apply(b))
+      s"${cast(s"sum($ea * $eb)")} AS s$a$b"
+    }
+    (Seq("CAST(count(*) AS DOUBLE) AS n") ++ singles ++ squares ++ crosses)
+      .mkString(",\n    ")
+  }
+
+  private def corrFormula(a: String, b: String): String =
+    s"round((n * s$a$b - s$a * s$b) / (sqrt(n * s$a$a - s$a * s$a) * sqrt(n * s$b$b - s$b * s$b)), 6)"
+
+  private def corrMatrixSql: String = {
+    val stacked = corrPairs
+      .map { case (nm, a, b) => s"'$nm', ${corrFormula(a, b)}" }
+      .mkString(",\n    ")
+    s"""WITH s AS (
+       |  SELECT ${corrSums(e => s"CAST($e AS DOUBLE)")}
+       |  FROM lineitem)
+       |SELECT stack(6,
+       |    $stacked) AS (pair, corr)
+       |FROM s
+       |ORDER BY pair""".stripMargin
+  }
+
+  private def corrMatrixOracle: String = {
+    val branches = corrPairs.map { case (nm, a, b) =>
+      s"SELECT '$nm' AS pair, ${corrFormula(a, b)} AS corr FROM s"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH s AS (
+       |  SELECT ${corrSums(e => s"CAST(CAST($e AS VARCHAR) AS DOUBLE)")}
+       |  FROM lineitem)
+       |$branches
+       |ORDER BY pair""".stripMargin
+  }
+
+  // ---- join_asof_tolerance -----------------------------------------
+  // Backward as-of with a MAX-GAP bound (pandas merge_asof
+  // `tolerance`): each event keeps its latest at-or-before order date
+  // only when it is within 30 days; stale or absent matches surface
+  // NULL. Same one-shuffle union + per-user running-last merge as
+  // join_asof_partitioned — the tolerance is a pure post-projection,
+  // so the scale shape is unchanged. Oracle: DuckDB ASOF LEFT JOIN
+  // with the same CASE bound.
+  private def asofTolerance(s: SparkSession, dir: String): DataFrame = {
+    val e = loadEvents(s, dir).select(col("user_id"),
+      col("ts").cast("timestamp_ntz").as("t"),
+      col("event_id"), lit(1).as("is_evt"),
+      lit(null).cast("timestamp_ntz").as("odate"))
+    val o = load(s, dir, "orders").select(col("o_custkey").as("user_id"),
+      col("o_orderdate").as("t"),
+      lit(null).cast("long").as("event_id"), lit(0).as("is_evt"),
+      col("o_orderdate").as("odate")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(asc("t"), asc("is_evt"))
+      .rowsBetween(Long.MinValue, 0)
+    e.unionByName(o)
+      .withColumn("m", last(col("odate"), ignoreNulls = true).over(w))
+      .filter(col("is_evt") === 1)
+      .select(col("event_id"), col("user_id"), col("t").as("ts"),
+        when(col("m") >= col("t") - expr("INTERVAL 30 DAY"), col("m"))
+          .as("asof_orderdate"))
+      .orderBy("event_id")
+  }
+
+  private val asofToleranceOracle =
+    """SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+      |  CASE WHEN o.o_orderdate >= CAST(e.ts AS TIMESTAMP) - INTERVAL 30 DAY
+      |       THEN o.o_orderdate END AS asof_orderdate
+      |FROM events e ASOF LEFT JOIN
+      |  (SELECT DISTINCT o_custkey, o_orderdate FROM orders) o
+      |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+      |ORDER BY event_id""".stripMargin
+
+  // ---- sql_join_hint_shuffle ---------------------------------------
+  // The two non-broadcast join-strategy hints beside sql_join_hint's
+  // BROADCAST: SHUFFLE_HASH pins the nation join to a shuffled hash
+  // join (no sort), MERGE pins the orders join to sort-merge —
+  // the knobs a tuner reaches for when the default pick is wrong
+  // (e.g. a "small" side that actually spills, or a sort already
+  // satisfied upstream). Round7Spec asserts both operators appear.
+  private val hintShuffleSql =
+    """SELECT /*+ SHUFFLE_HASH(nation), MERGE(orders) */
+      |  n_name, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN orders ON o_custkey = c_custkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  private val hintShuffleOracle =
+    """SELECT n_name, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN orders ON o_custkey = c_custkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
   // ---- registration ------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -356,7 +478,10 @@ object Composite4 {
     "join_runtime_bloom" -> (runtimeBloom _),
     "obs_metrics" -> (obsMetrics _),
     "cache_reuse" -> (cacheReuse _),
-    "graph_pagerank" -> (pageRank _)
+    "graph_pagerank" -> (pageRank _),
+    "agg_corr_matrix" -> (q(corrMatrixSql) _),
+    "join_asof_tolerance" -> (asofTolerance _),
+    "sql_join_hint_shuffle" -> (q(hintShuffleSql) _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -369,6 +494,9 @@ object Composite4 {
     "join_runtime_bloom" -> runtimeBloomOracle,
     "obs_metrics" -> obsMetricsOracle,
     "cache_reuse" -> cacheReuseOracle,
-    "graph_pagerank" -> pageRankOracle
+    "graph_pagerank" -> pageRankOracle,
+    "agg_corr_matrix" -> corrMatrixOracle,
+    "join_asof_tolerance" -> asofToleranceOracle,
+    "sql_join_hint_shuffle" -> hintShuffleOracle
   )
 }

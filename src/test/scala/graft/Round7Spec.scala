@@ -93,6 +93,41 @@ class Round7Spec extends AnyFunSuite {
     }
   }
 
+  test("sql_join_hint_shuffle: both hinted strategies appear in the plan") {
+    val df = graft.ops.Composite4.queries("sql_join_hint_shuffle")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), s"no ShuffledHashJoin:\n${plan.take(1500)}")
+    assert(plan.contains("SortMergeJoin"), s"no SortMergeJoin:\n${plan.take(1500)}")
+  }
+
+  test("agg_corr_matrix: 6 pairs, each corr in [-1, 1], one scan") {
+    val df = graft.ops.Composite4.queries("agg_corr_matrix")(spark, sf)
+    assert(df.queryExecution.executedPlan.toString
+      .split("Scan parquet").length - 1 == 1, "corr matrix must be single-scan")
+    val rows = df.collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      val c = r.getDouble(1)
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9, s"${r.getString(0)}: $c")
+    }
+  }
+
+  test("join_asof_tolerance: matches are the partitioned as-of bounded to 30 days") {
+    import java.time.LocalDateTime
+    val tol = graft.ops.Composite4.queries("join_asof_tolerance")(spark, sf)
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    val base = graft.ops.Relational.queries("join_asof_partitioned")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[LocalDateTime](2), r.getAs[LocalDateTime](3)))
+      .toList
+    base.foreach { case (id, ts, m) =>
+      val bounded = if (!m.isBefore(ts.minusDays(30))) Some(m) else None
+      assert(tol(id) == bounded, s"event $id: ${tol(id)} vs $bounded")
+    }
+    // events with no match at all surface NULL (present, not dropped)
+    assert(tol.size >= base.size)
+  }
+
   test("llm_zipf_fit: slope is negative and r2 in [0,1]") {
     val r = graft.ops.LlmOps6.queries("llm_zipf_fit")(spark, sf).collect()(0)
     assert(r.getDouble(1) < 0.0, s"slope ${r.getDouble(1)}")
