@@ -27,6 +27,7 @@ object SparkEntry {
       (Composite2.queries, Composite2.oracle),
       (Composite3.queries, Composite3.oracle),
       (Composite4.queries, Composite4.oracle),
+      (Composite5.queries, Composite5.oracle),
       (LlmOps6.queries, LlmOps6.oracle),
       (SqlSurface.queries, SqlSurface.oracle),
       (Typed.queries, Typed.oracle)

@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables._
+
+/** SURVEY.md §2.18 (continued) — round-7 data-quality + nested-type
+  * operators: a Benford first-digit audit (the classic fraud /
+  * synthetic-data detector) and array-of-struct algebra surfaced as
+  * scalars.
+  */
+object Composite5 {
+
+  private def views(s: SparkSession, dir: String): Unit =
+    Seq("orders", "lineitem")
+      .foreach(n => load(s, dir, n).createOrReplaceTempView(n))
+
+  private def q(sql: String)(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir); s.sql(sql)
+  }
+
+  // ---- agg_benford -------------------------------------------------
+  // First-significant-digit distribution of order totals against the
+  // Benford expectation ln(1+1/d)/ln(10). One hash aggregate over a
+  // pure projection; the observed share uses a window total over the
+  // 9-row aggregate (free). Digit extraction goes through the
+  // DECIMAL(15,2) string form, which both engines format identically
+  // — never the raw double, whose formatting is engine-specific.
+  // ln(10) is pinned as its exact double literal (§1.5 discipline:
+  // no cross-engine libm call the 6-dp rounding cannot bound).
+  private val LN10 = "2.302585092994046"
+
+  private val benfordSql =
+    s"""WITH d AS (
+       |  SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS STRING), 1, 1) AS INT) AS digit
+       |  FROM orders),
+       |c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit)
+       |SELECT digit, n,
+       |  round(CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE), 6) AS share,
+       |  round(ln(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / CAST(digit AS DOUBLE)) / $LN10, 6) AS benford
+       |FROM c
+       |ORDER BY digit""".stripMargin
+
+  private val benfordOracle =
+    s"""WITH d AS (
+       |  SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS VARCHAR), 1, 1) AS INT) AS digit
+       |  FROM orders),
+       |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit)
+       |SELECT digit, n,
+       |  round(CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE), 6) AS share,
+       |  round(ln(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / CAST(digit AS DOUBLE)) / $LN10, 6) AS benford
+       |FROM c
+       |ORDER BY digit""".stripMargin
+
+  // ---- nested_struct_topn ------------------------------------------
+  // Array-of-struct algebra: per order, line items are collected as
+  // (price, partkey) structs, sorted descending via
+  // reverse(array_sort(...)) — struct ordering is field-by-field, so
+  // ties on price break on partkey — and the top-2 are projected back
+  // to scalars with the OOB-null `get` (orders with one item surface
+  // NULL seconds). One hash aggregate on the natural orderkey
+  // partitioning; the per-group array is bounded by order size. The
+  // oracle is the row_number + conditional-aggregation twin.
+  private def nestedTopN(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_items"),
+        reverse(array_sort(collect_list(
+          struct(money(col("l_extendedprice")).as("p"), col("l_partkey").as("pk")))))
+          .as("items"))
+      .select(col("l_orderkey"), col("n_items"),
+        expr("get(items, 0).pk").as("top1_pk"),
+        asD(expr("get(items, 0).p")).as("top1_price"),
+        expr("get(items, 1).pk").as("top2_pk"),
+        asD(expr("get(items, 1).p")).as("top2_price"))
+      .orderBy("l_orderkey")
+
+  private val nestedTopNOracle =
+    """WITH r AS (
+      |  SELECT l_orderkey, l_partkey,
+      |    CAST(l_extendedprice AS DECIMAL(15,2)) AS p,
+      |    row_number() OVER (PARTITION BY l_orderkey
+      |      ORDER BY CAST(l_extendedprice AS DECIMAL(15,2)) DESC, l_partkey DESC) AS rk
+      |  FROM lineitem)
+      |SELECT l_orderkey, count(*) AS n_items,
+      |  max(CASE WHEN rk = 1 THEN l_partkey END) AS top1_pk,
+      |  CAST(max(CASE WHEN rk = 1 THEN p END) AS DOUBLE) AS top1_price,
+      |  max(CASE WHEN rk = 2 THEN l_partkey END) AS top2_pk,
+      |  CAST(max(CASE WHEN rk = 2 THEN p END) AS DOUBLE) AS top2_price
+      |FROM r GROUP BY l_orderkey
+      |ORDER BY l_orderkey""".stripMargin
+
+  // ---- registration ------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_benford" -> (q(benfordSql) _),
+    "nested_struct_topn" -> (nestedTopN _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "agg_benford" -> benfordOracle,
+    "nested_struct_topn" -> nestedTopNOracle
+  )
+}

@@ -125,15 +125,63 @@ object LlmOps6 {
        |SELECT $zipfOut
        |FROM s""".stripMargin
 
+  // ---- llm_feature_scale -------------------------------------------
+  // Per-dimension z-score standardization of the embedding matrix —
+  // the distributed feature-scaling step before clustering/ANN
+  // training. posexplode flattens (vector, dim) pairs; per-dim
+  // moments are a 64-row aggregate that broadcasts back into the
+  // element join; the standardized vector is reassembled by sorting
+  // the (pos, z) structs — so the shape is explode → hash agg →
+  // broadcast join → hash agg, all linear in elements. The z formula
+  // text is shared with the oracle; 6-dp rounding absorbs sum-order
+  // drift in the double moments (elements are exact float→double
+  // promotions).
+  private val zFormula =
+    "round((v - sx / n) / sqrt(sxx / n - (sx / n) * (sx / n)), 6)"
+
+  private def featureScale(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val x = load(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "f")))
+      .select(col("vec_id"), (col("pos0") + 1).as("pos"),
+        col("f").cast("double").as("v"))
+    val stats = x.groupBy("pos").agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("v")).as("sx"),
+      sum(col("v") * col("v")).as("sxx"))
+    x.join(broadcast(stats), "pos")
+      .select(col("vec_id"), col("pos"), expr(zFormula).as("z"))
+      .groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("z")))),
+        e => e.getField("z")).as("zvec"))
+      .orderBy("vec_id")
+  }
+
+  private val featureScaleOracle =
+    s"""WITH x AS (
+       |  SELECT vec_id, CAST(r.range AS INT) AS pos,
+       |    CAST(embedding[r.range] AS DOUBLE) AS v
+       |  FROM embeddings CROSS JOIN range(1, 65) r),
+       |stats AS (
+       |  SELECT pos, CAST(count(*) AS DOUBLE) AS n,
+       |    sum(v) AS sx, sum(v * v) AS sxx
+       |  FROM x GROUP BY pos)
+       |SELECT vec_id, list($zFormula ORDER BY pos) AS zvec
+       |FROM x JOIN stats USING (pos)
+       |GROUP BY vec_id
+       |ORDER BY vec_id""".stripMargin
+
   // ---- registration ------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_token_entropy" -> (q(entropySql) _),
-    "llm_zipf_fit" -> (q(zipfSql) _)
+    "llm_zipf_fit" -> (q(zipfSql) _),
+    "llm_feature_scale" -> (featureScale _)
   )
 
   val oracle: Map[String, String] = Map(
     "llm_token_entropy" -> entropyOracle,
-    "llm_zipf_fit" -> zipfOracle
+    "llm_zipf_fit" -> zipfOracle,
+    "llm_feature_scale" -> featureScaleOracle
   )
 }

@@ -128,6 +128,42 @@ class Round7Spec extends AnyFunSuite {
     assert(tol.size >= base.size)
   }
 
+  test("agg_benford: digits in 1..9, shares sum to 1, expectation is Benford") {
+    val rows = graft.ops.Composite5.queries("agg_benford")(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).forall(d => d >= 1 && d <= 9))
+    val shareSum = rows.map(_.getDouble(2)).sum
+    assert(math.abs(shareSum - 1.0) < 1e-4, s"shares sum $shareSum")
+    rows.foreach { r =>
+      val d = r.getInt(0)
+      val want = math.log(1.0 + 1.0 / d) / math.log(10.0)
+      assert(math.abs(r.getDouble(3) - want) < 1e-6)
+    }
+  }
+
+  test("nested_struct_topn: top-1 dominates top-2; singleton orders surface NULL seconds") {
+    val df = graft.ops.Composite5.queries("nested_struct_topn")(spark, sf)
+    assert(df.filter(col("top2_price").isNotNull &&
+      col("top1_price") < col("top2_price")).count() == 0)
+    assert(df.filter(col("n_items") === 1 && col("top2_pk").isNotNull).count() == 0)
+    assert(df.filter(col("n_items") >= 2 && col("top2_pk").isNull).count() == 0)
+  }
+
+  test("llm_feature_scale: each dimension standardizes to mean 0, var 1") {
+    val rows = graft.ops.LlmOps6.queries("llm_feature_scale")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val vecs = rows.map(_.getSeq[Double](1))
+    val dims = vecs.head.length
+    assert(vecs.forall(_.length == dims))
+    val n = vecs.length.toDouble
+    (0 until dims by 16).foreach { i =>
+      val xs = vecs.map(_(i))
+      val mean = xs.sum / n
+      val varr = xs.map(x => x * x).sum / n - mean * mean
+      assert(math.abs(mean) < 1e-4, s"dim $i mean $mean")
+      assert(math.abs(varr - 1.0) < 1e-3, s"dim $i var $varr")
+    }
+  }
+
   test("llm_zipf_fit: slope is negative and r2 in [0,1]") {
     val r = graft.ops.LlmOps6.queries("llm_zipf_fit")(spark, sf).collect()(0)
     assert(r.getDouble(1) < 0.0, s"slope ${r.getDouble(1)}")

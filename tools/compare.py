@@ -28,6 +28,14 @@ def norm(v):
         if math.isnan(v):
             return "NaN"
         return v
+    # list-typed cells come back as numpy arrays / lists, whose ==
+    # yields elementwise arrays; normalize to plain tuples so row
+    # comparison stays a scalar bool (the driver's hash compare
+    # flattens arrays the same way).
+    if hasattr(v, "tolist"):
+        return tuple(norm(x) for x in v.tolist())
+    if isinstance(v, (list, tuple)):
+        return tuple(norm(x) for x in v)
     return v
 
 for name in sorted(oracle):
