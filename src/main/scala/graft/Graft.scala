@@ -215,4 +215,28 @@ object Graft {
     * the clustering key behind the sink_zorder layout rewrite
     * (min-max scale your dimensions to 0..255 first). */
   def morton(x: Column, y: Column): Column = graft.ops.Scans.morton(x, y)
+
+  /** PageRank over an edge list with columns (src, dst). The edge
+    * table is checkpointed once with out-degree attached; each
+    * iteration broadcasts the node-sized rank table into a
+    * map-side-combined contribution aggregate (no recurring edge
+    * shuffle). Ranks are rounded to 12 dp per iteration so reruns are
+    * bit-stable. Returns (node, r). */
+  def pageRank(edges: DataFrame, iterations: Int = 5,
+      damping: Double = 0.85): DataFrame =
+    graft.ops.Composite4.pageRankOn(edges, iterations, damping)
+
+  /** Per-dimension z-score standardization of a vector column:
+    * posexplode → per-dimension moments (broadcast back) →
+    * struct-sorted reassembly. Returns (vec_id, zvec) with 6-dp
+    * rounded elements. */
+  def standardize(vectors: DataFrame, idCol: String, vecCol: String): DataFrame =
+    graft.ops.LlmOps6.standardizeOn(vectors, idCol, vecCol)
+
+  /** Per-document Shannon entropy (bits) of the whitespace-token
+    * distribution, in the single-pass Σ c·ln c form — a
+    * gibberish/boilerplate quality-filter feature. Returns
+    * (doc_id, n_tokens, entropy_bits). */
+  def tokenEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.ops.LlmOps6.tokenEntropyOn(docs, idCol, textCol)
 }

@@ -293,26 +293,34 @@ object Composite4 {
   // each engine's sum-order drift is ~1e-15 while rank values are
   // ~1e-3, so both engines round to the same grid point every
   // iteration and stay in exact lockstep.
+  /** Generic PageRank core over an edge list with columns (src, dst)
+    * — the [[graft.Graft.pageRank]] facade surface. See the scale
+    * notes on the `graph_pagerank` query above. */
+  private[graft] def pageRankOn(edgeList: DataFrame, iterations: Int,
+      damping: Double): DataFrame = {
+    val deg = edgeList.groupBy("src").agg(count(lit(1)).as("d"))
+    val edgesD = edgeList.join(deg, "src").localCheckpoint()
+    val nodes = edgesD.select(col("src").as("node")).distinct().localCheckpoint()
+    val n = nodes.count()
+    var ranks = nodes.select(col("node"), lit(1.0 / n).as("r"))
+    for (_ <- 1 to iterations) {
+      val contrib = edgesD.join(broadcast(ranks), col("src") === col("node"))
+        .groupBy(col("dst"))
+        .agg(sum(col("r") / col("d")).as("contrib"))
+      ranks = nodes.join(broadcast(contrib), col("node") === col("dst"), "left")
+        .select(col("node"),
+          round(lit((1.0 - damping) / n) + lit(damping) * coalesce(col("contrib"), lit(0.0)), 12).as("r"))
+    }
+    ranks.orderBy("node")
+  }
+
   private def pageRank(s: SparkSession, dir: String): DataFrame = {
     val li = load(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
     val a = li.toDF("k", "src")
     val b = li.toDF("k", "dst")
     val edges = a.join(b, "k").filter(col("src") =!= col("dst"))
       .select("src", "dst").distinct()
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
-    val edgesD = edges.join(deg, "src").localCheckpoint()
-    val nodes = edgesD.select(col("src").as("node")).distinct().localCheckpoint()
-    val n = nodes.count()
-    var ranks = nodes.select(col("node"), lit(1.0 / n).as("r"))
-    for (_ <- 1 to 5) {
-      val contrib = edgesD.join(broadcast(ranks), col("src") === col("node"))
-        .groupBy(col("dst"))
-        .agg(sum(col("r") / col("d")).as("contrib"))
-      ranks = nodes.join(broadcast(contrib), col("node") === col("dst"), "left")
-        .select(col("node"),
-          round(lit(0.15 / n) + lit(0.85) * coalesce(col("contrib"), lit(0.0)), 12).as("r"))
-    }
-    ranks.orderBy("node")
+    pageRankOn(edges, iterations = 5, damping = 0.85)
   }
 
   /** Oracle: the same 5 iterations unrolled as chained CTEs (DuckDB

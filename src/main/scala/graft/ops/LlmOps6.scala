@@ -49,6 +49,23 @@ object LlmOps6 {
   private val entropySums =
     "sum(c) AS n, sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS s"
 
+  /** Generic single-pass token-entropy core over (id, text) — the
+    * [[graft.Graft.tokenEntropy]] facade surface; same formula text
+    * as the declared query. */
+  private[graft] def tokenEntropyOn(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    docs.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum(col("c")).as("n"),
+        expr("sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))").as("s"))
+      .select(col("doc_id"), col("n").cast("bigint").as("n_tokens"),
+        expr(entropyFormula).as("entropy_bits"))
+      .orderBy("doc_id")
+  }
+
   private val entropySql =
     s"""WITH tf AS (
        |  SELECT doc_id, word, count(*) AS c FROM (
@@ -139,10 +156,13 @@ object LlmOps6 {
   private val zFormula =
     "round((v - sx / n) / sqrt(sxx / n - (sx / n) * (sx / n)), 6)"
 
-  private def featureScale(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+  /** Generic per-dimension standardization core over (id, vector) —
+    * the [[graft.Graft.standardize]] facade surface. */
+  private[graft] def standardizeOn(vectors: org.apache.spark.sql.DataFrame,
+      idCol: String, vecCol: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    val x = load(s, dir, "embeddings")
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "f")))
+    val x = vectors
+      .select(col(idCol).as("vec_id"), posexplode(col(vecCol)).as(Seq("pos0", "f")))
       .select(col("vec_id"), (col("pos0") + 1).as("pos"),
         col("f").cast("double").as("v"))
     val stats = x.groupBy("pos").agg(
@@ -156,6 +176,9 @@ object LlmOps6 {
         e => e.getField("z")).as("zvec"))
       .orderBy("vec_id")
   }
+
+  private def featureScale(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    standardizeOn(load(s, dir, "embeddings"), "vec_id", "embedding")
 
   private val featureScaleOracle =
     s"""WITH x AS (

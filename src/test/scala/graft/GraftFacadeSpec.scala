@@ -172,4 +172,34 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(kept == docs.filter(Graft.hashSampleKeep(col("id"), "28")).count())
     assert(kept > 5 && kept < 80, s"kept $kept of 200")
   }
+
+  test("facade: pageRank on a known 3-node chain distributes mass as expected") {
+    import spark.implicits._
+    // symmetric triangle: uniform stationary distribution, each ~1/3
+    val tri = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L), (3L, 1L))
+      .toDF("src", "dst")
+    val r = Graft.pageRank(tri, iterations = 10).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    r.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-9, r.toString))
+    // star 1 <-> {2,3}: the hub accumulates more mass than the leaves
+    val star = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L)).toDF("src", "dst")
+    val sr = Graft.pageRank(star, iterations = 20).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(sr(1L) > sr(2L) && math.abs(sr(2L) - sr(3L)) < 1e-9, sr.toString)
+  }
+
+  test("facade: standardize and tokenEntropy are the library forms of the ops") {
+    import spark.implicits._
+    val vecs = Seq((1L, Array(1f, 10f)), (2L, Array(3f, 30f)))
+      .toDF("id", "vec")
+    val z = Graft.standardize(vecs, "id", "vec").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // two points standardize to ±1 in every dimension
+    assert(z(1L) == Seq(-1.0, -1.0) && z(2L) == Seq(1.0, 1.0), z.toString)
+    val docs = Seq((1L, "a a a a"), (2L, "a b c d")).toDF("id", "text")
+    val h = Graft.tokenEntropy(docs, "id", "text").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(h(1L) == 0.0, s"uniform-token doc must have zero entropy: $h")
+    assert(math.abs(h(2L) - 2.0) < 1e-6, s"4 distinct tokens -> 2 bits: $h")
+  }
 }
