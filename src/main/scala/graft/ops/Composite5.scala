@@ -91,15 +91,76 @@ object Composite5 {
       |FROM r GROUP BY l_orderkey
       |ORDER BY l_orderkey""".stripMargin
 
+  // ---- date_arithmetic ---------------------------------------------
+  // The calendar-arithmetic tier beyond date_parts' extraction:
+  // month-end clamping (add_months / +INTERVAL MONTH both clamp
+  // Jan 31 + 1mo → Feb 28), last_day, quarter boundaries, and the
+  // ISO weekday/week numbering (Spark weekday is 0=Monday; DuckDB's
+  // isodow is 1=Monday — the oracle aligns by subtraction, never by
+  // trusting same-named functions whose conventions differ). Pure
+  // projection; all integer/date math, no float hazards.
+  private val dateArithSql =
+    """SELECT o_orderkey,
+      |  add_months(CAST(o_orderdate AS DATE), 3) AS plus3mo,
+      |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      |  CAST(quarter(o_orderdate) AS INT) AS qtr,
+      |  CAST(date_trunc('quarter', o_orderdate) AS DATE) AS qtr_start,
+      |  CAST(weekday(o_orderdate) AS INT) AS iso_weekday,
+      |  CAST(weekofyear(o_orderdate) AS INT) AS iso_week
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
+  private val dateArithOracle =
+    """SELECT o_orderkey,
+      |  CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3mo,
+      |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      |  CAST(date_part('quarter', o_orderdate) AS INT) AS qtr,
+      |  CAST(date_trunc('quarter', o_orderdate) AS DATE) AS qtr_start,
+      |  CAST(date_part('isodow', o_orderdate) - 1 AS INT) AS iso_weekday,
+      |  CAST(date_part('week', o_orderdate) AS INT) AS iso_week
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---- graph_degree_dist -------------------------------------------
+  // Degree distribution of the part co-purchase graph (the first
+  // thing a graph analyst plots): per-node degree → nodes-per-degree.
+  // Reuses the graph_pagerank edge definition; two chained hash
+  // aggregates after the orderkey-co-partitioned self-join.
+  private def degreeDist(s: SparkSession, dir: String): DataFrame = {
+    val li = load(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val a = li.toDF("k", "src")
+    val b = li.toDF("k", "dst")
+    a.join(b, "k").filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+      .groupBy("src").agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("degree")
+  }
+
+  private val degreeDistOracle =
+    """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+      |edges AS (
+      |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |  WHERE a.l_partkey <> b.l_partkey),
+      |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS degree FROM edges GROUP BY src)
+      |SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+      |FROM deg GROUP BY degree
+      |ORDER BY degree""".stripMargin
+
   // ---- registration ------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_benford" -> (q(benfordSql) _),
-    "nested_struct_topn" -> (nestedTopN _)
+    "nested_struct_topn" -> (nestedTopN _),
+    "date_arithmetic" -> (q(dateArithSql) _),
+    "graph_degree_dist" -> (degreeDist _)
   )
 
   val oracle: Map[String, String] = Map(
     "agg_benford" -> benfordOracle,
-    "nested_struct_topn" -> nestedTopNOracle
+    "nested_struct_topn" -> nestedTopNOracle,
+    "date_arithmetic" -> dateArithOracle,
+    "graph_degree_dist" -> degreeDistOracle
   )
 }

@@ -164,6 +164,16 @@ class Round7Spec extends AnyFunSuite {
     }
   }
 
+  test("graph_degree_dist: handshake identity — degree-weighted node count equals directed edge count") {
+    val dist = graft.ops.Composite5.queries("graph_degree_dist")(spark, sf).collect()
+    val weighted = dist.map(r => r.getLong(0) * r.getLong(1)).sum
+    val li = graft.util.Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey").as("k"), col("l_partkey").as("src"))
+    val edges = li.toDF("k", "src").join(li.toDF("k", "dst"), "k")
+      .filter(col("src") =!= col("dst")).select("src", "dst").distinct().count()
+    assert(weighted == edges, s"sum(deg*n)=$weighted edges=$edges")
+  }
+
   test("llm_zipf_fit: slope is negative and r2 in [0,1]") {
     val r = graft.ops.LlmOps6.queries("llm_zipf_fit")(spark, sf).collect()(0)
     assert(r.getDouble(1) < 0.0, s"slope ${r.getDouble(1)}")
