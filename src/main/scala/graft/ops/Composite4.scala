@@ -314,14 +314,26 @@ object Composite4 {
     ranks.orderBy("node")
   }
 
-  private def pageRank(s: SparkSession, dir: String): DataFrame = {
-    val li = load(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-    val a = li.toDF("k", "src")
-    val b = li.toDF("k", "dst")
-    val edges = a.join(b, "k").filter(col("src") =!= col("dst"))
-      .select("src", "dst").distinct()
-    pageRankOn(edges, iterations = 5, damping = 0.85)
-  }
+  /** Co-purchase edge list (distinct directed part pairs sharing an
+    * order). Built as ONE orderkey aggregation + a map-side pair
+    * explosion rather than a sort-merge self-join: the groupBy
+    * shuffles the projected fact once (no per-side sorts), the
+    * within-order pair generation is pure map work, and the global
+    * DISTINCT is the only other shuffle. Per-order part sets are
+    * bounded (TPC-H orders have ≤7 lines), so the explosion cannot
+    * skew. Shared by graph_pagerank and graph_degree_dist.
+    */
+  private[graft] def coPurchaseEdges(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("ps"))
+      .select(explode(col("ps")).as("src"), col("ps"))
+      .select(col("src"), explode(col("ps")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+
+  private def pageRank(s: SparkSession, dir: String): DataFrame =
+    pageRankOn(coPurchaseEdges(s, dir), iterations = 5, damping = 0.85)
 
   /** Oracle: the same 5 iterations unrolled as chained CTEs (DuckDB
     * has no iterative DataFrame loop; WITH RECURSIVE cannot re-round

@@ -126,16 +126,11 @@ object Composite5 {
   // thing a graph analyst plots): per-node degree → nodes-per-degree.
   // Reuses the graph_pagerank edge definition; two chained hash
   // aggregates after the orderkey-co-partitioned self-join.
-  private def degreeDist(s: SparkSession, dir: String): DataFrame = {
-    val li = load(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-    val a = li.toDF("k", "src")
-    val b = li.toDF("k", "dst")
-    a.join(b, "k").filter(col("src") =!= col("dst"))
-      .select("src", "dst").distinct()
+  private def degreeDist(s: SparkSession, dir: String): DataFrame =
+    Composite4.coPurchaseEdges(s, dir)
       .groupBy("src").agg(count(lit(1)).as("degree"))
       .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
       .orderBy("degree")
-  }
 
   private val degreeDistOracle =
     """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
