@@ -143,19 +143,38 @@ object Composite5 {
       |FROM deg GROUP BY degree
       |ORDER BY degree""".stripMargin
 
+  // ---- win_centered_frame ------------------------------------------
+  // Centered moving average (ROWS BETWEEN 2 PRECEDING AND 2
+  // FOLLOWING) — the smoothing frame every monitoring dashboard uses,
+  // and the one §2.5 frame family member that looks FORWARD. The
+  // unique (o_orderdate, o_orderkey) order pins frame membership;
+  // the decimal frame sum and exact count divide in one IEEE double
+  // op, so no rounding is needed. Oracle text == query text.
+  private val centeredFrameSql =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(15,2))) OVER w AS DOUBLE)
+      |    / CAST(count(*) OVER w AS DOUBLE) AS centered_avg,
+      |  CAST(count(*) OVER w AS BIGINT) AS frame_n
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   // ---- registration ------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_benford" -> (q(benfordSql) _),
     "nested_struct_topn" -> (nestedTopN _),
     "date_arithmetic" -> (q(dateArithSql) _),
-    "graph_degree_dist" -> (degreeDist _)
+    "graph_degree_dist" -> (degreeDist _),
+    "win_centered_frame" -> (q(centeredFrameSql) _)
   )
 
   val oracle: Map[String, String] = Map(
     "agg_benford" -> benfordOracle,
     "nested_struct_topn" -> nestedTopNOracle,
     "date_arithmetic" -> dateArithOracle,
-    "graph_degree_dist" -> degreeDistOracle
+    "graph_degree_dist" -> degreeDistOracle,
+    "win_centered_frame" -> centeredFrameSql
   )
 }
