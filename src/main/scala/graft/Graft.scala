@@ -239,4 +239,13 @@ object Graft {
     * (doc_id, n_tokens, entropy_bits). */
   def tokenEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     graft.ops.LlmOps6.tokenEntropyOn(docs, idCol, textCol)
+
+  /** All pairwise Pearson correlations over the given (alias → SQL
+    * expression) variables in ONE pass: every moment and cross sum is
+    * computed in a single map-side-combining aggregate and the C(n,2)
+    * statistics unpivot from the one aggregated row. Pass exact
+    * (decimal-cast) expressions for money columns. Returns
+    * (pair, corr) with 6-dp rounding. */
+  def corrMatrix(df: DataFrame, vars: Seq[(String, String)]): DataFrame =
+    graft.ops.Composite4.corrMatrixOn(df, vars)
 }

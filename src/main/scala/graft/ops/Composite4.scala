@@ -374,11 +374,18 @@ object Composite4 {
   // formulas share their text with the oracle (SURVEY §2.17
   // discipline); oracle decimal→double casts route through VARCHAR
   // (§1.5 r7 — the squared-price sums exceed 2^53 scaled).
+  // Minimal-width decimal views (corpus-verified bounds: qty ≤ 50,
+  // price < 1.1e5, disc/tax < 1): narrow inputs keep the per-row
+  // products on Spark's long-backed Decimal fast path and shrink the
+  // aggregation buffers. Exactness is unchanged — both engines'
+  // precision-propagation rules stay inside 38 digits for every
+  // product and sum here, and equal exact values cast to equal
+  // doubles regardless of declared width.
   private val corrVars = Seq(
-    "q" -> "CAST(l_quantity AS DECIMAL(12,2))",
-    "p" -> "CAST(l_extendedprice AS DECIMAL(15,2))",
-    "d" -> "CAST(l_discount AS DECIMAL(12,4))",
-    "t" -> "CAST(l_tax AS DECIMAL(12,4))")
+    "q" -> "CAST(l_quantity AS DECIMAL(4,2))",
+    "p" -> "CAST(l_extendedprice AS DECIMAL(9,2))",
+    "d" -> "CAST(l_discount AS DECIMAL(3,2))",
+    "t" -> "CAST(l_tax AS DECIMAL(3,2))")
   private val corrPairs = Seq(
     ("qty_price", "q", "p"), ("qty_disc", "q", "d"), ("qty_tax", "q", "t"),
     ("price_disc", "p", "d"), ("price_tax", "p", "t"), ("disc_tax", "d", "t"))
@@ -396,6 +403,32 @@ object Composite4 {
 
   private def corrFormula(a: String, b: String): String =
     s"round((n * s$a$b - s$a * s$b) / (sqrt(n * s$a$a - s$a * s$a) * sqrt(n * s$b$b - s$b * s$b)), 6)"
+
+  /** Generic single-pass correlation matrix over (alias → SQL
+    * expression) variable definitions — the [[graft.Graft.corrMatrix]]
+    * facade surface. Expressions should be exact (decimal) views of
+    * the source columns; every C(n,2) pair surfaces as one row. */
+  private[graft] def corrMatrixOn(df: DataFrame,
+      vars: Seq[(String, String)]): DataFrame = {
+    val varMap = vars.toMap
+    val pairs = for {
+      (a, ia) <- vars.map(_._1).zipWithIndex
+      (b, ib) <- vars.map(_._1).zipWithIndex if ia < ib
+    } yield (s"${a}_$b", a, b)
+    val singles = vars.map { case (a, e) => s"CAST(sum($e) AS DOUBLE) AS s$a" }
+    val squares = vars.map { case (a, e) => s"CAST(sum($e * $e) AS DOUBLE) AS s$a$a" }
+    val crosses = pairs.map { case (_, a, b) =>
+      s"CAST(sum(${varMap(a)} * ${varMap(b)}) AS DOUBLE) AS s$a$b"
+    }
+    val aggExprs = (Seq("CAST(count(*) AS DOUBLE) AS n") ++
+      singles ++ squares ++ crosses).map(expr)
+    val stacked = pairs
+      .map { case (nm, a, b) => s"'$nm', ${corrFormula(a, b)}" }
+      .mkString(", ")
+    df.agg(aggExprs.head, aggExprs.tail: _*)
+      .select(expr(s"stack(${pairs.size}, $stacked) AS (pair, corr)"))
+      .orderBy("pair")
+  }
 
   private def corrMatrixSql: String = {
     val stacked = corrPairs

@@ -202,4 +202,17 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(h(1L) == 0.0, s"uniform-token doc must have zero entropy: $h")
     assert(math.abs(h(2L) - 2.0) < 1e-6, s"4 distinct tokens -> 2 bits: $h")
   }
+
+  test("facade: corrMatrix recovers exact +/-1 on linear columns") {
+    import spark.implicits._
+    val df = Seq((1.0, 2.0, -1.0), (2.0, 4.0, -2.0), (3.0, 6.0, -3.0))
+      .toDF("x", "y", "z")
+    val m = Graft.corrMatrix(df, Seq(
+      "x" -> "CAST(x AS DECIMAL(10,2))",
+      "y" -> "CAST(y AS DECIMAL(10,2))",
+      "z" -> "CAST(z AS DECIMAL(10,2))")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m.keySet == Set("x_y", "x_z", "y_z"), m.toString)
+    assert(m("x_y") == 1.0 && m("x_z") == -1.0 && m("y_z") == -1.0, m.toString)
+  }
 }
