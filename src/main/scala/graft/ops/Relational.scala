@@ -29,6 +29,31 @@ object Relational {
     asD(sum(money(col("l_extendedprice")) *
       (lit(1) - money(col("l_discount"))).cast("decimal(8,4)")))
 
+  /** Shared backward as-of merge (events ← latest order date at or
+    * before each event, per user): union both sides, ONE shuffle on
+    * user_id, per-user (t, is_evt) sort, running last(ignoreNulls).
+    * Orders sort before events at equal times, giving inclusive (>=)
+    * as-of semantics. Returns every event row with its match in `m`
+    * (null when none) — `join_asof_partitioned` filters the nulls,
+    * `join_asof_tolerance` bounds the gap. */
+  private[graft] def asofBackwardMerged(s: SparkSession, dir: String): DataFrame = {
+    val e = loadEvents(s, dir).select(col("user_id"),
+      col("ts").cast("timestamp_ntz").as("t"),
+      col("event_id"), lit(1).as("is_evt"),
+      lit(null).cast("timestamp_ntz").as("odate"))
+    val o = load(s, dir, "orders").select(col("o_custkey").as("user_id"),
+      col("o_orderdate").as("t"),
+      lit(null).cast("long").as("event_id"), lit(0).as("is_evt"),
+      col("o_orderdate").as("odate")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(asc("t"), asc("is_evt"))
+      .rowsBetween(Long.MinValue, 0)
+    e.unionByName(o)
+      .withColumn("m", last(col("odate"), ignoreNulls = true).over(w))
+      .filter(col("is_evt") === 1)
+  }
+
   // ---------------------------------------------------------------- §2.2
 
   private val filterQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -275,26 +300,12 @@ object Relational {
     // and a running last(ignoreNulls) picks the latest order at or
     // before each event. Orders sort before events at equal times so
     // the >= (inclusive) as-of semantics match DuckDB's ASOF JOIN.
-    "join_asof_partitioned" -> ((s, dir) => {
-      val e = loadEvents(s, dir).select(col("user_id"),
-        col("ts").cast("timestamp_ntz").as("t"),
-        col("event_id"), lit(1).as("is_evt"),
-        lit(null).cast("timestamp_ntz").as("odate"))
-      val o = load(s, dir, "orders").select(col("o_custkey").as("user_id"),
-        col("o_orderdate").as("t"),
-        lit(null).cast("long").as("event_id"), lit(0).as("is_evt"),
-        col("o_orderdate").as("odate")).distinct()
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id"))
-        .orderBy(asc("t"), asc("is_evt"))
-        .rowsBetween(Long.MinValue, 0)
-      e.unionByName(o)
-        .withColumn("asof_orderdate", last(col("odate"), ignoreNulls = true).over(w))
-        .filter(col("is_evt") === 1 && col("asof_orderdate").isNotNull)
+    "join_asof_partitioned" -> ((s, dir) =>
+      asofBackwardMerged(s, dir)
+        .filter(col("m").isNotNull)
         .select(col("event_id"), col("user_id"), col("t").as("ts"),
-          col("asof_orderdate"))
-        .orderBy("event_id")
-    }),
+          col("m").as("asof_orderdate"))
+        .orderBy("event_id")),
 
     // FORWARD as-of: the EARLIEST order date at-or-after each event —
     // the mirror of join_asof_partitioned (same union + one-shuffle

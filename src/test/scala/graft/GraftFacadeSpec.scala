@@ -186,6 +186,13 @@ class GraftFacadeSpec extends AnyFunSuite {
     val sr = Graft.pageRank(star, iterations = 20).collect()
       .map(x => x.getLong(0) -> x.getDouble(1)).toMap
     assert(sr(1L) > sr(2L) && math.abs(sr(2L) - sr(3L)) < 1e-9, sr.toString)
+    // directed chain 1->2->3: the sink node 3 must surface (node set
+    // is src ∪ dst) and accumulate more than the source it drains
+    val chain = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val cr = Graft.pageRank(chain, iterations = 10).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(cr.keySet == Set(1L, 2L, 3L), cr.toString)
+    assert(cr(3L) > cr(2L) && cr(2L) > cr(1L), cr.toString)
   }
 
   test("facade: standardize and tokenEntropy are the library forms of the ops") {
