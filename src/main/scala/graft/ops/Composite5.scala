@@ -160,6 +160,43 @@ object Composite5 {
       |             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  // ---- array_hof_fns -----------------------------------------------
+  // The higher-order-function array tier beyond array_fns' fold:
+  // transform, filter, exists, forall, sort/reverse/slice algebra,
+  // and zip_with (exercised as a palindrome dot product of the vector
+  // with its own reversal, folded left-to-right). Elements are
+  // rounded to 4 dp once at the float→double promotion so every
+  // downstream comparison and sum sees identical grids in both
+  // engines; DuckDB spells exists/forall as list_filter lengths and
+  // zip_with as an index-list transform. Pure projection.
+  private val hofE2 = "transform(embedding, x -> round(CAST(x AS DOUBLE), 4))"
+
+  private def arrayHof(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "embeddings").select(
+      col("vec_id"),
+      expr(s"size(filter($hofE2, x -> x > 0))").as("n_pos"),
+      expr(s"exists($hofE2, x -> x > 2.5)").as("any_big"),
+      expr(s"forall($hofE2, x -> x > 0)").as("all_pos"),
+      expr(s"slice(reverse(array_sort($hofE2)), 1, 3)").as("top3"),
+      round(expr(
+        s"aggregate(zip_with($hofE2, reverse($hofE2), (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"),
+        4).as("palin_dot"))
+      .orderBy("vec_id")
+
+  private val arrayHofOracle =
+    """WITH b AS (
+      |  SELECT vec_id,
+      |    list_transform(CAST(embedding AS DOUBLE[]), x -> round(x, 4)) AS e2
+      |  FROM embeddings)
+      |SELECT vec_id,
+      |  CAST(len(list_filter(e2, x -> x > 0)) AS INT) AS n_pos,
+      |  len(list_filter(e2, x -> x > 2.5)) > 0 AS any_big,
+      |  len(list_filter(e2, x -> NOT (x > 0))) = 0 AS all_pos,
+      |  list_slice(list_reverse(list_sort(e2)), 1, 3) AS top3,
+      |  round(list_sum(list_transform(range(1, len(e2) + 1),
+      |    i -> e2[i] * e2[len(e2) - i + 1])), 4) AS palin_dot
+      |FROM b ORDER BY vec_id""".stripMargin
+
   // ---- registration ------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -167,7 +204,8 @@ object Composite5 {
     "nested_struct_topn" -> (nestedTopN _),
     "date_arithmetic" -> (q(dateArithSql) _),
     "graph_degree_dist" -> (degreeDist _),
-    "win_centered_frame" -> (q(centeredFrameSql) _)
+    "win_centered_frame" -> (q(centeredFrameSql) _),
+    "array_hof_fns" -> (arrayHof _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -175,6 +213,7 @@ object Composite5 {
     "nested_struct_topn" -> nestedTopNOracle,
     "date_arithmetic" -> dateArithOracle,
     "graph_degree_dist" -> degreeDistOracle,
-    "win_centered_frame" -> centeredFrameSql
+    "win_centered_frame" -> centeredFrameSql,
+    "array_hof_fns" -> arrayHofOracle
   )
 }

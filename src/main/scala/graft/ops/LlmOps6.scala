@@ -194,17 +194,56 @@ object LlmOps6 {
        |GROUP BY vec_id
        |ORDER BY vec_id""".stripMargin
 
+  // ---- llm_bpe_pair_freq -------------------------------------------
+  // The first step of BPE vocabulary induction (Sennrich et al. 2016):
+  // adjacent character-pair frequencies over the corpus, weighted by
+  // word frequency. Word counts aggregate FIRST (vocabulary-sized),
+  // then each distinct word explodes into its len−1 position pairs —
+  // so the explosion is over the vocabulary, not the corpus, and the
+  // pair aggregate map-side-combines. Top-50 by (freq DESC, pair).
+  private val bpeSql =
+    """WITH wc AS (
+      |  SELECT word, count(*) AS cnt FROM (
+      |    SELECT explode(split(text, ' ')) AS word FROM documents)
+      |  GROUP BY word),
+      |p AS (
+      |  SELECT substring(word, i, 2) AS pair, cnt
+      |  FROM wc LATERAL VIEW explode(sequence(1, length(word) - 1)) t AS i
+      |  WHERE length(word) >= 2),
+      |f AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS freq FROM p GROUP BY pair)
+      |SELECT pair, freq FROM (
+      |  SELECT pair, freq, row_number() OVER (ORDER BY freq DESC, pair) AS rn
+      |  FROM f) WHERE rn <= 50
+      |ORDER BY freq DESC, pair""".stripMargin
+
+  private val bpeOracle =
+    """WITH wc AS (
+      |  SELECT word, count(*) AS cnt FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |  GROUP BY word),
+      |p AS (
+      |  SELECT substr(word, CAST(i AS INT), 2) AS pair, cnt FROM (
+      |    SELECT word, cnt, unnest(range(1, length(word))) AS i
+      |    FROM wc WHERE length(word) >= 2)),
+      |f AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS freq FROM p GROUP BY pair)
+      |SELECT pair, freq FROM (
+      |  SELECT pair, freq, row_number() OVER (ORDER BY freq DESC, pair) AS rn
+      |  FROM f) WHERE rn <= 50
+      |ORDER BY freq DESC, pair""".stripMargin
+
   // ---- registration ------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_token_entropy" -> (q(entropySql) _),
     "llm_zipf_fit" -> (q(zipfSql) _),
-    "llm_feature_scale" -> (featureScale _)
+    "llm_feature_scale" -> (featureScale _),
+    "llm_bpe_pair_freq" -> (q(bpeSql) _)
   )
 
   val oracle: Map[String, String] = Map(
     "llm_token_entropy" -> entropyOracle,
     "llm_zipf_fit" -> zipfOracle,
-    "llm_feature_scale" -> featureScaleOracle
+    "llm_feature_scale" -> featureScaleOracle,
+    "llm_bpe_pair_freq" -> bpeOracle
   )
 }
