@@ -129,6 +129,19 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"hint ignored:\n$plan")
   }
 
+  test("win_row_number_topk / llm_tfidf: rank filters plan as bounded WindowGroupLimit heaps") {
+    // Spark's WindowGroupLimit pushdown turns rank()<=k filters into
+    // partial+final per-group bounded heaps — at 100 TB this is the
+    // difference between sorting every partition fully and keeping k
+    // rows per group in memory. Pin it so a formulation change that
+    // silently loses the rewrite (e.g. filtering on a derived column)
+    // fails here.
+    Seq("win_row_number_topk", "llm_tfidf").foreach { q =>
+      val plan = executed(q)
+      assert(plan.contains("WindowGroupLimit"), s"$q lost the group-limit pushdown:\n${plan.take(1500)}")
+    }
+  }
+
   test("scan_parquet_merge_schema: merged read keeps both generations' files") {
     val df = SparkEntry.queries("scan_parquet_merge_schema")(spark, sf)
     // the added column must be present and nullable across generations
