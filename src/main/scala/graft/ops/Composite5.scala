@@ -5,10 +5,13 @@ import org.apache.spark.sql.functions._
 
 import graft.util.Tables._
 
-/** SURVEY.md §2.18 (continued) — round-7 data-quality + nested-type
-  * operators: a Benford first-digit audit (the classic fraud /
-  * synthetic-data detector) and array-of-struct algebra surfaced as
-  * scalars.
+/** SURVEY.md §2.18 (continued) — round-7 data-quality, nested-type,
+  * calendar, and graph-analytics operators: a Benford first-digit
+  * audit (the classic fraud / synthetic-data detector),
+  * array-of-struct algebra surfaced as scalars, month-end-clamped
+  * calendar arithmetic, the co-purchase degree distribution, a
+  * centered (forward-looking) window frame, and the array
+  * higher-order-function tier.
   */
 object Composite5 {
 

@@ -6,10 +6,11 @@ import graft.util.Tables._
 
 /** SURVEY.md §2.18 — round-7 corpus-statistics operators: per-doc
   * token-distribution entropy (a gibberish/boilerplate filter
-  * feature: low entropy = repetitive text) and a Zipf rank-frequency
+  * feature: low entropy = repetitive text), a Zipf rank-frequency
   * power-law fit over the corpus vocabulary (the standard corpus
   * health diagnostic — natural text fits ln(freq) ≈ a·ln(rank)+b
-  * with a ≈ -1; template spam does not).
+  * with a ≈ -1; template spam does not), per-dimension embedding
+  * standardization, and BPE pair-frequency counting.
   *
   * Both are one-explode + hash-aggregate shapes: entropy shuffles on
   * (doc_id, word) then doc_id — the same co-partitioned pipeline as
