@@ -246,8 +246,12 @@ object Composite4 {
   // bench re-times this query.
   private var lastCache: Option[DataFrame] = None
 
-  private def cacheReuse(s: SparkSession, dir: String): DataFrame = {
-    lastCache.foreach(_.unpersist(blocking = false))
+  private def cacheReuse(s: SparkSession, dir: String): DataFrame = synchronized {
+    // Tolerate a lastCache from a since-stopped session (unpersist on
+    // a dead SparkContext throws); synchronization keeps the
+    // one-copy invariant if a harness ever invokes queries
+    // concurrently (the driver contract is sequential, SURVEY §3).
+    lastCache.foreach(df => scala.util.Try(df.unpersist(blocking = false)))
     val perCust = load(s, dir, "orders")
       .groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("n_orders"),
@@ -431,9 +435,15 @@ object Composite4 {
   private[graft] def corrMatrixOn(df: DataFrame,
       vars: Seq[(String, String)]): DataFrame = {
     val aliases = vars.map(_._1)
+    // ≥2 vars (stack(0) is a parse error), alphanumeric (underscores
+    // break the generated sum-column naming), and distinct under
+    // LOWERCASE (Spark resolution is case-insensitive by default, so
+    // "a" and "A" would make s1_a/s1_A ambiguous).
+    require(aliases.size >= 2,
+      s"corrMatrix needs at least 2 variables, got $aliases")
     require(aliases.forall(_.matches("[A-Za-z0-9]+")) &&
-      aliases.distinct == aliases,
-      s"corrMatrix aliases must be distinct and alphanumeric: $aliases")
+      aliases.map(_.toLowerCase).distinct.size == aliases.size,
+      s"corrMatrix aliases must be case-insensitively distinct and alphanumeric: $aliases")
     val pairs = for {
       (a, ia) <- aliases.zipWithIndex
       (b, ib) <- aliases.zipWithIndex if ia < ib
