@@ -200,6 +200,29 @@ object Composite5 {
       |    i -> e2[i] * e2[len(e2) - i + 1])), 4) AS palin_dot
       |FROM b ORDER BY vec_id""".stripMargin
 
+  // ---- evt_seasonality ---------------------------------------------
+  // Hour-of-day × ISO-weekday activity heatmap with decimal-exact
+  // value totals — the first diagnostic any event stream gets. Uses
+  // the aligned-by-formula weekday convention from date_arithmetic;
+  // one hash aggregate over a pure projection.
+  private def seasonality(s: SparkSession, dir: String): DataFrame = {
+    loadEvents(s, dir)
+      .groupBy(expr("CAST(weekday(ts) AS INT)").as("dow"),
+        expr("CAST(hour(ts) AS INT)").as("hr"))
+      .agg(count(lit(1)).as("n"),
+        asD(sum(money(col("value")))).as("sum_value"))
+      .orderBy("dow", "hr")
+  }
+
+  private val seasonalityOracle =
+    """SELECT CAST(date_part('isodow', CAST(ts AS TIMESTAMP)) - 1 AS INT) AS dow,
+      |  CAST(date_part('hour', CAST(ts AS TIMESTAMP)) AS INT) AS hr,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(15,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY dow, hr
+      |ORDER BY dow, hr""".stripMargin
+
   // ---- registration ------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -208,7 +231,8 @@ object Composite5 {
     "date_arithmetic" -> (q(dateArithSql) _),
     "graph_degree_dist" -> (degreeDist _),
     "win_centered_frame" -> (q(centeredFrameSql) _),
-    "array_hof_fns" -> (arrayHof _)
+    "array_hof_fns" -> (arrayHof _),
+    "evt_seasonality" -> (seasonality _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -217,6 +241,7 @@ object Composite5 {
     "date_arithmetic" -> dateArithOracle,
     "graph_degree_dist" -> degreeDistOracle,
     "win_centered_frame" -> centeredFrameSql,
-    "array_hof_fns" -> arrayHofOracle
+    "array_hof_fns" -> arrayHofOracle,
+    "evt_seasonality" -> seasonalityOracle
   )
 }

@@ -232,19 +232,81 @@ object LlmOps6 {
       |  FROM f) WHERE rn <= 50
       |ORDER BY freq DESC, pair""".stripMargin
 
+  // ---- llm_kmeans_step ---------------------------------------------
+  // One Lloyd iteration of k-means over the embeddings (k=8,
+  // deterministic seeds = vec_id < 8) — the centroid-training step
+  // behind the IVF index (llm_simsearch_ivf) and any embedding-space
+  // clustering. Assignment is a broadcast of the k-row centroid table
+  // into a fused-cosine argmax (rounded to 6 dp, ties to the lowest
+  // centroid id — deterministic cross-engine); the update re-averages
+  // members per dimension via posexplode and reassembles with the
+  // struct-sort idiom. At 100 TB the same plan holds: centroids are
+  // always k-sized broadcasts, assignment is map-side, and the update
+  // is one (cid, pos) hash aggregate.
+  private def kmeansStep(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val emb = load(s, dir, "embeddings")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val scored = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        round(graft.functions.CosineSim(col("embedding"), col("cvec")), 6).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(desc("cos"), asc("cid"))
+    val best = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select(col("vec_id"), col("embedding"), col("cid"))
+    val x = best
+      .select(col("cid"), posexplode(col("embedding")).as(Seq("pos0", "f")))
+      .select(col("cid"), (col("pos0") + 1).as("pos"),
+        col("f").cast("double").as("v"))
+    val m = x.groupBy("cid", "pos")
+      .agg(expr("round(sum(v) / count(*), 6)").as("mv"))
+      .groupBy("cid")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
+        e => e.getField("mv")).as("centroid"))
+    val counts = best.groupBy("cid").agg(count(lit(1)).as("n_members"))
+    counts.join(m, "cid").orderBy("cid")
+  }
+
+  private val kmeansOracle =
+    """WITH c AS (
+      |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+      |  FROM embeddings WHERE vec_id < 8),
+      |a AS (
+      |  SELECT e.vec_id, e.embedding, cid,
+      |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), cvec), 6) AS cos
+      |  FROM embeddings e CROSS JOIN c),
+      |best AS (
+      |  SELECT vec_id, embedding, cid FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY cos DESC, cid) AS rn FROM a) WHERE rn = 1),
+      |x AS (
+      |  SELECT cid, CAST(i AS INT) AS pos, CAST(embedding[i] AS DOUBLE) AS v FROM (
+      |    SELECT cid, embedding, unnest(range(1, len(embedding) + 1)) AS i FROM best)),
+      |m AS (
+      |  SELECT cid, pos, round(sum(v) / count(*), 6) AS mv
+      |  FROM x GROUP BY cid, pos),
+      |cent AS (SELECT cid, list(mv ORDER BY pos) AS centroid FROM m GROUP BY cid),
+      |counts AS (SELECT cid, count(*) AS n_members FROM best GROUP BY cid)
+      |SELECT cid, n_members, centroid
+      |FROM counts JOIN cent USING (cid)
+      |ORDER BY cid""".stripMargin
+
   // ---- registration ------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_token_entropy" -> (q(entropySql) _),
     "llm_zipf_fit" -> (q(zipfSql) _),
     "llm_feature_scale" -> (featureScale _),
-    "llm_bpe_pair_freq" -> (q(bpeSql) _)
+    "llm_bpe_pair_freq" -> (q(bpeSql) _),
+    "llm_kmeans_step" -> (kmeansStep _)
   )
 
   val oracle: Map[String, String] = Map(
     "llm_token_entropy" -> entropyOracle,
     "llm_zipf_fit" -> zipfOracle,
     "llm_feature_scale" -> featureScaleOracle,
-    "llm_bpe_pair_freq" -> bpeOracle
+    "llm_bpe_pair_freq" -> bpeOracle,
+    "llm_kmeans_step" -> kmeansOracle
   )
 }

@@ -174,6 +174,15 @@ class Round7Spec extends AnyFunSuite {
     assert(weighted == edges, s"sum(deg*n)=$weighted edges=$edges")
   }
 
+  test("llm_kmeans_step: members partition the corpus; centroids have full dimension") {
+    val rows = graft.ops.LlmOps6.queries("llm_kmeans_step")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 8)
+    val total = rows.map(_.getLong(1)).sum
+    val n = graft.util.Tables.load(spark, sf, "embeddings").count()
+    assert(total == n, s"members $total != corpus $n")
+    rows.foreach(r => assert(r.getSeq[Double](2).length == 64))
+  }
+
   test("llm_zipf_fit: slope is negative and r2 in [0,1]") {
     val r = graft.ops.LlmOps6.queries("llm_zipf_fit")(spark, sf).collect()(0)
     assert(r.getDouble(1) < 0.0, s"slope ${r.getDouble(1)}")
