@@ -221,7 +221,10 @@ object Graft {
     * iteration broadcasts the node-sized rank table into a
     * map-side-combined contribution aggregate (no recurring edge
     * shuffle). Ranks are rounded to 12 dp per iteration so reruns are
-    * bit-stable. Returns (node, r). */
+    * bit-stable. Pass a DISTINCT edge list for standard PageRank —
+    * duplicate (src, dst) rows act as edge weights (each repeat
+    * contributes a share). Sink nodes keep their base rank; their
+    * mass is not redistributed. Returns (node, r). */
   def pageRank(edges: DataFrame, iterations: Int = 5,
       damping: Double = 0.85): DataFrame =
     graft.ops.Composite4.pageRankOn(edges, iterations, damping)
@@ -229,13 +232,16 @@ object Graft {
   /** Per-dimension z-score standardization of a vector column:
     * posexplode → per-dimension moments (broadcast back) →
     * struct-sorted reassembly. Returns (vec_id, zvec) with 6-dp
-    * rounded elements. */
+    * rounded elements; a zero-variance (constant) dimension yields
+    * NULL at that position rather than NaN. */
   def standardize(vectors: DataFrame, idCol: String, vecCol: String): DataFrame =
     graft.ops.LlmOps6.standardizeOn(vectors, idCol, vecCol)
 
-  /** Per-document Shannon entropy (bits) of the whitespace-token
-    * distribution, in the single-pass Σ c·ln c form — a
-    * gibberish/boilerplate quality-filter feature. Returns
+  /** Per-document Shannon entropy (bits) of the token distribution,
+    * in the single-pass Σ c·ln c form — a gibberish/boilerplate
+    * quality-filter feature. Tokenization is the corpus convention
+    * used across the llm ops: split on single spaces (pre-normalize
+    * other whitespace first if your text has it). Returns
     * (doc_id, n_tokens, entropy_bits). */
   def tokenEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     graft.ops.LlmOps6.tokenEntropyOn(docs, idCol, textCol)
@@ -244,8 +250,9 @@ object Graft {
     * expression) variables in ONE pass: every moment and cross sum is
     * computed in a single map-side-combining aggregate and the C(n,2)
     * statistics unpivot from the one aggregated row. Pass exact
-    * (decimal-cast) expressions for money columns. Returns
-    * (pair, corr) with 6-dp rounding. */
+    * (decimal-cast) expressions for money columns; a constant
+    * (zero-variance) variable makes its pairs NaN, as correlation is
+    * undefined there. Returns (pair, corr) with 6-dp rounding. */
   def corrMatrix(df: DataFrame, vars: Seq[(String, String)]): DataFrame =
     graft.ops.Composite4.corrMatrixOn(df, vars)
 }

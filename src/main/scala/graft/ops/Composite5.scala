@@ -175,15 +175,21 @@ object Composite5 {
   private val hofE2 = "transform(embedding, x -> round(CAST(x AS DOUBLE), 4))"
 
   private def arrayHof(s: SparkSession, dir: String): DataFrame =
-    load(s, dir, "embeddings").select(
-      col("vec_id"),
-      expr(s"size(filter($hofE2, x -> x > 0))").as("n_pos"),
-      expr(s"exists($hofE2, x -> x > 2.5)").as("any_big"),
-      expr(s"forall($hofE2, x -> x > 0)").as("all_pos"),
-      expr(s"slice(reverse(array_sort($hofE2)), 1, 3)").as("top3"),
-      round(expr(
-        s"aggregate(zip_with($hofE2, reverse($hofE2), (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"),
-        4).as("palin_dot"))
+    load(s, dir, "embeddings")
+      // project the rounded-double view ONCE — HOF lambdas are
+      // interpreted, and subexpression elimination does not reliably
+      // dedupe a transform inlined at eight sites (the oracle's CTE
+      // computes e2 once for the same reason)
+      .withColumn("e2", expr(hofE2))
+      .select(
+        col("vec_id"),
+        expr("size(filter(e2, x -> x > 0))").as("n_pos"),
+        expr("exists(e2, x -> x > 2.5)").as("any_big"),
+        expr("forall(e2, x -> x > 0)").as("all_pos"),
+        expr("slice(reverse(array_sort(e2)), 1, 3)").as("top3"),
+        round(expr(
+          "aggregate(zip_with(e2, reverse(e2), (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"),
+          4).as("palin_dot"))
       .orderBy("vec_id")
 
   private val arrayHofOracle =

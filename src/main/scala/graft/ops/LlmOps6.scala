@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.util.Tables._
 
@@ -10,15 +11,17 @@ import graft.util.Tables._
   * power-law fit over the corpus vocabulary (the standard corpus
   * health diagnostic — natural text fits ln(freq) ≈ a·ln(rank)+b
   * with a ≈ -1; template spam does not), per-dimension embedding
-  * standardization, and BPE pair-frequency counting.
+  * standardization, BPE pair-frequency counting, and one-step
+  * k-means centroid training.
   *
-  * Both are one-explode + hash-aggregate shapes: entropy shuffles on
-  * (doc_id, word) then doc_id — the same co-partitioned pipeline as
-  * llm_text_stats; the Zipf fit aggregates the vocabulary to ONE row
-  * of OLS sums after a top-1000 rank window (the window is global but
-  * runs over the vocabulary table, which is sublinear in corpus size
-  * — Heaps' law — and at true 100 TB scale the same fit works on a
-  * frequency-thresholded vocabulary).
+  * Scale shapes: entropy is one explode + two co-partitioned hash
+  * aggregates (the llm_text_stats pipeline); the Zipf fit aggregates
+  * the vocabulary to ONE row of OLS sums after a top-1000 rank
+  * window (the window is global but runs over the vocabulary table,
+  * which is sublinear in corpus size — Heaps' law); standardization
+  * and k-means broadcast dimension-/k-sized tables into per-element
+  * map work; BPE explodes positions over the vocabulary, not the
+  * corpus.
   *
   * Float determinism: per-element ln() last-ulp differences between
   * the engines' libm feed sums whose drift stays ~1e-13 against
@@ -53,9 +56,8 @@ object LlmOps6 {
   /** Generic single-pass token-entropy core over (id, text) — the
     * [[graft.Graft.tokenEntropy]] facade surface; same formula text
     * as the declared query. */
-  private[graft] def tokenEntropyOn(docs: org.apache.spark.sql.DataFrame,
-      idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions._
+  private[graft] def tokenEntropyOn(docs: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
     docs.select(col(idCol).as("doc_id"),
         explode(split(col(textCol), " ")).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
@@ -155,13 +157,12 @@ object LlmOps6 {
   // drift in the double moments (elements are exact float→double
   // promotions).
   private val zFormula =
-    "round((v - sx / n) / sqrt(sxx / n - (sx / n) * (sx / n)), 6)"
+    "round((v - sx / n) / nullif(sqrt(sxx / n - (sx / n) * (sx / n)), CAST(0 AS DOUBLE)), 6)"
 
   /** Generic per-dimension standardization core over (id, vector) —
     * the [[graft.Graft.standardize]] facade surface. */
-  private[graft] def standardizeOn(vectors: org.apache.spark.sql.DataFrame,
-      idCol: String, vecCol: String): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions._
+  private[graft] def standardizeOn(vectors: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
     val x = vectors
       .select(col(idCol).as("vec_id"), posexplode(col(vecCol)).as(Seq("pos0", "f")))
       .select(col("vec_id"), (col("pos0") + 1).as("pos"),
@@ -178,7 +179,7 @@ object LlmOps6 {
       .orderBy("vec_id")
   }
 
-  private def featureScale(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+  private def featureScale(s: SparkSession, dir: String): DataFrame =
     standardizeOn(load(s, dir, "embeddings"), "vec_id", "embedding")
 
   private val featureScaleOracle =
@@ -243,8 +244,7 @@ object LlmOps6 {
   // struct-sort idiom. At 100 TB the same plan holds: centroids are
   // always k-sized broadcasts, assignment is map-side, and the update
   // is one (cid, pos) hash aggregate.
-  private def kmeansStep(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions._
+  private def kmeansStep(s: SparkSession, dir: String): DataFrame = {
     val emb = load(s, dir, "embeddings")
     val cents = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))

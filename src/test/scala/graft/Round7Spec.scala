@@ -124,8 +124,9 @@ class Round7Spec extends AnyFunSuite {
       val bounded = if (!m.isBefore(ts.minusDays(30))) Some(m) else None
       assert(tol(id) == bounded, s"event $id: ${tol(id)} vs $bounded")
     }
-    // events with no match at all surface NULL (present, not dropped)
-    assert(tol.size >= base.size)
+    // EVERY event surfaces (no-match events keep a NULL, not dropped)
+    val nEvents = graft.util.Tables.loadEvents(spark, sf).count()
+    assert(tol.size == nEvents, s"tolerance surfaced ${tol.size} of $nEvents events")
   }
 
   test("agg_benford: digits in 1..9, shares sum to 1, expectation is Benford") {
