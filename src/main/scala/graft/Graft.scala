@@ -255,4 +255,15 @@ object Graft {
     * undefined there. Returns (pair, corr) with 6-dp rounding. */
   def corrMatrix(df: DataFrame, vars: Seq[(String, String)]): DataFrame =
     graft.ops.Composite4.corrMatrixOn(df, vars)
+
+  /** One Lloyd iteration of k-means: assign every (idCol, vecCol) row
+    * to its nearest centroid by cosine (6-dp rounded, ties to the
+    * lowest centroid id) and re-average members per dimension. The
+    * centroid table — columns (cid, cvec) — broadcasts, so assignment
+    * is map-side at any corpus size. Returns
+    * (cid, n_members, centroid); iterate by feeding the centroids
+    * back in. */
+  def kmeansStep(vectors: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame =
+    graft.ops.LlmOps6.kmeansStepOn(vectors, idCol, vecCol, centroids)
 }

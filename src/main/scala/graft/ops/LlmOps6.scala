@@ -244,10 +244,14 @@ object LlmOps6 {
   // struct-sort idiom. At 100 TB the same plan holds: centroids are
   // always k-sized broadcasts, assignment is map-side, and the update
   // is one (cid, pos) hash aggregate.
-  private def kmeansStep(s: SparkSession, dir: String): DataFrame = {
-    val emb = load(s, dir, "embeddings")
-    val cents = emb.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+  /** Generic one-Lloyd-iteration core over (id, vector) against a
+    * (cid, cvec) centroid table — the [[graft.Graft.kmeansStep]]
+    * facade surface. Cosine assignment (6-dp rounded, tie → lowest
+    * cid), per-dimension member re-average. */
+  private[graft] def kmeansStepOn(vectors: DataFrame, idCol: String,
+      vecCol: String, centroids: DataFrame): DataFrame = {
+    val emb = vectors.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+    val cents = centroids.toDF("cid", "cvec")
     val scored = emb.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("cid"),
         round(graft.functions.CosineSim(col("embedding"), col("cvec")), 6).as("cos"))
@@ -266,6 +270,13 @@ object LlmOps6 {
         e => e.getField("mv")).as("centroid"))
     val counts = best.groupBy("cid").agg(count(lit(1)).as("n_members"))
     counts.join(m, "cid").orderBy("cid")
+  }
+
+  private def kmeansStep(s: SparkSession, dir: String): DataFrame = {
+    val emb = load(s, dir, "embeddings")
+    kmeansStepOn(emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec")))
   }
 
   private val kmeansOracle =

@@ -210,6 +210,23 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(math.abs(h(2L) - 2.0) < 1e-6, s"4 distinct tokens -> 2 bits: $h")
   }
 
+  test("facade: kmeansStep assigns by cosine and re-averages members") {
+    import spark.implicits._
+    // two orthogonal directions; seeds are one point from each
+    val vecs = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(2f, 0f)), (3L, Array(4f, 0f)),
+      (4L, Array(0f, 1f)), (5L, Array(0f, 3f)))
+      .toDF("id", "vec")
+    val seeds = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f))).toDF("cid", "cvec")
+    val out = Graft.kmeansStep(vecs, "id", "vec", seeds).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Double](2)))).toMap
+    assert(out(0L)._1 == 3 && out(1L)._1 == 2, out.toString)
+    // cluster 0 mean = ((1+2+4)/3, 0); cluster 1 mean = (0, (1+3)/2)
+    assert(math.abs(out(0L)._2.head - 7.0 / 3) < 1e-6 && out(0L)._2(1) == 0.0,
+      out.toString)
+    assert(out(1L)._2 == Seq(0.0, 2.0), out.toString)
+  }
+
   test("facade: corrMatrix recovers exact +/-1 on linear columns") {
     import spark.implicits._
     val df = Seq((1.0, 2.0, -1.0), (2.0, 4.0, -2.0), (3.0, 6.0, -3.0))
