@@ -229,6 +229,69 @@ object Composite5 {
       |GROUP BY dow, hr
       |ORDER BY dow, hr""".stripMargin
 
+  // ---- win_pct_total -----------------------------------------------
+  // Share-of-group: each line item's fraction of its order's total —
+  // the reporting layer's percent-of-total window. The partition sum
+  // is decimal-exact, both operands are exact before ONE IEEE
+  // division, and the sort covers every column the output derives
+  // from. Oracle text == query text.
+  private val pctTotalSql =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice,
+      |  round(CAST(CAST(l_extendedprice AS DECIMAL(15,2)) AS DOUBLE)
+      |    / CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2)))
+      |        OVER (PARTITION BY l_orderkey) AS DOUBLE), 6) AS pct_of_order
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber, l_partkey, l_extendedprice""".stripMargin
+
+  // ---- agg_dup_keys ------------------------------------------------
+  // Primary-key-violation report: (l_orderkey, l_linenumber) pairs
+  // appearing more than once — the data-quality check this corpus
+  // genuinely fails (Tables.scala documents the duplicates). One
+  // hash aggregate + HAVING. Oracle text == query text.
+  private val dupKeysSql =
+    """SELECT l_orderkey, l_linenumber, count(*) AS n_copies
+      |FROM lineitem
+      |GROUP BY l_orderkey, l_linenumber
+      |HAVING count(*) > 1
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---- evt_inter_arrival -------------------------------------------
+  // Per-user inter-arrival statistics: lag over the (ts, event_id)
+  // unique order yields exact microsecond gaps; min/max stay BIGINT
+  // and the mean divides two exact integers once — deterministic
+  // UNROUNDED (round(x, 6) would actually break equality here: at
+  // ~1e10 µs the 1e-6 grid sits below the double's ulp and the
+  // engines' rounding diverges). One window shuffle + one hash
+  // aggregate, both on user_id.
+  private def interArrival(s: SparkSession, dir: String): DataFrame = {
+    loadEvents(s, dir).createOrReplaceTempView("events_v")
+    s.sql(
+      """WITH g AS (
+        |  SELECT user_id,
+        |    unix_micros(ts) - lag(unix_micros(ts)) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |  FROM events_v)
+        |SELECT user_id, count(gap_us) AS n_gaps,
+        |  CAST(sum(gap_us) AS DOUBLE) / CAST(count(gap_us) AS DOUBLE) AS avg_gap_us,
+        |  min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin)
+  }
+
+  private val interArrivalOracle =
+    """WITH g AS (
+      |  SELECT user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      |  FROM events)
+      |SELECT user_id, count(gap_us) AS n_gaps,
+      |  CAST(sum(gap_us) AS DOUBLE) / CAST(count(gap_us) AS DOUBLE) AS avg_gap_us,
+      |  min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us
+      |FROM g WHERE gap_us IS NOT NULL
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   // ---- registration ------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -238,7 +301,10 @@ object Composite5 {
     "graph_degree_dist" -> (degreeDist _),
     "win_centered_frame" -> (q(centeredFrameSql) _),
     "array_hof_fns" -> (arrayHof _),
-    "evt_seasonality" -> (seasonality _)
+    "evt_seasonality" -> (seasonality _),
+    "win_pct_total" -> (q(pctTotalSql) _),
+    "agg_dup_keys" -> (q(dupKeysSql) _),
+    "evt_inter_arrival" -> (interArrival _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -248,6 +314,9 @@ object Composite5 {
     "graph_degree_dist" -> degreeDistOracle,
     "win_centered_frame" -> centeredFrameSql,
     "array_hof_fns" -> arrayHofOracle,
-    "evt_seasonality" -> seasonalityOracle
+    "evt_seasonality" -> seasonalityOracle,
+    "win_pct_total" -> pctTotalSql,
+    "agg_dup_keys" -> dupKeysSql,
+    "evt_inter_arrival" -> interArrivalOracle
   )
 }
