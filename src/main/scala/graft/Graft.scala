@@ -259,10 +259,13 @@ object Graft {
   /** One Lloyd iteration of k-means: assign every (idCol, vecCol) row
     * to its nearest centroid by cosine (6-dp rounded, ties to the
     * lowest centroid id) and re-average members per dimension. The
-    * centroid table — columns (cid, cvec) — broadcasts, so assignment
-    * is map-side at any corpus size. Returns
-    * (cid, n_members, centroid); iterate by feeding the centroids
-    * back in. */
+    * centroid table — columns named (cid, cvec), float or double
+    * vectors — broadcasts, so assignment is map-side at any corpus
+    * size. idCol must be unique (duplicate ids would collapse to one
+    * assignment). Returns (cid, n_members, centroid); iterate with
+    * `prev.select($"cid", $"centroid".as("cvec"))`. Clusters that
+    * attract no members are dropped (the standard Lloyd empty-cluster
+    * behavior) — re-seed if k must stay fixed. */
   def kmeansStep(vectors: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame): DataFrame =
     graft.ops.LlmOps6.kmeansStepOn(vectors, idCol, vecCol, centroids)

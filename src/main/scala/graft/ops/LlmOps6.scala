@@ -250,8 +250,15 @@ object LlmOps6 {
     * cid), per-dimension member re-average. */
   private[graft] def kmeansStepOn(vectors: DataFrame, idCol: String,
       vecCol: String, centroids: DataFrame): DataFrame = {
-    val emb = vectors.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
-    val cents = centroids.toDF("cid", "cvec")
+    // Bind the centroid table by NAME (positional toDF would mis-bind
+    // a (cvec, cid)-ordered frame) and cast both vector columns to
+    // array<float> so array<double> inputs — including this
+    // function's own centroid output fed back for the next iteration
+    // — analyze cleanly against the float-typed cosine kernel.
+    val emb = vectors.select(col(idCol).as("vec_id"),
+      col(vecCol).cast("array<float>").as("embedding"))
+    val cents = centroids.select(col("cid"),
+      col("cvec").cast("array<float>").as("cvec"))
     val scored = emb.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("cid"),
         round(graft.functions.CosineSim(col("embedding"), col("cvec")), 6).as("cos"))

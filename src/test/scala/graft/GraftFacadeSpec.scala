@@ -225,6 +225,13 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(math.abs(out(0L)._2.head - 7.0 / 3) < 1e-6 && out(0L)._2(1) == 0.0,
       out.toString)
     assert(out(1L)._2 == Seq(0.0, 2.0), out.toString)
+    // the documented iteration loop: double-typed centroids feed back
+    val step1 = Graft.kmeansStep(vecs, "id", "vec", seeds)
+    val step2 = Graft.kmeansStep(vecs, "id", "vec",
+      step1.select(col("cid"), col("centroid").as("cvec"))).collect()
+    // orthogonal clusters are stable: same membership on iteration 2
+    assert(step2.map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(0L -> 3L, 1L -> 2L), step2.mkString(","))
   }
 
   test("facade: corrMatrix recovers exact +/-1 on linear columns") {
