@@ -59,12 +59,27 @@ object Composite3 {
   // exact power sums S1..S4. Every double op below (/,*,-,sqrt) is
   // IEEE-correctly-rounded, so identical formula text ⇒ identical
   // bits; the 6-dp rounding is belt-and-braces.
+  /** One power-sum aggregate, rendered per engine: the Spark side
+    * casts the exact decimal sum straight to double; the ORACLE side
+    * routes the same sum through VARCHAR (SURVEY §1.5 r7 — DuckDB's
+    * direct decimal→double cast double-rounds once the scaled integer
+    * exceeds 2^53). Built structurally from the inner expression —
+    * no post-hoc string rewriting of assembled SQL. */
+  private final case class StatAgg(alias: String, spark: String, oracle: String)
+  private def sumAgg(inner: String, alias: String) = StatAgg(alias,
+    s"CAST(sum($inner) AS DOUBLE)",
+    s"CAST(CAST(sum($inner) AS VARCHAR) AS DOUBLE)")
+  private def countAgg(alias: String) = {
+    val e = "CAST(count(*) AS DOUBLE)"
+    StatAgg(alias, e, e)
+  }
+
   private val momentAggs = Seq(
-    "CAST(count(*) AS DOUBLE)" -> "n",
-    s"CAST(sum($xd) AS DOUBLE)" -> "s1",
-    s"CAST(sum($x2) AS DOUBLE)" -> "s2",
-    s"CAST(sum($x3) AS DOUBLE)" -> "s3",
-    s"CAST(sum($x4) AS DOUBLE)" -> "s4")
+    countAgg("n"),
+    sumAgg(xd, "s1"),
+    sumAgg(x2, "s2"),
+    sumAgg(x3, "s3"),
+    sumAgg(x4, "s4"))
 
   private val m2F = "(s2/n - (s1/n)*(s1/n))"
   private val skewF =
@@ -83,8 +98,8 @@ object Composite3 {
   private def higherMoments(s: SparkSession, dir: String): DataFrame =
     load(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(expr(momentAggs.head._1).as(momentAggs.head._2),
-        momentAggs.tail.map { case (e, a) => expr(e).as(a) }: _*)
+      .agg(expr(momentAggs.head.spark).as(momentAggs.head.alias),
+        momentAggs.tail.map(a => expr(a.spark).as(a.alias)): _*)
       .selectExpr("l_returnflag" +: momentOut: _*)
       .orderBy("l_returnflag")
 
@@ -93,12 +108,12 @@ object Composite3 {
   // flag: slope, intercept, Pearson corr, r² — the regr_* family —
   // from exact sums (n, Σx, Σy, Σxy, Σx², Σy²).
   private val regrAggs = Seq(
-    "CAST(count(*) AS DOUBLE)" -> "n",
-    s"CAST(sum($xd) AS DOUBLE)" -> "sx",
-    s"CAST(sum($yd) AS DOUBLE)" -> "sy",
-    s"CAST(sum(CAST($xd * $yd AS DECIMAL(22,4))) AS DOUBLE)" -> "sxy",
-    s"CAST(sum($x2) AS DOUBLE)" -> "sx2",
-    s"CAST(sum(CAST($yd * $yd AS DECIMAL(25,4))) AS DOUBLE)" -> "sy2")
+    countAgg("n"),
+    sumAgg(xd, "sx"),
+    sumAgg(yd, "sy"),
+    sumAgg(s"CAST($xd * $yd AS DECIMAL(22,4))", "sxy"),
+    sumAgg(x2, "sx2"),
+    sumAgg(s"CAST($yd * $yd AS DECIMAL(25,4))", "sy2"))
 
   private val numF = "(n*sxy - sx*sy)"
   private val denXF = "(n*sx2 - sx*sx)"
@@ -115,8 +130,8 @@ object Composite3 {
   private def regression(s: SparkSession, dir: String): DataFrame =
     load(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(expr(regrAggs.head._1).as(regrAggs.head._2),
-        regrAggs.tail.map { case (e, a) => expr(e).as(a) }: _*)
+      .agg(expr(regrAggs.head.spark).as(regrAggs.head.alias),
+        regrAggs.tail.map(a => expr(a.spark).as(a.alias)): _*)
       .selectExpr("l_returnflag" +: regrOut: _*)
       .orderBy("l_returnflag")
 
@@ -126,22 +141,9 @@ object Composite3 {
     "agg_regression" -> (regression _)
   )
 
-  /** DuckDB's direct decimal→double cast double-rounds (int128 →
-    * double, then / 10^scale) and can land one ulp off Spark's
-    * correctly-rounded conversion once the scaled integer exceeds
-    * 2^53 (S3/S4/Σy² here). Routing through VARCHAR parses the exact
-    * digits — correctly rounded, bit-equal to Spark (SURVEY §1.5 r7).
-    * Applies to the ORACLE only; the shared formula text above the
-    * casts is unchanged. */
-  private def oracleCast(e: String): String =
-    e.replace("CAST(sum(", "CAST(CAST(sum(")
-      .replace(") AS DOUBLE)", ") AS VARCHAR) AS DOUBLE)")
-
-  private def statsOracle(aggs: Seq[(String, String)], out: Seq[String]) =
+  private def statsOracle(aggs: Seq[StatAgg], out: Seq[String]) =
     s"""WITH s AS (SELECT l_returnflag,
-       |  ${aggs.map { case (e, a) =>
-            s"${if (e.contains("sum(")) oracleCast(e) else e} AS $a"
-          }.mkString(",\n  ")}
+       |  ${aggs.map(a => s"${a.oracle} AS ${a.alias}").mkString(",\n  ")}
        |  FROM lineitem GROUP BY l_returnflag)
        |SELECT l_returnflag,
        |  ${out.mkString(",\n  ")}

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -294,11 +295,12 @@ object Composite4 {
   // table — so each iteration broadcasts it into a map-side-combined
   // contribution aggregate: NO per-iteration shuffle of the edges,
   // and the 5 iterations chain lazily into one job. At a scale where
-  // ranks outgrow the broadcast budget, dropping the two broadcast
-  // hints re-plans the same algebra as co-partitioned shuffle joins
-  // (the llm_dedup_cluster shape) — no other change. The co-purchase
-  // graph is symmetric, so there are no dangling nodes and rank mass
-  // is conserved (asserted in Round7Spec).
+  // ranks outgrow the broadcast budget, `broadcastRanks = false`
+  // re-plans the same algebra as co-partitioned shuffle joins (the
+  // llm_dedup_cluster shape) — no other change; Round7Spec asserts
+  // both the broadcast plan and the fallback. The co-purchase graph
+  // is symmetric, so there are no dangling nodes and rank mass is
+  // conserved (asserted in Round7Spec).
   //
   // Float determinism: per-iteration ranks are rounded to 12 dp —
   // each engine's sum-order drift is ~1e-15 while rank values are
@@ -312,21 +314,34 @@ object Composite4 {
     * on a symmetric graph there are no sinks and mass is conserved
     * exactly). */
   private[graft] def pageRankOn(edgeList: DataFrame, iterations: Int,
-      damping: Double): DataFrame = {
-    val deg = edgeList.groupBy("src").agg(count(lit(1)).as("d"))
-    val edgesD = edgeList.join(deg, "src").localCheckpoint()
-    val nodes = edgeList.select(col("src").as("node"))
-      .union(edgeList.select(col("dst").as("node")))
+      damping: Double, broadcastRanks: Boolean = true): DataFrame = {
+    // ONE materialization of the (possibly expensive) upstream edge
+    // build: out-degree rides along via a window over src — the old
+    // groupBy+join shape re-scanned the edge build for the probe side,
+    // and a separate nodes checkpoint over `edgeList` re-ran the whole
+    // build a second time (the r4 bench's 12.5 s was mostly that).
+    val edgesD = edgeList
+      .withColumn("d", count(lit(1)).over(Window.partitionBy("src")))
+      .localCheckpoint()
+    // nodes derive from the checkpointed edges (cheap union+distinct),
+    // and |nodes| is folded into the plan as a 1-row broadcast — no
+    // standalone count() action (the oracle's nn CTE, same algebra).
+    val nodes = edgesD.select(col("src").as("node"))
+      .union(edgesD.select(col("dst").as("node")))
       .distinct().localCheckpoint()
-    val n = nodes.count()
-    var ranks = nodes.select(col("node"), lit(1.0 / n).as("r"))
+    val nn = broadcast(nodes.agg(count(lit(1)).cast("double").as("n")))
+    val hint: DataFrame => DataFrame =
+      if (broadcastRanks) broadcast else identity
+    var ranks = nodes.crossJoin(nn)
+      .select(col("node"), (lit(1.0) / col("n")).as("r"))
     for (_ <- 1 to iterations) {
-      val contrib = edgesD.join(broadcast(ranks), col("src") === col("node"))
+      val contrib = edgesD.join(hint(ranks), col("src") === col("node"))
         .groupBy(col("dst"))
         .agg(sum(col("r") / col("d")).as("contrib"))
-      ranks = nodes.join(broadcast(contrib), col("node") === col("dst"), "left")
+      ranks = nodes.crossJoin(nn)
+        .join(hint(contrib), col("node") === col("dst"), "left")
         .select(col("node"),
-          round(lit((1.0 - damping) / n) + lit(damping) * coalesce(col("contrib"), lit(0.0)), 12).as("r"))
+          round(lit(1.0 - damping) / col("n") + lit(damping) * coalesce(col("contrib"), lit(0.0)), 12).as("r"))
     }
     ranks.orderBy("node")
   }
@@ -374,7 +389,7 @@ object Composite4 {
        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
        |  WHERE a.l_partkey <> b.l_partkey),
        |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
-       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
        |nn AS (SELECT count(*) AS n FROM nodes),
        |r0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS r FROM nodes CROSS JOIN nn),
        |$iters

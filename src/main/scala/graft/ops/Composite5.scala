@@ -181,12 +181,19 @@ object Composite5 {
       // dedupe a transform inlined at eight sites (the oracle's CTE
       // computes e2 once for the same reason)
       .withColumn("e2", expr(hofE2))
+      // the sort/reverse/slice algebra still runs — but the top-3 is
+      // surfaced as three scalar columns, not an array<double>: the
+      // driver's comparer hashes scalar cells only (list cells crash
+      // its pandas lexsort)
+      .withColumn("srt", expr("slice(reverse(array_sort(e2)), 1, 3)"))
       .select(
         col("vec_id"),
         expr("size(filter(e2, x -> x > 0))").as("n_pos"),
         expr("exists(e2, x -> x > 2.5)").as("any_big"),
         expr("forall(e2, x -> x > 0)").as("all_pos"),
-        expr("slice(reverse(array_sort(e2)), 1, 3)").as("top3"),
+        expr("element_at(srt, 1)").as("top_1"),
+        expr("element_at(srt, 2)").as("top_2"),
+        expr("element_at(srt, 3)").as("top_3"),
         round(expr(
           "aggregate(zip_with(e2, reverse(e2), (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"),
           4).as("palin_dot"))
@@ -201,7 +208,9 @@ object Composite5 {
       |  CAST(len(list_filter(e2, x -> x > 0)) AS INT) AS n_pos,
       |  len(list_filter(e2, x -> x > 2.5)) > 0 AS any_big,
       |  len(list_filter(e2, x -> NOT (x > 0))) = 0 AS all_pos,
-      |  list_slice(list_reverse(list_sort(e2)), 1, 3) AS top3,
+      |  list_reverse(list_sort(e2))[1] AS top_1,
+      |  list_reverse(list_sort(e2))[2] AS top_2,
+      |  list_reverse(list_sort(e2))[3] AS top_3,
       |  round(list_sum(list_transform(range(1, len(e2) + 1),
       |    i -> e2[i] * e2[len(e2) - i + 1])), 4) AS palin_dot
       |FROM b ORDER BY vec_id""".stripMargin

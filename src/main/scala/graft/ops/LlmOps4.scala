@@ -311,13 +311,16 @@ object LlmOps4 {
     // per-source kept counts + kept-id checksum (proves the SELECTION
     // is deterministic, not just the count). The checksum accumulates
     // in DECIMAL(38,0): a BIGINT sum of 10^10 kept ids overflows (and
-    // throws under ANSI mode) at the corpus sizes this targets.
+    // throws under ANSI mode) at the corpus sizes this targets. The
+    // SURFACE is VARCHAR: decimal128 parquet bytes and DuckDB HUGEINT
+    // sums hash differently under typed comparison even when the
+    // values are equal, so both sides canonicalize post-aggregation.
     "llm_sample_hash" -> ((s: SparkSession, dir: String) =>
       load(s, dir, "documents")
         .filter(hashKeep(col("doc_id"), "28"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_kept"),
-          sum(col("doc_id").cast("decimal(38,0)")).as("sum_ids"))
+          sum(col("doc_id").cast("decimal(38,0)")).cast("string").as("sum_ids"))
         .orderBy("source")),
 
     // Int8 symmetric quantization: per-vector scale = 127/max|x|,
@@ -550,7 +553,7 @@ object LlmOps4 {
 
     "llm_sample_hash" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
-        |  CAST(sum(doc_id) AS DECIMAL(38,0)) AS sum_ids
+        |  CAST(CAST(sum(doc_id) AS DECIMAL(38,0)) AS VARCHAR) AS sum_ids
         |FROM documents
         |WHERE substring(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 2) <= '28'
         |GROUP BY source ORDER BY source""".stripMargin,

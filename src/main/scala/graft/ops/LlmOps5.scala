@@ -145,9 +145,16 @@ object LlmOps5 {
     * positions) whose text also occurs in at least one OTHER document
     * — the Gopher/RefinedWeb duplicated-n-gram coverage measure, as a
     * library op ([[Graft.dupSpanFraction]]). Docs shorter than `n`
-    * tokens have no spans and drop out. ONE shuffle on the span md5
-    * (a window computes the distinct-doc count in place), then a
-    * per-doc hash aggregate. */
+    * tokens have no spans and drop out. The distinct-doc count per
+    * span hash is the dense_rank trick: rank docs within each hash
+    * partition, then take the partition max — two window passes over
+    * ONE exchange on h, so the (expensive) span generation runs once
+    * and nothing materializes a per-row doc-id set. A collect_set
+    * window would hold the set once per span occurrence — O(M²)
+    * memory in the hot partition for a span duplicated M times (hot
+    * boilerplate spans ARE the interesting case here); a groupBy+join
+    * re-generates every span for the probe side. The hot-h cost here
+    * is the sort, O(M log M) and spillable. */
   private[graft] def dupSpanFractions(docs: DataFrame, idCol: String,
       textCol: String, n: Int): DataFrame = {
     require(n >= 2, s"dupSpanFractions: span width $n must be >= 2")
@@ -157,9 +164,11 @@ object LlmOps5 {
       .select(col(idCol), explode(expr(
         s"transform(sequence(0, size(t) - $n, 1), i -> md5(array_join(slice(t, i + 1, $n), ' ')))"
       )).as("h"))
+    val byHashOrdered = Window.partitionBy("h").orderBy(idCol)
     val byHash = Window.partitionBy("h")
     spans
-      .withColumn("nd", size(collect_set(col(idCol)).over(byHash)))
+      .withColumn("dr", dense_rank().over(byHashOrdered))
+      .withColumn("nd", max(col("dr")).over(byHash))
       .groupBy(col(idCol))
       .agg(
         round(sum(when(col("nd") >= 2, 1).otherwise(0)).cast("double") /

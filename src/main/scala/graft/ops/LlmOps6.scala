@@ -156,8 +156,16 @@ object LlmOps6 {
   // text is shared with the oracle; 6-dp rounding absorbs sum-order
   // drift in the double moments (elements are exact float→double
   // promotions).
+  // Guard on the VARIANCE itself, not the sqrt: for a constant
+  // dimension fp drift can make sxx/n - (sx/n)^2 tiny-negative (sqrt
+  // → NaN) or tiny-positive (exploded z) — either way the promise is
+  // "zero-variance dimension yields NULL", so the CASE tests the
+  // variance expression directly. Shared text with the oracle.
   private val zFormula =
-    "round((v - sx / n) / nullif(sqrt(sxx / n - (sx / n) * (sx / n)), CAST(0 AS DOUBLE)), 6)"
+    """round(CASE WHEN sxx / n - (sx / n) * (sx / n) <= CAST(0 AS DOUBLE)
+      |      THEN CAST(NULL AS DOUBLE)
+      |      ELSE (v - sx / n) / sqrt(sxx / n - (sx / n) * (sx / n)) END,
+      |  6)""".stripMargin
 
   /** Generic per-dimension standardization core over (id, vector) —
     * the [[graft.Graft.standardize]] facade surface. */
@@ -179,8 +187,17 @@ object LlmOps6 {
       .orderBy("vec_id")
   }
 
+  // Query surface: exploded (vec_id, pos, z) rows, NOT the assembled
+  // array — the driver's comparer hashes scalar cells only (list
+  // cells crash its pandas lexsort), and the exploded surface keeps
+  // the comparison total-ordered and cell-exact. The array-returning
+  // facade (standardizeOn → Graft.standardize) is unchanged; the
+  // query goes through it so the oracle still proves the facade.
   private def featureScale(s: SparkSession, dir: String): DataFrame =
     standardizeOn(load(s, dir, "embeddings"), "vec_id", "embedding")
+      .select(col("vec_id"), posexplode(col("zvec")).as(Seq("pos0", "z")))
+      .select(col("vec_id"), (col("pos0") + 1).as("pos"), col("z"))
+      .orderBy("vec_id", "pos")
 
   private val featureScaleOracle =
     s"""WITH x AS (
@@ -191,10 +208,9 @@ object LlmOps6 {
        |  SELECT pos, CAST(count(*) AS DOUBLE) AS n,
        |    sum(v) AS sx, sum(v * v) AS sxx
        |  FROM x GROUP BY pos)
-       |SELECT vec_id, list($zFormula ORDER BY pos) AS zvec
+       |SELECT vec_id, pos, $zFormula AS z
        |FROM x JOIN stats USING (pos)
-       |GROUP BY vec_id
-       |ORDER BY vec_id""".stripMargin
+       |ORDER BY vec_id, pos""".stripMargin
 
   // ---- llm_bpe_pair_freq -------------------------------------------
   // The first step of BPE vocabulary induction (Sennrich et al. 2016):
@@ -279,11 +295,23 @@ object LlmOps6 {
     counts.join(m, "cid").orderBy("cid")
   }
 
+  // Query surface: exploded (cid, n_members, pos, cv) rows — the
+  // driver's comparer cannot hash the assembled array<double>
+  // centroid (list cells crash its pandas lexsort). The query still
+  // routes through the array-returning kmeansStepOn facade so the
+  // oracle proves the facade end-to-end, then posexplodes the k
+  // centroid rows (k×dim cells — trivially small, centroids are
+  // always k-sized whatever the corpus scale).
   private def kmeansStep(s: SparkSession, dir: String): DataFrame = {
     val emb = load(s, dir, "embeddings")
     kmeansStepOn(emb, "vec_id", "embedding",
       emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("embedding").as("cvec")))
+      .select(col("cid"), col("n_members"),
+        posexplode(col("centroid")).as(Seq("pos0", "cv")))
+      .select(col("cid"), col("n_members"), (col("pos0") + 1).as("pos"),
+        col("cv"))
+      .orderBy("cid", "pos")
   }
 
   private val kmeansOracle =
@@ -302,13 +330,12 @@ object LlmOps6 {
       |  SELECT cid, CAST(i AS INT) AS pos, CAST(embedding[i] AS DOUBLE) AS v FROM (
       |    SELECT cid, embedding, unnest(range(1, len(embedding) + 1)) AS i FROM best)),
       |m AS (
-      |  SELECT cid, pos, round(sum(v) / count(*), 6) AS mv
+      |  SELECT cid, pos, round(sum(v) / count(*), 6) AS cv
       |  FROM x GROUP BY cid, pos),
-      |cent AS (SELECT cid, list(mv ORDER BY pos) AS centroid FROM m GROUP BY cid),
       |counts AS (SELECT cid, count(*) AS n_members FROM best GROUP BY cid)
-      |SELECT cid, n_members, centroid
-      |FROM counts JOIN cent USING (cid)
-      |ORDER BY cid""".stripMargin
+      |SELECT cid, n_members, pos, cv
+      |FROM counts JOIN m USING (cid)
+      |ORDER BY cid, pos""".stripMargin
 
   // ---- registration ------------------------------------------------
 

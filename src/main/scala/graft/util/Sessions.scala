@@ -19,6 +19,15 @@ object Sessions {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // WindowExec warns "No Partition Defined" on ANY global window —
+    // including the engine's bounded ones (rrfFuse and the global
+    // top-k rankers all run over post-limit inputs of ≤100–1000 rows,
+    // audited in VERDICT r4). The warning is noise for those plans
+    // and it spams the driver's truncated stdout tail, so this one
+    // logger is pinned to ERROR for engine-built sessions.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     s
   }
 }

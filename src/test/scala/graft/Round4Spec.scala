@@ -81,7 +81,7 @@ class Round4Spec extends AnyFunSuite {
       .filter(substring(md5(concat(lit("graft"), col("doc_id").cast("string"))), 1, 2) <= "28")
       .groupBy("source")
       .agg(count(lit(1)).as("n_kept"),
-        sum(col("doc_id").cast("decimal(38,0)")).as("sum_ids"))
+        sum(col("doc_id").cast("decimal(38,0)")).cast("string").as("sum_ids"))
       .orderBy("source").collect()
     assert(once.map(_.toString).toSeq === again.map(_.toString).toSeq)
     assert(once.nonEmpty)

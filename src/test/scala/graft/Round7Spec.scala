@@ -34,6 +34,10 @@ class Round7Spec extends AnyFunSuite {
 
   test("graph_pagerank: rank mass is conserved and every node surfaces") {
     val df = graft.ops.Composite4.queries("graph_pagerank")(spark, sf)
+    // declared query: rank broadcasts reach the plan (no edge shuffle
+    // per iteration)
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "declared pagerank should broadcast the rank table")
     val rows = df.collect()
     assert(rows.nonEmpty)
     // symmetric co-purchase graph -> no dangling mass; sum r == 1
@@ -41,6 +45,28 @@ class Round7Spec extends AnyFunSuite {
     val mass = rows.map(_.getDouble(1)).sum
     assert(math.abs(mass - 1.0) < 1e-6, s"rank mass $mass")
     assert(rows.forall(_.getDouble(1) > 0.0))
+  }
+
+  test("graph_pagerank: shuffle-join fallback plans without broadcasts and agrees") {
+    // the scale path for rank tables past the broadcast budget:
+    // same algebra, co-partitioned shuffle joins. Disable AQE's
+    // size-based broadcast promotion so the hint-free plan is the
+    // honest shuffle shape.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val edges = graft.ops.Composite4.coPurchaseEdges(spark, sf)
+      val bc = graft.ops.Composite4.pageRankOn(edges, 2, 0.85).collect()
+      val sj = graft.ops.Composite4
+        .pageRankOn(edges, 2, 0.85, broadcastRanks = false)
+      val plan = sj.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"fallback still broadcasts:\n${plan.take(1500)}")
+      val sjRows = sj.collect()
+      assert(sjRows.map(r => (r.get(0), r.getDouble(1))).toSeq ==
+        bc.map(r => (r.get(0), r.getDouble(1))).toSeq,
+        "fallback result diverges from broadcast plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("obs_metrics: observed metrics equal the declarative aggregate") {
@@ -150,14 +176,15 @@ class Round7Spec extends AnyFunSuite {
   }
 
   test("llm_feature_scale: each dimension standardizes to mean 0, var 1") {
+    // exploded surface: one row per (vec_id, pos, z)
     val rows = graft.ops.LlmOps6.queries("llm_feature_scale")(spark, sf).collect()
     assert(rows.nonEmpty)
-    val vecs = rows.map(_.getSeq[Double](1))
-    val dims = vecs.head.length
-    assert(vecs.forall(_.length == dims))
-    val n = vecs.length.toDouble
-    (0 until dims by 16).foreach { i =>
-      val xs = vecs.map(_(i))
+    val byPos = rows.groupBy(_.getInt(1))
+    val dims = byPos.size
+    assert(byPos.values.map(_.length).toSet.size == 1, "ragged dimensions")
+    (1 to dims by 16).foreach { i =>
+      val xs = byPos(i).map(_.getDouble(2))
+      val n = xs.length.toDouble
       val mean = xs.sum / n
       val varr = xs.map(x => x * x).sum / n - mean * mean
       assert(math.abs(mean) < 1e-4, s"dim $i mean $mean")
@@ -176,12 +203,17 @@ class Round7Spec extends AnyFunSuite {
   }
 
   test("llm_kmeans_step: members partition the corpus; centroids have full dimension") {
+    // exploded surface: one row per (cid, pos) — regroup to check the
+    // per-centroid invariants
     val rows = graft.ops.LlmOps6.queries("llm_kmeans_step")(spark, sf).collect()
-    assert(rows.nonEmpty && rows.length <= 8)
-    val total = rows.map(_.getLong(1)).sum
+    val byCid = rows.groupBy(_.get(0))
+    assert(byCid.nonEmpty && byCid.size <= 8)
+    byCid.values.foreach { g =>
+      assert(g.map(_.getInt(2)).toSet == (1 to 64).toSet, "full dimension")
+    }
+    val total = byCid.values.map(_.head.getLong(1)).sum
     val n = graft.util.Tables.load(spark, sf, "embeddings").count()
     assert(total == n, s"members $total != corpus $n")
-    rows.foreach(r => assert(r.getSeq[Double](2).length == 64))
   }
 
   test("llm_zipf_fit: slope is negative and r2 in [0,1]") {
