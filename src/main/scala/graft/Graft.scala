@@ -269,4 +269,28 @@ object Graft {
   def kmeansStep(vectors: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame): DataFrame =
     graft.ops.LlmOps6.kmeansStepOn(vectors, idCol, vecCol, centroids)
+
+  /** Per document: the fraction of its `n`-token spans whose FIRST
+    * corpus appearance (minimum id over the span's occurrences) is
+    * this document — the novelty curve used to audit corpus growth.
+    * Docs shorter than `n` tokens drop out. One shuffle on the span
+    * hash (window min, no per-row set materialization) + a per-doc
+    * aggregate. Returns (idCol, n_ngrams, novelty) with novelty
+    * 6-dp rounded; ids must be orderable (novelty is defined against
+    * the id order, e.g. ingestion order). */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame =
+    graft.ops.LlmOps7.ngramNovelties(docs, idCol, textCol, n)
+
+  /** DSIR importance scores (Xie et al. 2023, arXiv:2302.03169):
+    * each document's mean per-token log-ratio of a Laplace-smoothed
+    * target unigram LM (rows where `isTarget` is true) against the
+    * whole-corpus LM — sample by or threshold on the score to tilt a
+    * mixture toward the target domain. The vocabulary-sized word
+    * stats broadcast, so scoring is map-side per token. Returns
+    * (idCol, n_tokens, dsir_score) with 6-dp rounding; scores are
+    * comparable only within one corpus+target pair. */
+  def dsirScores(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column): DataFrame =
+    graft.ops.LlmOps7.dsirScoresOn(docs, idCol, textCol, isTarget)
 }

@@ -29,6 +29,7 @@ object SparkEntry {
       (Composite4.queries, Composite4.oracle),
       (Composite5.queries, Composite5.oracle),
       (LlmOps6.queries, LlmOps6.oracle),
+      (LlmOps7.queries, LlmOps7.oracle),
       (SqlSurface.queries, SqlSurface.oracle),
       (Typed.queries, Typed.oracle)
     )
