@@ -30,6 +30,8 @@ object SparkEntry {
       (Composite5.queries, Composite5.oracle),
       (LlmOps6.queries, LlmOps6.oracle),
       (LlmOps7.queries, LlmOps7.oracle),
+      (LlmOps8.queries, LlmOps8.oracle),
+      (Composite6.queries, Composite6.oracle),
       (SqlSurface.queries, SqlSurface.oracle),
       (Typed.queries, Typed.oracle)
     )
