@@ -32,6 +32,7 @@ object SparkEntry {
       (LlmOps7.queries, LlmOps7.oracle),
       (LlmOps8.queries, LlmOps8.oracle),
       (Composite6.queries, Composite6.oracle),
+      (Composite7.queries, Composite7.oracle),
       (SqlSurface.queries, SqlSurface.oracle),
       (Typed.queries, Typed.oracle)
     )

@@ -205,17 +205,73 @@ object LlmOps8 {
       |LEFT JOIN inter ON p.src_a = inter.src_a AND p.src_b = inter.src_b
       |ORDER BY p.src_a, p.src_b""".stripMargin
 
+  // ---- llm_bigram_cond_entropy -------------------------------------
+  // Corpus bigram conditional entropy H(W₂|W₁) — the predictability
+  // number a tokenization/perplexity budget is sanity-checked
+  // against — via the exact-count identity
+  //   H = (Σ_x c_x·ln c_x − Σ_xy c_xy·ln c_xy) / N
+  // (c_x = left-margin count Σ_y c_xy, N = total bigrams). One
+  // token-stream aggregate to the bigram table, a map-side re-agg to
+  // the margin, then two scalar Σc·ln c sums — the llm_token_entropy
+  // discipline: ln terms are identical-input libm calls and the
+  // parallel-sum accumulation drift (~1e-13 relative) is absorbed by
+  // 6-dp rounding.
+  private def bigramCondEntropy(s: SparkSession, dir: String): DataFrame = {
+    val bi = load(s, dir, "documents")
+      .select(split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t) - 2, 1), " +
+          "i -> struct(t[i] AS w1, t[i + 1] AS w2))")).as("p"))
+      .groupBy(col("p.w1"), col("p.w2")).agg(count(lit(1)).as("cxy"))
+    val joint = bi.agg(
+      sum(col("cxy")).as("n"),
+      count(lit(1)).as("n_pairs"),
+      sum(col("cxy").cast("double") * log(col("cxy").cast("double"))).as("sj"))
+    val margin = bi.groupBy(col("w1")).agg(sum(col("cxy")).as("cx"))
+      .agg(count(lit(1)).as("n_w1"),
+        sum(col("cx").cast("double") * log(col("cx").cast("double"))).as("sm"))
+    joint.crossJoin(margin)
+      .select(col("n").cast("bigint").as("n_bigrams"),
+        col("n_pairs").cast("bigint").as("n_pairs"),
+        col("n_w1").cast("bigint").as("n_w1"),
+        round((col("sm") - col("sj")) / col("n").cast("double"), 6)
+          .as("cond_entropy"))
+  }
+
+  private val condEntropyOracle =
+    """WITH t AS (SELECT string_split(text, ' ') AS t FROM documents),
+      |bi AS (
+      |  SELECT t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2,
+      |    count(*) AS cxy
+      |  FROM (SELECT t, unnest(range(1, len(t))) AS i FROM t WHERE len(t) >= 2)
+      |  GROUP BY w1, w2),
+      |j AS (
+      |  SELECT CAST(sum(cxy) AS BIGINT) AS n,
+      |    CAST(count(*) AS BIGINT) AS n_pairs,
+      |    sum(CAST(cxy AS DOUBLE) * ln(CAST(cxy AS DOUBLE))) AS sj
+      |  FROM bi),
+      |m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_w1,
+      |    sum(CAST(cx AS DOUBLE) * ln(CAST(cx AS DOUBLE))) AS sm
+      |  FROM (SELECT w1, sum(cxy) AS cx FROM bi GROUP BY w1))
+      |SELECT n AS n_bigrams, n_pairs, n_w1,
+      |  round((sm - sj) / CAST(n AS DOUBLE), 6) AS cond_entropy
+      |FROM j CROSS JOIN m""".stripMargin
+
   // ---- registration ------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_vocab_coverage" -> (vocabCoverage _),
     "llm_word_pmi" -> (wordPmi _),
-    "llm_source_overlap" -> (sourceOverlap _)
+    "llm_source_overlap" -> (sourceOverlap _),
+    "llm_bigram_cond_entropy" -> (bigramCondEntropy _)
   )
 
   val oracle: Map[String, String] = Map(
     "llm_vocab_coverage" -> coverageOracle,
     "llm_word_pmi" -> pmiOracle,
-    "llm_source_overlap" -> overlapOracle
+    "llm_source_overlap" -> overlapOracle,
+    "llm_bigram_cond_entropy" -> condEntropyOracle
   )
 }
