@@ -33,6 +33,8 @@ object SparkEntry {
       (LlmOps8.queries, LlmOps8.oracle),
       (Composite6.queries, Composite6.oracle),
       (Composite7.queries, Composite7.oracle),
+      (Composite8.queries, Composite8.oracle),
+      (LlmOps9.queries, LlmOps9.oracle),
       (SqlSurface.queries, SqlSurface.oracle),
       (Typed.queries, Typed.oracle)
     )
