@@ -34,6 +34,8 @@ object SparkEntry {
       (Composite6.queries, Composite6.oracle),
       (Composite7.queries, Composite7.oracle),
       (Composite8.queries, Composite8.oracle),
+      (Composite9.queries, Composite9.oracle),
+      (LlmOps10.queries, LlmOps10.oracle),
       (LlmOps9.queries, LlmOps9.oracle),
       (SqlSurface.queries, SqlSurface.oracle),
       (Typed.queries, Typed.oracle)

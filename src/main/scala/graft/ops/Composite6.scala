@@ -28,6 +28,27 @@ object Composite6 {
   // both engines assign identical ranks. Σ(i·xᵢ) stays in exact
   // decimal; the two divisions are pinned doubles under 6-dp
   // rounding (§1.5 rule 7's rounded-score carve-out).
+  /** Generic per-group Gini core over one value per entity — the
+    * [[graft.Graft.gini]] facade surface. `valueCol` should be an
+    * exact type (DECIMAL/integer) so the rank-weighted sums stay
+    * exact; `idCol` breaks rank ties into a total order. Returns
+    * (groupCol, n, gini) unsorted — the caller layers ordering. */
+  private[graft] def giniOn(df: DataFrame, groupCol: String,
+      idCol: String, valueCol: String): DataFrame = {
+    val ranked = df.withColumn("rn", row_number().over(
+      Window.partitionBy(groupCol).orderBy(col(valueCol), col(idCol))))
+    ranked.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol)).as("total"),
+        sum(col(valueCol) * col("rn")).as("wsum"))
+      .select(col(groupCol), col("n"),
+        round(
+          lit(2.0) * col("wsum").cast("double") /
+            (col("n").cast("double") * col("total").cast("double")) -
+            (col("n").cast("double") + 1.0) /
+            col("n").cast("double"), 6).as("gini"))
+  }
+
   private def giniRevenue(s: SparkSession, dir: String): DataFrame = {
     val spend = load(s, dir, "orders")
       .groupBy(col("o_custkey"))
@@ -36,20 +57,9 @@ object Composite6 {
       .join(broadcast(load(s, dir, "nation")),
         col("c_nationkey") === col("n_nationkey"))
       .select(col("c_custkey"), col("n_name"))
-    val ranked = spend
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("n_name").orderBy(col("spend"), col("o_custkey"))))
-    ranked.groupBy(col("n_name"))
-      .agg(count(lit(1)).as("n_customers"),
-        sum(col("spend")).as("total"),
-        sum(col("spend") * col("rn")).as("wsum"))
-      .select(col("n_name"), col("n_customers"),
-        round(
-          lit(2.0) * col("wsum").cast("double") /
-            (col("n_customers").cast("double") * col("total").cast("double")) -
-            (col("n_customers").cast("double") + 1.0) /
-            col("n_customers").cast("double"), 6).as("gini"))
+    giniOn(spend.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
+      "n_name", "o_custkey", "spend")
+      .withColumnRenamed("n", "n_customers")
       .orderBy("n_name")
   }
 
@@ -77,19 +87,29 @@ object Composite6 {
   // the evt_inter_arrival discipline), then a |types|²-sized
   // aggregate whose row normalization is a free window over ≤25
   // rows. Probabilities divide exact integers.
-  private def markovChain(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    load(s, dir, "events")
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
-      .filter(col("prev_type").isNotNull)
-      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+  /** Generic first-order transition-matrix core — the
+    * [[graft.Graft.markovTransitions]] facade surface. `orderCols`
+    * must totally order each entity's timeline. Returns
+    * (prev_state, next_state, n, prob) unsorted. */
+  private[graft] def markovTransitionsOn(df: DataFrame, entityCol: String,
+      orderCols: Seq[String], stateCol: String): DataFrame = {
+    val w = Window.partitionBy(entityCol).orderBy(orderCols.map(col): _*)
+    df.select((entityCol +: orderCols :+ stateCol).map(col): _*)
+      .withColumn("prev_state", lag(col(stateCol), 1).over(w))
+      .filter(col("prev_state").isNotNull)
+      .groupBy(col("prev_state"), col(stateCol).as("next_state"))
       .agg(count(lit(1)).as("n"))
       .withColumn("prob", round(
         col("n").cast("double") /
-          sum(col("n")).over(Window.partitionBy("prev_type")).cast("double"), 6))
-      .orderBy("prev_type", "next_type")
+          sum(col("n")).over(Window.partitionBy("prev_state")).cast("double"), 6))
   }
+
+  private def markovChain(s: SparkSession, dir: String): DataFrame =
+    markovTransitionsOn(load(s, dir, "events"), "user_id",
+      Seq("ts", "event_id"), "event_type")
+      .withColumnRenamed("prev_state", "prev_type")
+      .withColumnRenamed("next_state", "next_type")
+      .orderBy("prev_type", "next_type")
 
   private val markovOracle =
     """WITH seq AS (

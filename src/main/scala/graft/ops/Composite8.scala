@@ -34,35 +34,45 @@ object Composite8 {
   // Σ(t³−t) folds into the SAME windowed pass as Σ_rows (t²−1) —
   // no second value-group aggregate. The z denominator is the
   // shared-text tie-corrected variance.
-  private val mwFinal =
-    """SELECT n1, n2, u1 AS u_stat,
-      |  round((u1 - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0) /
+  private val mwZ =
+    """round((u1 - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0) /
       |    sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 *
       |      (CAST(n1 + n2 + 1 AS DOUBLE) -
       |       CAST(tie AS DOUBLE) /
-      |         (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))), 6)
-      |    AS z_score
-      |FROM m""".stripMargin
+      |         (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))), 6)""".stripMargin
+
+  private val mwFinal =
+    s"""SELECT n1, n2, u1 AS u_stat,
+       |  $mwZ
+       |    AS z_score
+       |FROM m""".stripMargin
+
+  /** Generic Mann–Whitney core over (value, group-1 indicator) — the
+    * [[graft.Graft.mannWhitney]] facade surface. Same arithmetic as
+    * the oracle text: min-rank + (t−1)/2 tied ranks (exact halves),
+    * the tie term folded into the windowed pass, shared z text. */
+  private[graft] def mannWhitneyOn(df: DataFrame, valueCol: org.apache.spark.sql.Column,
+      isGroup1: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val r = df.select(valueCol.as("x"), isGroup1.cast("int").as("i1"))
+      .withColumn("rmin", rank().over(Window.orderBy("x")))
+      .withColumn("t", count(lit(1)).over(Window.partitionBy("x")))
+    r.agg(
+      sum(col("i1")).cast("bigint").as("n1"),
+      sum(lit(1) - col("i1")).cast("bigint").as("n2"),
+      sum(when(col("i1") === 1,
+        col("rmin").cast("double") + (col("t").cast("double") - 1.0) / 2.0)
+        .otherwise(0.0)).as("rsum"),
+      sum(col("t") * col("t") - 1).cast("bigint").as("tie"))
+      .selectExpr("n1", "n2",
+        "rsum - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0) / 2.0 AS u1",
+        "tie")
+      .selectExpr("n1", "n2", "u1 AS u_stat", s"$mwZ AS z_score")
+  }
 
   private def mannWhitney(s: SparkSession, dir: String): DataFrame = {
-    pooled(s, dir).createOrReplaceTempView("pooled")
-    s.sql(
-      s"""WITH r AS (
-         |  SELECT i1,
-         |    rank() OVER (ORDER BY x) AS rmin,
-         |    count(*) OVER (PARTITION BY x) AS t
-         |  FROM pooled),
-         |m AS (
-         |  SELECT CAST(sum(i1) AS BIGINT) AS n1,
-         |    CAST(sum(1 - i1) AS BIGINT) AS n2,
-         |    sum(CASE WHEN i1 = 1
-         |      THEN CAST(rmin AS DOUBLE) + (CAST(t AS DOUBLE) - 1.0) / 2.0
-         |      ELSE 0.0 END) -
-         |      CAST(sum(i1) AS DOUBLE) * (CAST(sum(i1) AS DOUBLE) + 1.0) / 2.0
-         |      AS u1,
-         |    CAST(sum(t * t - 1) AS BIGINT) AS tie
-         |  FROM r)
-         |$mwFinal""".stripMargin)
+    val p = pooled(s, dir)
+    mannWhitneyOn(p, col("x"), col("i1") === 1)
   }
 
   private val mannWhitneyOracle =
@@ -119,9 +129,39 @@ object Composite8 {
       |        sum(b) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * (SELECT n1 FROM tot)) AS dmax
       |  FROM v)""".stripMargin
 
+  /** Generic two-sample KS core over (value, group-1 indicator) — the
+    * [[graft.Graft.ksTest]] facade surface. Same arithmetic as the
+    * oracle: the sup distance is the exact integer │c₁·n₂−c₂·n₁│
+    * maximized before the one double division; the sup location is
+    * the smallest value attaining it. */
+  private[graft] def ksTestOn(df: DataFrame, valueCol: org.apache.spark.sql.Column,
+      isGroup1: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = df.select(valueCol.as("x"), isGroup1.cast("int").as("i1"))
+      .groupBy("x")
+      .agg(sum(col("i1")).cast("bigint").as("a"),
+        sum(lit(1) - col("i1")).cast("bigint").as("b"))
+    val tot = v.agg(sum(col("a")).cast("bigint").as("n1"),
+      sum(col("b")).cast("bigint").as("n2"))
+    val wc = Window.orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d = v
+      .select(col("x"), sum(col("a")).over(wc).as("ca"),
+        sum(col("b")).over(wc).as("cb"))
+      .crossJoin(broadcast(tot))
+      .select(col("x"), abs(col("ca") * col("n2") - col("cb") * col("n1")).as("dm"))
+    val best = d.agg(max(col("dm")).as("dmax"))
+    val loc = d.join(broadcast(best), col("dm") === col("dmax"))
+      .agg(min(col("x")).as("x_at"))
+    best.crossJoin(tot).crossJoin(loc)
+      .selectExpr("n1", "n2",
+        "round(CAST(dmax AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS ks_d",
+        "x_at")
+  }
+
   private def ksTest(s: SparkSession, dir: String): DataFrame = {
-    pooled(s, dir).createOrReplaceTempView("pooled")
-    s.sql(s"WITH $ksCore\n$ksFinal")
+    val p = pooled(s, dir)
+    ksTestOn(p, col("x"), col("i1") === 1)
   }
 
   private val ksOracle =
