@@ -29,33 +29,70 @@ object LlmOps10 {
   // the rare-shingle blocking that keeps the per-key fan-out
   // bounded; |A∩B| then counts ALL shared shingles of a surfaced
   // pair via a second equi-join restricted to the candidate ids.
+  //
+  // Plan shape: shingles stay RAW STRINGS (the key never crosses an
+  // engine or a row boundary, so hashing buys nothing and md5 costs a
+  // digest per trigram); the one `.distinct()` exchange under `grams`
+  // is the materialization point both aggregates reuse. The pair
+  // explosion over rare-shingle doc sets (the coPurchaseEdges
+  // discipline — df ≤ 20 bounds the fan-out at ≤190 pairs/shingle)
+  // does double duty: each candidate pair appears ONCE PER SHARED
+  // RARE SHINGLE, so groupBy(pair).count IS the rare part of |A∩B| —
+  // no corpus-wide recount join. Hot shingles (df > 20, excluded from
+  // candidate generation) still owe their |A∩B| contribution; that
+  // correction joins the candidate pairs against only the HOT slice
+  // of the inverted index. Sides flip with scale — here the hot slice
+  // is tiny and the pair table big; on a boilerplate-heavy 100 TB
+  // corpus the surviving pairs are the small side — so the join is
+  // left unhinted for AQE to pick the build side from runtime stats.
   private def containment(s: SparkSession, dir: String): DataFrame = {
     val grams = load(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(t) - 3, 1), " +
-          "i -> md5(array_join(slice(t, i + 1, 3), ' ')))")).as("h"))
+          "i -> array_join(slice(t, i + 1, 3), ' '))")).as("h"))
       .distinct()
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val rare = grams
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("h")))
-      .filter(col("df") <= 20)
-      .drop("df")
-    val cand = rare.as("a").join(rare.as("b"), Seq("h"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val shared = grams.as("ga")
-      .join(cand, col("ga.doc_id") === col("doc_a"))
-      .join(grams.as("gb"),
-        col("gb.doc_id") === col("doc_b") && col("ga.h") === col("gb.h"))
+    val byShingle = grams.groupBy(col("h"))
+      .agg(collect_set(col("doc_id")).as("ds"))
+    val rarePairs = byShingle.filter(size(col("ds")).between(2, 20))
+      .select(explode(expr(
+        "flatten(transform(array_sort(ds), (a, i) -> " +
+          "transform(slice(array_sort(ds), i + 2, size(ds)), " +
+          "b -> struct(a AS doc_a, b AS doc_b))))")).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_shared"))
-    shared
-      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sa"))), "doc_a")
-      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sb"))), "doc_b")
+      .agg(count(lit(1)).as("n_rare"))
+    val hotG = byShingle.filter(size(col("ds")) > 20)
+      .select(col("h"), explode(col("ds")).as("doc_id"))
+    // Threshold pushdown: n_shared ≤ n_rare + min(hot_a, hot_b), so a
+    // pair that cannot reach 0.5·min(|A|,|B|) even with every hot
+    // shingle shared is dropped BEFORE the hot-correction join — the
+    // expensive leg only sees near-threshold pairs. The bound uses a
+    // broadcast per-doc (size, hot-count) table; the exact ≥ 0.5
+    // filter still runs at the end, so semantics are unchanged.
+    val stats = sizes
+      .join(hotG.groupBy(col("doc_id")).agg(count(lit(1)).as("hc")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("sz"), coalesce(col("hc"), lit(0L)).as("hc"))
+    val pruned = rarePairs
+      .join(broadcast(stats.select(col("doc_id").as("doc_a"),
+        col("sz").as("sa"), col("hc").as("hca"))), "doc_a")
+      .join(broadcast(stats.select(col("doc_id").as("doc_b"),
+        col("sz").as("sb"), col("hc").as("hcb"))), "doc_b")
+      .filter((col("n_rare") + least(col("hca"), col("hcb"))).cast("double") >=
+        lit(0.5) * least(col("sa"), col("sb")).cast("double"))
+    val hot = pruned.select(col("doc_a"), col("doc_b"))
+      .join(hotG.as("ha"), col("doc_a") === col("ha.doc_id"))
+      .join(hotG.as("hb"),
+        col("doc_b") === col("hb.doc_id") && col("ha.h") === col("hb.h"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_hot"))
+    pruned.join(hot, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_rare") + coalesce(col("n_hot"), lit(0L))).as("n_shared"),
+        col("sa"), col("sb"))
       .select(col("doc_a"), col("doc_b"), col("n_shared"),
         round(col("n_shared").cast("double") /
           least(col("sa"), col("sb")).cast("double"), 6).as("containment"))
@@ -66,8 +103,8 @@ object LlmOps10 {
   private val containmentOracle =
     """WITH g AS (
       |  SELECT DISTINCT doc_id,
-      |    md5(array_to_string(
-      |      list_slice(t, CAST(i AS INT), CAST(i AS INT) + 2), ' ')) AS h
+      |    array_to_string(
+      |      list_slice(t, CAST(i AS INT), CAST(i AS INT) + 2), ' ') AS h
       |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
       |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
       |        WHERE len(t) >= 3)),
