@@ -293,4 +293,15 @@ object Graft {
   def dsirScores(docs: DataFrame, idCol: String, textCol: String,
       isTarget: Column): DataFrame =
     graft.ops.LlmOps7.dsirScoresOn(docs, idCol, textCol, isTarget)
+
+  /** Triangle count + global clustering coefficient over an
+    * undirected edge list (columns (src, dst), one row per unordered
+    * pair, no self-loops). Degree-ordered orientation bounds every
+    * adjacency list at √(2E), so the per-edge neighborhood
+    * intersection never materializes the naive Σdeg² wedge
+    * explosion. Returns one row (n_nodes, n_edges, n_triangles,
+    * clustering_coeff) with the coefficient 3T/Σ C(deg,2) 6-dp
+    * rounded. */
+  def triangleCount(edges: DataFrame): DataFrame =
+    graft.ops.Composite10.triangleCountOn(edges)
 }

@@ -35,7 +35,9 @@ object SparkEntry {
       (Composite7.queries, Composite7.oracle),
       (Composite8.queries, Composite8.oracle),
       (Composite9.queries, Composite9.oracle),
+      (Composite10.queries, Composite10.oracle),
       (LlmOps10.queries, LlmOps10.oracle),
+      (LlmOps11.queries, LlmOps11.oracle),
       (LlmOps9.queries, LlmOps9.oracle),
       (SqlSurface.queries, SqlSurface.oracle),
       (Typed.queries, Typed.oracle)
