@@ -36,6 +36,8 @@ object SparkEntry {
       (Composite8.queries, Composite8.oracle),
       (Composite9.queries, Composite9.oracle),
       (Composite10.queries, Composite10.oracle),
+      (Composite11.queries, Composite11.oracle),
+      (LlmOps12.queries, LlmOps12.oracle),
       (LlmOps10.queries, LlmOps10.oracle),
       (LlmOps11.queries, LlmOps11.oracle),
       (LlmOps9.queries, LlmOps9.oracle),
