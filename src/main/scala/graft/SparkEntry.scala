@@ -37,6 +37,8 @@ object SparkEntry {
       (Composite9.queries, Composite9.oracle),
       (Composite10.queries, Composite10.oracle),
       (Composite11.queries, Composite11.oracle),
+      (Composite12.queries, Composite12.oracle),
+      (LlmOps13.queries, LlmOps13.oracle),
       (LlmOps12.queries, LlmOps12.oracle),
       (LlmOps10.queries, LlmOps10.oracle),
       (LlmOps11.queries, LlmOps11.oracle),
