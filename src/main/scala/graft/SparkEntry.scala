@@ -39,6 +39,7 @@ object SparkEntry {
       (Composite11.queries, Composite11.oracle),
       (Composite12.queries, Composite12.oracle),
       (LlmOps13.queries, LlmOps13.oracle),
+      (Composite13.queries, Composite13.oracle),
       (LlmOps12.queries, LlmOps12.oracle),
       (LlmOps10.queries, LlmOps10.oracle),
       (LlmOps11.queries, LlmOps11.oracle),

@@ -213,17 +213,91 @@ object LlmOps13 {
       |FROM nc LEFT JOIN h ON nc.qid = h.qid
       |ORDER BY nc.qid""".stripMargin
 
+  // ---- llm_source_centroid -----------------------------------------
+  // Per-source embedding centroid, exploded to (source, pos, c) —
+  // the domain-balancing primitive (which sources cluster where).
+  // Documents join embeddings 1:1 on doc_id = vec_id (verified
+  // corpus invariant), elements explode once, and the centroid is a
+  // (source, pos) hash aggregate — linear in elements, sources×64
+  // rows out whatever the corpus size. avg() drift absorbed by the
+  // 6-dp rounding (feature-scale discipline).
+  private[graft] def sourceCentroids(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents").select(col("doc_id"), col("source"))
+      .join(load(s, dir, "embeddings"),
+        col("doc_id") === col("vec_id"))
+      .select(col("source"), posexplode(col("embedding")).as(Seq("pos0", "f")))
+      .groupBy(col("source"), (col("pos0") + 1).as("pos"))
+      .agg(round(avg(col("f").cast("double")), 6).as("c"))
+
+  private def sourceCentroid(s: SparkSession, dir: String): DataFrame =
+    sourceCentroids(s, dir).orderBy("source", "pos")
+
+  private val sourceCentroidOracle =
+    """WITH x AS (
+      |  SELECT d.source, CAST(r.range AS INT) AS pos,
+      |    CAST(e.embedding[r.range] AS DOUBLE) AS v
+      |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+      |  CROSS JOIN range(1, 65) r)
+      |SELECT source, pos, round(avg(v), 6) AS c
+      |FROM x GROUP BY source, pos
+      |ORDER BY source, pos""".stripMargin
+
+  // ---- llm_source_sim ----------------------------------------------
+  // Cosine similarity between source centroids (the inter-domain
+  // redundancy matrix, sources²/2 rows). Built FROM THE 6-dp ROUNDED
+  // centroids — deterministic inputs on both engines, so the pair
+  // sums (64 products each) land within the final 6-dp rounding.
+  // Shape: the centroid aggregate (sources×64 rows) self-joins on
+  // pos — trivially small at any corpus scale.
+  private def sourceSim(s: SparkSession, dir: String): DataFrame = {
+    val c = sourceCentroids(s, dir)
+    val a = c.select(col("source").as("sa"), col("pos"), col("c").as("ca"))
+    val b = c.select(col("source").as("sb"), col("pos"), col("c").as("cb"))
+    a.join(b, Seq("pos"))
+      .filter(col("sa") < col("sb"))
+      .groupBy(col("sa"), col("sb"))
+      .agg(sum(col("ca") * col("cb")).as("dot"),
+        sum(col("ca") * col("ca")).as("n2a"),
+        sum(col("cb") * col("cb")).as("n2b"))
+      .select(col("sa"), col("sb"),
+        round(col("dot") / (sqrt(col("n2a")) * sqrt(col("n2b"))), 6)
+          .as("cos"))
+      .orderBy("sa", "sb")
+  }
+
+  private val sourceSimOracle =
+    """WITH x AS (
+      |  SELECT d.source, CAST(r.range AS INT) AS pos,
+      |    CAST(e.embedding[r.range] AS DOUBLE) AS v
+      |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+      |  CROSS JOIN range(1, 65) r),
+      |c AS (
+      |  SELECT source, pos, round(avg(v), 6) AS c
+      |  FROM x GROUP BY source, pos),
+      |p AS (
+      |  SELECT a.source AS sa, b.source AS sb,
+      |    sum(a.c * b.c) AS dot,
+      |    sum(a.c * a.c) AS n2a, sum(b.c * b.c) AS n2b
+      |  FROM c a JOIN c b ON a.pos = b.pos AND a.source < b.source
+      |  GROUP BY a.source, b.source)
+      |SELECT sa, sb, round(dot / (sqrt(n2a) * sqrt(n2b)), 6) AS cos
+      |FROM p ORDER BY sa, sb""".stripMargin
+
   // ---- registration ------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_line_dedup" -> (lineDedup _),
     "llm_embed_pca_step" -> (pcaStep _),
-    "llm_knn_recall" -> (knnRecall _)
+    "llm_knn_recall" -> (knnRecall _),
+    "llm_source_centroid" -> (sourceCentroid _),
+    "llm_source_sim" -> (sourceSim _)
   )
 
   val oracle: Map[String, String] = Map(
     "llm_line_dedup" -> lineDedupOracle,
     "llm_embed_pca_step" -> pcaStepOracle,
-    "llm_knn_recall" -> knnRecallOracle
+    "llm_knn_recall" -> knnRecallOracle,
+    "llm_source_centroid" -> sourceCentroidOracle,
+    "llm_source_sim" -> sourceSimOracle
   )
 }

@@ -104,4 +104,67 @@ class Round15Spec extends AnyFunSuite {
       assert(r.getLong(1) > 0, "candidate pool must be non-empty")
     }
   }
+
+  test("llm_source_centroid: sources x 64 grid, every cell present") {
+    val rows =
+      graft.ops.LlmOps13.queries("llm_source_centroid")(spark, sf).collect()
+    val nSources = graft.util.Tables.load(spark, sf, "documents")
+      .select(col("source")).distinct().count()
+    assert(rows.length == nSources * 64)
+  }
+
+  test("llm_source_sim: full upper triangle, cosines in [-1, 1]") {
+    val rows = graft.ops.LlmOps13.queries("llm_source_sim")(spark, sf).collect()
+    val nSources = graft.util.Tables.load(spark, sf, "documents")
+      .select(col("source")).distinct().count()
+    assert(rows.length == nSources * (nSources - 1) / 2)
+    rows.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-6))
+  }
+
+  test("evt_peak_detect: peaks bounded by interior days, max day real") {
+    val rows =
+      graft.ops.Composite13.queries("evt_peak_detect")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nDays = r.getLong(1); val nPeaks = r.getLong(2)
+      assert(nPeaks <= math.max(0L, (nDays - 1) / 2),
+        "strict peaks can occupy at most every other interior day")
+      assert(r.getLong(4) > 0, "max_c must be positive")
+    }
+  }
+
+  test("evt_active_streaks: streak algebra holds per user") {
+    val rows =
+      graft.ops.Composite13.queries("evt_active_streaks")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val days = r.getLong(1); val streaks = r.getLong(2)
+      val maxS = r.getLong(3)
+      assert(maxS >= 1 && maxS <= days)
+      assert(streaks >= 1 && streaks <= days)
+      assert(maxS * streaks >= days,
+        "max streak times streak count must cover all active days")
+    }
+  }
+
+  test("evt_time_to_convert: converters subset viewers, p90 >= median") {
+    val r =
+      graft.ops.Composite13.queries("evt_time_to_convert")(spark, sf).head
+    assert(r.getLong(1) <= r.getLong(0))
+    assert(r.getDouble(2) > 0.0 && r.getDouble(2) <= 1.0)
+    assert(r.getDouble(4) >= r.getDouble(3), "p90 must dominate median")
+  }
+
+  test("evt_audience_overlap: intersections bounded by set sizes") {
+    val rows =
+      graft.ops.Composite13.queries("evt_audience_overlap")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val na = r.getLong(2); val nb = r.getLong(3); val i = r.getLong(4)
+      assert(i <= math.min(na, nb))
+      val j = r.getDouble(5)
+      assert(j >= 0.0 && j <= 1.0)
+      assert(math.abs(j - i.toDouble / (na + nb - i)) < 1e-6)
+    }
+  }
 }
