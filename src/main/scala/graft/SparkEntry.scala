@@ -40,6 +40,8 @@ object SparkEntry {
       (Composite12.queries, Composite12.oracle),
       (LlmOps13.queries, LlmOps13.oracle),
       (Composite13.queries, Composite13.oracle),
+      (LlmOps14.queries, LlmOps14.oracle),
+      (Composite14.queries, Composite14.oracle),
       (LlmOps12.queries, LlmOps12.oracle),
       (LlmOps10.queries, LlmOps10.oracle),
       (LlmOps11.queries, LlmOps11.oracle),

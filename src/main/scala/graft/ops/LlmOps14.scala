@@ -1,0 +1,223 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables._
+
+/** SURVEY.md §2.29 — round-15 label-aware embedding operators: hard-
+  * negative mining, leave-one-out k-NN classification accuracy, and
+  * intra/inter label margin — the eval loop behind contrastive
+  * training and embedding-quality audits, over the corpus' `label`
+  * column (10 balanced classes, verified).
+  *
+  * Scale shapes: hard negatives fan 20 pinned queries across the
+  * corpus (linear); LOO k-NN is the documented brute-force O(N²)
+  * eval (at corpus scale the candidate set would come from the IVF
+  * blocking of llm_simsearch_ivf — the eval contract is unchanged);
+  * label margins reduce to 10 centroids and a 10×10 cosine matrix.
+  *
+  * Determinism: every ranking uses round(cos, 6) DESC, vec_id ASC
+  * (kmeans discipline); majority votes tie to the smallest label;
+  * margin arithmetic runs over 6-dp rounded centroids.
+  */
+object LlmOps14 {
+
+  // ---- llm_hard_negatives ------------------------------------------
+  // Top-5 most-similar DIFFERENT-label vectors per pinned query
+  // (vec_id < 20) — the hard-negative mining step of contrastive
+  // training (in-batch negatives are easy; these are the ones that
+  // move the loss). The label filter applies BEFORE the ranking
+  // window, so the top-k limit prunes the right set.
+  private def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("label").as("qlabel"))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cos"), asc("vec_id"))
+    emb.crossJoin(broadcast(queries))
+      .filter(col("label") =!= col("qlabel"))
+      .select(col("qid"), col("vec_id"), col("label"),
+        round(graft.functions.CosineSim(col("embedding"), col("qvec")), 6)
+          .as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("vec_id"), col("label"),
+        col("cos"))
+      .orderBy("qid", "rank")
+  }
+
+  private val hardNegativesOracle =
+    """WITH emb AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS qid, e AS qvec, label AS qlabel
+      |      FROM emb WHERE vec_id < 20),
+      |scored AS (
+      |  SELECT q.qid, emb.vec_id, emb.label,
+      |    round(list_cosine_similarity(emb.e, q.qvec), 6) AS cos
+      |  FROM emb CROSS JOIN q
+      |  WHERE emb.label <> q.qlabel)
+      |SELECT qid, CAST(rank AS INT) AS rank, vec_id, label, cos FROM (
+      |  SELECT qid, vec_id, label, cos, row_number() OVER (
+      |    PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+      |  FROM scored) WHERE rank <= 5
+      |ORDER BY qid, rank""".stripMargin
+
+  // ---- llm_knn_classify --------------------------------------------
+  // Leave-one-out 5-NN majority-vote accuracy per class — the
+  // standard embedding-quality probe. Neighbor votes tie-break to
+  // the smallest label; the per-class surface is (label, n,
+  // n_correct, accuracy). Brute-force N² scoring is the documented
+  // eval baseline (the fused CosineSim kernel keeps it map-side);
+  // at corpus scale the same ranking runs over IVF candidates.
+  private def knnClassify(s: SparkSession, dir: String): DataFrame = {
+    val emb = load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val right = emb.select(col("vec_id").as("nid"),
+      col("embedding").as("nvec"), col("label").as("nlabel"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(desc("cos"), asc("nid"))
+    val votes = emb.join(broadcast(right), col("vec_id") =!= col("nid"))
+      .select(col("vec_id"), col("label"), col("nid"), col("nlabel"),
+        round(graft.functions.CosineSim(col("embedding"), col("nvec")), 6)
+          .as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+    val pw = Window.partitionBy(col("vec_id"))
+      .orderBy(desc("v"), asc("nlabel"))
+    val pred = votes.groupBy(col("vec_id"), col("label"), col("nlabel"))
+      .agg(count(lit(1)).as("v"))
+      .withColumn("pr", row_number().over(pw))
+      .filter(col("pr") === 1)
+    pred.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("nlabel") === col("label"), 1L).otherwise(0L))
+          .as("n_correct"),
+        round(sum(when(col("nlabel") === col("label"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1)).cast("double"), 6).as("accuracy"))
+      .orderBy("label")
+  }
+
+  private val knnClassifyOracle =
+    """WITH emb AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
+      |  FROM embeddings),
+      |nn AS (
+      |  SELECT vec_id, label, nlabel FROM (
+      |    SELECT a.vec_id, a.label, b.label AS nlabel,
+      |      row_number() OVER (PARTITION BY a.vec_id
+      |        ORDER BY round(list_cosine_similarity(a.e, b.e), 6) DESC,
+      |          b.vec_id) AS rn
+      |    FROM emb a JOIN emb b ON a.vec_id <> b.vec_id) WHERE rn <= 5),
+      |pred AS (
+      |  SELECT vec_id, label, nlabel FROM (
+      |    SELECT vec_id, label, nlabel, row_number() OVER (
+      |      PARTITION BY vec_id ORDER BY v DESC, nlabel) AS pr
+      |    FROM (SELECT vec_id, label, nlabel, CAST(count(*) AS BIGINT) AS v
+      |          FROM nn GROUP BY vec_id, label, nlabel))
+      |  WHERE pr = 1)
+      |SELECT label, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CASE WHEN nlabel = label THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_correct,
+      |  round(CAST(sum(CASE WHEN nlabel = label THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE), 6) AS accuracy
+      |FROM pred GROUP BY label ORDER BY label""".stripMargin
+
+  // ---- llm_label_margin --------------------------------------------
+  // Embedding-space separation per class: cosine of each class
+  // centroid to its nearest OTHER centroid (max inter-class cosine)
+  // vs the mean cosine of members to their own centroid (intra
+  // cohesion); margin = intra − max_inter. Everything downstream of
+  // the 6-dp rounded centroid grid (source_sim discipline) — the
+  // class count bounds all joins at 10×64 and 10×10.
+  private def labelMargin(s: SparkSession, dir: String): DataFrame = {
+    val x = load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos0", "f")))
+      .select(col("vec_id"), col("label"), (col("pos0") + 1).as("pos"),
+        col("f").cast("double").as("v"))
+    val cent = x.groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("v")), 6).as("c"))
+    // member→own-centroid cosine: join elements with the centroid on
+    // (label, pos), reduce per vector, then per label
+    val cn = cent.groupBy("label")
+      .agg(sqrt(sum(col("c") * col("c"))).as("cnorm"))
+    val member = x.join(cent, Seq("label", "pos"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("v") * col("c")).as("dot"),
+        sqrt(sum(col("v") * col("v"))).as("vnorm"))
+      .join(broadcast(cn), "label")
+      .select(col("label"),
+        (col("dot") / (col("vnorm") * col("cnorm"))).as("cos"))
+    val intra = member.groupBy("label")
+      .agg(count(lit(1)).as("n"), round(avg(col("cos")), 6).as("intra"))
+    val a = cent.select(col("label").as("la"), col("pos"), col("c").as("ca"))
+    val b = cent.select(col("label").as("lb"), col("pos"), col("c").as("cb"))
+    val inter = a.join(b, Seq("pos"))
+      .filter(col("la") =!= col("lb"))
+      .groupBy(col("la"), col("lb"))
+      .agg(sum(col("ca") * col("cb")).as("dot"),
+        sum(col("ca") * col("ca")).as("n2a"),
+        sum(col("cb") * col("cb")).as("n2b"))
+      .select(col("la").as("label"),
+        (col("dot") / (sqrt(col("n2a")) * sqrt(col("n2b")))).as("icos"))
+      .groupBy("label")
+      .agg(round(max(col("icos")), 6).as("max_inter"))
+    intra.join(inter, "label")
+      .select(col("label"), col("n"), col("intra"), col("max_inter"),
+        round(col("intra") - col("max_inter"), 6).as("margin"))
+      .orderBy("label")
+  }
+
+  private val labelMarginOracle =
+    """WITH x AS (
+      |  SELECT vec_id, label, CAST(r.range AS INT) AS pos,
+      |    CAST(embedding[r.range] AS DOUBLE) AS v
+      |  FROM embeddings CROSS JOIN range(1, 65) r),
+      |cent AS (
+      |  SELECT label, pos, round(avg(v), 6) AS c
+      |  FROM x GROUP BY label, pos),
+      |cn AS (SELECT label, sqrt(sum(c * c)) AS cnorm FROM cent GROUP BY label),
+      |member AS (
+      |  SELECT m.label, m.dot / (m.vnorm * cn.cnorm) AS cos
+      |  FROM (
+      |    SELECT x.vec_id, x.label, sum(x.v * cent.c) AS dot,
+      |      sqrt(sum(x.v * x.v)) AS vnorm
+      |    FROM x JOIN cent ON x.label = cent.label AND x.pos = cent.pos
+      |    GROUP BY x.vec_id, x.label) m
+      |  JOIN cn ON m.label = cn.label),
+      |intra AS (
+      |  SELECT label, CAST(count(*) AS BIGINT) AS n,
+      |    round(avg(cos), 6) AS intra
+      |  FROM member GROUP BY label),
+      |inter AS (
+      |  SELECT la AS label, round(max(dot / (sqrt(n2a) * sqrt(n2b))), 6)
+      |    AS max_inter
+      |  FROM (
+      |    SELECT a.label AS la, b.label AS lb, sum(a.c * b.c) AS dot,
+      |      sum(a.c * a.c) AS n2a, sum(b.c * b.c) AS n2b
+      |    FROM cent a JOIN cent b ON a.pos = b.pos AND a.label <> b.label
+      |    GROUP BY a.label, b.label)
+      |  GROUP BY la)
+      |SELECT intra.label, n, intra, max_inter,
+      |  round(intra - max_inter, 6) AS margin
+      |FROM intra JOIN inter ON intra.label = inter.label
+      |ORDER BY intra.label""".stripMargin
+
+  // ---- registration ------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_hard_negatives" -> (hardNegatives _),
+    "llm_knn_classify" -> (knnClassify _),
+    "llm_label_margin" -> (labelMargin _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "llm_hard_negatives" -> hardNegativesOracle,
+    "llm_knn_classify" -> knnClassifyOracle,
+    "llm_label_margin" -> labelMarginOracle
+  )
+}
