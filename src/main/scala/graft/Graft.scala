@@ -304,4 +304,15 @@ object Graft {
     * rounded. */
   def triangleCount(edges: DataFrame): DataFrame =
     graft.ops.Composite10.triangleCountOn(edges)
+
+  /** Synchronized k-core peeling trace over a directed-symmetric edge
+    * list (src, dst): each round keeps nodes whose degree among
+    * survivors is ≥ k, and emits (iter, n_nodes, n_dir_edges) for
+    * rounds 1..`rounds`. Converged fixed points short-circuit — the
+    * remaining rounds repeat the stable row without another edge
+    * pass. The edge list checkpoints lazily on the first real peel
+    * (a trace that converges immediately costs one edge pass total).
+    */
+  def kcore(edges: DataFrame, k: Int, rounds: Int = 5): DataFrame =
+    graft.ops.Composite15.kcoreOn(edges, k, rounds)
 }

@@ -42,6 +42,7 @@ object SparkEntry {
       (Composite13.queries, Composite13.oracle),
       (LlmOps14.queries, LlmOps14.oracle),
       (Composite14.queries, Composite14.oracle),
+      (Composite15.queries, Composite15.oracle),
       (LlmOps12.queries, LlmOps12.oracle),
       (LlmOps10.queries, LlmOps10.oracle),
       (LlmOps11.queries, LlmOps11.oracle),
