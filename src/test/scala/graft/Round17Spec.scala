@@ -68,6 +68,45 @@ class Round17Spec extends AnyFunSuite {
     }
   }
 
+  test("graph_assortativity: r is a proper correlation on a symmetric graph") {
+    val r = graft.ops.Composite16
+      .queries("graph_assortativity")(spark, sf).head
+    assert(r.getLong(0) > 0)
+    assert(math.abs(r.getDouble(1)) <= 1.0 + 1e-6)
+  }
+
+  test("llm_dedup_cross_source: unordered pairs, counts consistent") {
+    val rows = graft.ops.Composite16
+      .queries("llm_dedup_cross_source")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "pairs must be ordered")
+      assert(r.getLong(3) >= r.getLong(2),
+        "doc pairs dominate hash count (each hash has >= 1 pair)")
+    }
+  }
+
+  test("evt_new_vs_returning: day-1 users are all new; shares bounded") {
+    val rows = graft.ops.Composite16
+      .queries("evt_new_vs_returning")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.head.getLong(2) == 0, "nobody can return on the first day")
+    assert(math.abs(rows.head.getDouble(3) - 1.0) < 1e-9)
+    rows.foreach { r =>
+      val sh = r.getDouble(3)
+      assert(sh >= 0.0 && sh <= 1.0)
+    }
+  }
+
+  test("win_year_over_year: growth arithmetic reconstructs the counts") {
+    val rows = graft.ops.Composite16
+      .queries("win_year_over_year")(spark, sf).collect()
+    assert(rows.length > 12, "multi-year horizon must yield many YoY rows")
+    rows.foreach { r =>
+      val n = r.getLong(1); val pn = r.getLong(2)
+      assert(math.abs(r.getDouble(3) - (n - pn).toDouble / pn) < 1e-6)
+    }
+  }
+
   test("win_seasonal_decompose: 7 weekday indices that sum to ~0") {
     val rows = graft.ops.Composite15
       .queries("win_seasonal_decompose")(spark, sf).collect()
