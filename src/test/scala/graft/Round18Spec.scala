@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-15 sixth batch (SURVEY §2.33): local clustering, leaderboard
+  * dynamics, template detection, growth decomposition.
+  */
+class Round18Spec extends AnyFunSuite {
+  import TestSpark._
+
+  test("graph_local_clustering: 10 deciles, cc in [0,1], degree rises with decile") {
+    val rows = graft.ops.Composite17
+      .queries("graph_local_clustering")(spark, sf).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val cc = r.getDouble(3)
+      assert(cc >= 0.0 && cc <= 1.0 + 1e-9, s"local cc $cc out of range")
+    }
+    val degs = rows.sortBy(_.getInt(0)).map(_.getDouble(2))
+    assert(degs.zip(degs.tail).forall { case (a, b) => b >= a - 1e-9 },
+      "mean degree must be non-decreasing across deciles")
+  }
+
+  test("win_rank_change: 20 rows per month past the first, delta arithmetic holds") {
+    val rows = graft.ops.Composite17
+      .queries("win_rank_change")(spark, sf).collect()
+    val byMonth = rows.groupBy(_.getDate(0))
+    assert(byMonth.values.forall(_.length <= 20))
+    rows.filter(r => !r.isNullAt(4)).foreach { r =>
+      assert(r.getInt(5) == r.getInt(4) - r.getInt(2),
+        "delta must be prev_rk - rk")
+    }
+    rows.foreach(r => assert(r.getInt(2) >= 1 && r.getInt(2) <= 20))
+  }
+
+  test("llm_template_detect: rates bounded and templated <= docs") {
+    val rows = graft.ops.Composite17
+      .queries("llm_template_detect")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      val rate = r.getDouble(3)
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+  }
+
+  test("agg_growth_decompose: the three effects reconstruct d_rev") {
+    val rows = graft.ops.Composite17
+      .queries("agg_growth_decompose")(spark, sf).collect()
+    assert(rows.length > 12)
+    rows.foreach { r =>
+      val dRev = r.getDouble(3)
+      val sum = r.getDouble(4) + r.getDouble(5) + r.getDouble(6)
+      assert(math.abs(dRev - sum) < 1e-3,
+        s"effects $sum must reconstruct d_rev $dRev (identity up to rounding)")
+    }
+  }
+}
