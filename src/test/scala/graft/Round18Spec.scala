@@ -44,6 +44,38 @@ class Round18Spec extends AnyFunSuite {
     }
   }
 
+  test("llm_cluster_purity: clusters partition the corpus, purity >= 1/k") {
+    val rows = graft.ops.LlmOps15
+      .queries("llm_cluster_purity")(spark, sf).collect()
+    val total = graft.util.Tables.load(spark, sf, "embeddings").count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(1))
+      val p = r.getDouble(4)
+      assert(p > 0.0 && p <= 1.0)
+      assert(math.abs(p - r.getLong(3).toDouble / r.getLong(1)) < 1e-6)
+    }
+  }
+
+  test("evt_distribution_drift: shares sum to 1 on each side") {
+    val rows = graft.ops.LlmOps15
+      .queries("evt_distribution_drift")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-4)
+    assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 1e-4)
+    rows.foreach(r => assert(
+      math.abs(r.getDouble(5) - (r.getDouble(4) - r.getDouble(3))) < 1e-5))
+  }
+
+  test("agg_cvar: tail mean sits at or below the VaR threshold") {
+    val r = graft.ops.LlmOps15.queries("agg_cvar")(spark, sf).head
+    assert(r.getLong(0) > 100)
+    assert(r.getDouble(2) <= r.getDouble(1) + 1e-6,
+      "CVaR must not exceed VaR")
+    assert(r.getDouble(4) <= r.getDouble(2) + 1e-6,
+      "the worst day bounds the tail mean from below")
+  }
+
   test("agg_growth_decompose: the three effects reconstruct d_rev") {
     val rows = graft.ops.Composite17
       .queries("agg_growth_decompose")(spark, sf).collect()
