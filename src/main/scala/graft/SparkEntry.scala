@@ -46,6 +46,7 @@ object SparkEntry {
       (Composite16.queries, Composite16.oracle),
       (Composite17.queries, Composite17.oracle),
       (LlmOps15.queries, LlmOps15.oracle),
+      (LlmOps16.queries, LlmOps16.oracle),
       (LlmOps12.queries, LlmOps12.oracle),
       (LlmOps10.queries, LlmOps10.oracle),
       (LlmOps11.queries, LlmOps11.oracle),

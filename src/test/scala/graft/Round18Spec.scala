@@ -76,6 +76,20 @@ class Round18Spec extends AnyFunSuite {
       "the worst day bounds the tail mean from below")
   }
 
+  test("llm_dataset_card: one consistent datasheet row") {
+    val r = graft.ops.LlmOps16.queries("llm_dataset_card")(spark, sf).head
+    val nDocs = r.getLong(0)
+    assert(nDocs == graft.util.Tables.load(spark, sf, "documents").count())
+    assert(math.abs(r.getDouble(2) - r.getLong(1).toDouble / nDocs) < 1e-4,
+      "mean tokens must equal n_tokens / n_docs")
+    assert(r.getLong(4) > 0 && r.getLong(5) > 0)
+    val dup = r.getDouble(6)
+    assert(dup >= 0.0 && dup <= 1.0)
+    // entropies bounded by log2(cardinality)
+    assert(r.getDouble(7) <= math.log(r.getLong(4).toDouble) / math.log(2) + 1e-6)
+    assert(r.getDouble(8) <= math.log(r.getLong(5).toDouble) / math.log(2) + 1e-6)
+  }
+
   test("agg_growth_decompose: the three effects reconstruct d_rev") {
     val rows = graft.ops.Composite17
       .queries("agg_growth_decompose")(spark, sf).collect()
