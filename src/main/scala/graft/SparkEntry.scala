@@ -47,6 +47,7 @@ object SparkEntry {
       (Composite17.queries, Composite17.oracle),
       (LlmOps15.queries, LlmOps15.oracle),
       (LlmOps16.queries, LlmOps16.oracle),
+      (Composite18.queries, Composite18.oracle),
       (LlmOps12.queries, LlmOps12.oracle),
       (LlmOps10.queries, LlmOps10.oracle),
       (LlmOps11.queries, LlmOps11.oracle),
