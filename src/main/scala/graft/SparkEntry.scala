@@ -48,6 +48,7 @@ object SparkEntry {
       (LlmOps15.queries, LlmOps15.oracle),
       (LlmOps16.queries, LlmOps16.oracle),
       (Composite18.queries, Composite18.oracle),
+      (Composite19.queries, Composite19.oracle),
       (LlmOps12.queries, LlmOps12.oracle),
       (LlmOps10.queries, LlmOps10.oracle),
       (LlmOps11.queries, LlmOps11.oracle),

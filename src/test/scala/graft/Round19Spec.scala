@@ -46,6 +46,42 @@ class Round19Spec extends AnyFunSuite {
     }
   }
 
+  test("evt_anomaly_stl: every flagged day genuinely exceeds 3 sigma") {
+    val rows =
+      graft.ops.Composite19.queries("evt_anomaly_stl")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(5) > 3.0, "sigma must exceed the 3.0 fence")
+      // residual = c - trend - seasonal (up to independent rounding)
+      val recon = r.getLong(1) - r.getDouble(2) - r.getDouble(3)
+      assert(math.abs(recon - r.getDouble(4)) < 1e-3)
+    }
+  }
+
+  test("agg_basket_lift: support and lift arithmetic hold") {
+    val rows =
+      graft.ops.Composite19.queries("agg_basket_lift")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      val nab = r.getLong(2); val na = r.getLong(3); val nb = r.getLong(4)
+      assert(nab >= 5, "min-support prune")
+      assert(nab <= math.min(na, nb), "joint support bounded by marginals")
+      assert(r.getDouble(5) > 0.0)
+    }
+    val lifts = rows.map(_.getDouble(5))
+    assert(lifts.zip(lifts.tail).forall { case (a, b) => b <= a },
+      "rows must arrive lift-descending")
+  }
+
+  test("llm_centroid_outliers: 10 ascending-cosine rows") {
+    val rows = graft.ops.Composite19
+      .queries("llm_centroid_outliers")(spark, sf).collect()
+    assert(rows.length == 10)
+    val cs = rows.map(_.getDouble(2))
+    assert(cs.zip(cs.tail).forall { case (a, b) => b >= a },
+      "outliers must arrive worst-first")
+    cs.foreach(c => assert(math.abs(c) <= 1.0 + 1e-6))
+  }
+
   test("plan shapes: hard-negative ranking is WindowGroupLimit-pushed") {
     val plan = graft.ops.LlmOps14.queries("llm_hard_negatives")(spark, sf)
       .queryExecution.executedPlan.toString
