@@ -66,6 +66,13 @@ object Bench {
       // dedup timings), then time the warm execution — mirroring how
       // the DuckDB baseline numbers in BASELINE.md were taken.
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      // Drop cached relations the query (or its warm-up) registered:
+      // cache_reuse-style queries .cache() and never unpersist, so
+      // over a 300-query run the storage pool otherwise fills with
+      // dead cached plans and squeezes execution memory (seen as
+      // 3-5x in-run inflation of the heavy graph/dedup queries that
+      // vanishes when re-timed solo).
+      spark.catalog.clearCache()
       // Double GC with a settle pause: broadcast/shuffle blocks from
       // prior queries are reclaimed by the ContextCleaner only after
       // their driver references are collected, and the cleaner runs

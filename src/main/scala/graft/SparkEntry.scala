@@ -45,6 +45,7 @@ object SparkEntry {
       (Composite15.queries, Composite15.oracle),
       (Composite16.queries, Composite16.oracle),
       (Composite17.queries, Composite17.oracle),
+      (Composite20.queries, Composite20.oracle),
       (LlmOps15.queries, LlmOps15.oracle),
       (LlmOps16.queries, LlmOps16.oracle),
       (Composite18.queries, Composite18.oracle),

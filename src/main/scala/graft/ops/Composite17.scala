@@ -229,19 +229,25 @@ object Composite17 {
         sum(money(col("o_totalprice"))).cast("decimal(18,2)").as("rev"))
     val prev = monthly.select(add_months(col("m"), 1).as("m"),
       col("n").as("pn"), col("rev").as("prev"))
+    // No round(): Spark rounds the exact binary double via BigDecimal
+    // HALF_UP while DuckDB multiplies by 1e6 and rounds — they can
+    // disagree one ulp from a .5 boundary (bit us once, driver r5).
+    // Identical double expression TREES on both sides are bit-exact
+    // without any rounding: same decimal-exact inputs, same IEEE op
+    // order.
     monthly.join(prev, "m")
       .select(col("m"), col("n"), col("pn"),
-        round(asD(col("rev")) - asD(col("prev")), 6).as("d_rev"),
-        round((col("n") - col("pn")).cast("double") *
-          (asD(col("prev")) / col("pn").cast("double")), 6)
+        (asD(col("rev")) - asD(col("prev"))).as("d_rev"),
+        ((col("n") - col("pn")).cast("double") *
+          (asD(col("prev")) / col("pn").cast("double")))
           .as("volume_effect"),
-        round(col("pn").cast("double") *
+        (col("pn").cast("double") *
           (asD(col("rev")) / col("n").cast("double") -
-            asD(col("prev")) / col("pn").cast("double")), 6)
+            asD(col("prev")) / col("pn").cast("double")))
           .as("price_effect"),
-        round((col("n") - col("pn")).cast("double") *
+        ((col("n") - col("pn")).cast("double") *
           (asD(col("rev")) / col("n").cast("double") -
-            asD(col("prev")) / col("pn").cast("double")), 6)
+            asD(col("prev")) / col("pn").cast("double")))
           .as("mix_effect"))
       .orderBy("m")
   }
@@ -259,14 +265,14 @@ object Composite17 {
       |    CAST(CAST(b.rev AS VARCHAR) AS DOUBLE) AS pv
       |  FROM monthly a JOIN monthly b ON a.m = b.m + INTERVAL 1 MONTH)
       |SELECT m, n, pn,
-      |  round(rv - pv, 6) AS d_rev,
-      |  round(CAST(n - pn AS DOUBLE) * (pv / CAST(pn AS DOUBLE)), 6)
+      |  rv - pv AS d_rev,
+      |  CAST(n - pn AS DOUBLE) * (pv / CAST(pn AS DOUBLE))
       |    AS volume_effect,
-      |  round(CAST(pn AS DOUBLE) *
-      |    (rv / CAST(n AS DOUBLE) - pv / CAST(pn AS DOUBLE)), 6)
+      |  CAST(pn AS DOUBLE) *
+      |    (rv / CAST(n AS DOUBLE) - pv / CAST(pn AS DOUBLE))
       |    AS price_effect,
-      |  round(CAST(n - pn AS DOUBLE) *
-      |    (rv / CAST(n AS DOUBLE) - pv / CAST(pn AS DOUBLE)), 6)
+      |  CAST(n - pn AS DOUBLE) *
+      |    (rv / CAST(n AS DOUBLE) - pv / CAST(pn AS DOUBLE))
       |    AS mix_effect
       |FROM j ORDER BY m""".stripMargin
 

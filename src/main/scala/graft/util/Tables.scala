@@ -23,13 +23,17 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-    * read as a timestamp; read it as nanos-since-epoch (the
-    * `nanosAsLong` flag, set once in the Verify/Bench session
-    * builders) and convert to the session µs timestamp. The corpus'
-    * ts values are µs-resolution [verified: every ns value % 1000 ==
-    * 0], so the ns->µs conversion is LOSSLESS and DuckDB (which keeps
-    * ns) agrees exactly; oracles exposing ts cast to TIMESTAMP (µs).
+  /** events.ts has shipped in TWO physical encodings across corpus
+    * generations: parquet TIMESTAMP(NANOS) (read as nanos-since-epoch
+    * via the `nanosAsLong` session flag — Spark 4 refuses to read
+    * ns as a timestamp) and, since the 2026-08-13 regeneration,
+    * TIMESTAMP(MICROS) isAdjustedToUTC=false (read natively as
+    * TIMESTAMP_NTZ). Branching on the READ type makes the loader
+    * correct for both: a LongType read is ns (µs-resolution, so `div
+    * 1000` is lossless — verified every ns value % 1000 == 0), and
+    * any timestamp read is cast to the session-µs TIMESTAMP so every
+    * downstream query sees one stable type. Session tz is pinned UTC,
+    * so the NTZ→TZ cast re-labels the same wall-clock instant.
     *
     * The conf.set below is a defensive no-op under our own sessions
     * (builders already set it) and exists for driver-owned sessions;
@@ -37,8 +41,13 @@ object Tables {
     */
   def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** NOTE (data reality, verified): lineitem's (l_orderkey,
