@@ -46,6 +46,8 @@ object SparkEntry {
       (Composite16.queries, Composite16.oracle),
       (Composite17.queries, Composite17.oracle),
       (Composite20.queries, Composite20.oracle),
+      (Composite21.queries, Composite21.oracle),
+      (Composite22.queries, Composite22.oracle),
       (LlmOps15.queries, LlmOps15.oracle),
       (LlmOps16.queries, LlmOps16.oracle),
       (Composite18.queries, Composite18.oracle),
