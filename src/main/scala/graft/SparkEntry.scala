@@ -48,6 +48,7 @@ object SparkEntry {
       (Composite20.queries, Composite20.oracle),
       (Composite21.queries, Composite21.oracle),
       (Composite22.queries, Composite22.oracle),
+      (Composite23.queries, Composite23.oracle),
       (LlmOps15.queries, LlmOps15.oracle),
       (LlmOps16.queries, LlmOps16.oracle),
       (Composite18.queries, Composite18.oracle),
