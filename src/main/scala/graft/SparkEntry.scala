@@ -49,6 +49,7 @@ object SparkEntry {
       (Composite21.queries, Composite21.oracle),
       (Composite22.queries, Composite22.oracle),
       (Composite23.queries, Composite23.oracle),
+      (Composite24.queries, Composite24.oracle),
       (LlmOps15.queries, LlmOps15.oracle),
       (LlmOps16.queries, LlmOps16.oracle),
       (Composite18.queries, Composite18.oracle),

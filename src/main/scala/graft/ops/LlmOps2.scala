@@ -48,7 +48,7 @@ object LlmOps2 {
     * per-pair allocation; the oracle compares RAW string bigram sets —
     * identical Jaccard barring a 64-bit collision (~1e-13 at this
     * vocabulary size). */
-  private def bigramSets(s: SparkSession, dir: String): DataFrame =
+  private[graft] def bigramSets(s: SparkSession, dir: String): DataFrame =
     tokenized(s, dir)
       .filter(size(col("w")) >= 2)
       .select(col("doc_id"), col("lang"), size(col("w")).as("n_tok"),
