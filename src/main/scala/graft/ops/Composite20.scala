@@ -385,20 +385,55 @@ object Composite20 {
   // vs 3 s) at sf0.1. Adjacency rides a broadcast here; at cluster
   // scale the same two joins shuffle on the node key.
   private def commonNeighbors(s: SparkSession, dir: String): DataFrame = {
-    val und = Composite4.coPurchaseEdges(s, dir).localCheckpoint()
-    val pairs = und.filter(col("src") < col("dst"))
-      .select(col("src").as("a"), col("dst").as("b"))
-    val adj = und.groupBy(col("src").as("n"))
-      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
-    pairs
-      .join(broadcast(adj.select(col("n").as("a"), col("nbrs").as("na"))),
+    // |N(a)∩N(b)| for an EDGE (a,b) is the number of triangles
+    // through that edge, so the oriented triangle core (degree-
+    // ordered adjacency, ~¼ the intersect work of full lists) finds
+    // every triangle once and each triangle credits its THREE edges
+    // — the localClustering corner-explode shape, keyed by edge
+    // instead of node. Full-adjacency intersection per edge measured
+    // 2-4× slower; the naive wedge self-join 10× slower.
+    val e = Composite4.coPurchaseEdges(s, dir)
+      .filter(col("src") < col("dst")).localCheckpoint()
+    val deg = e.select(col("src").as("n")).union(e.select(col("dst").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val o = e
+      .join(broadcast(deg.select(col("n").as("src"), col("d").as("da"))),
+        "src")
+      .join(broadcast(deg.select(col("n").as("dst"), col("d").as("db"))),
+        "dst")
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("src") < col("dst")), col("src"))
+          .otherwise(col("dst")).as("u"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("src") < col("dst")), col("dst"))
+          .otherwise(col("src")).as("v"))
+    val adj = o.groupBy(col("u"))
+      .agg(sort_array(collect_list(col("v"))).as("nbrs"))
+    val cn = o
+      .join(broadcast(adj.select(col("u"), col("nbrs").as("nu"))), Seq("u"))
+      .join(broadcast(adj.select(col("u").as("v"), col("nbrs").as("nv"))),
+        Seq("v"), "left")
+      .select(col("u"), col("v"), explode(array_intersect(col("nu"),
+        coalesce(col("nv"), expr("CAST(array() AS ARRAY<BIGINT>)"))))
+        .as("w"))
+      .select(explode(array(
+        struct(least(col("u"), col("v")).as("a"),
+          greatest(col("u"), col("v")).as("b")),
+        struct(least(col("u"), col("w")).as("a"),
+          greatest(col("u"), col("w")).as("b")),
+        struct(least(col("v"), col("w")).as("a"),
+          greatest(col("v"), col("w")).as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cn"))
+    e.select(col("src").as("a"), col("dst").as("b"))
+      .join(cn, Seq("a", "b"), "left")
+      .join(broadcast(deg.select(col("n").as("a"), col("d").as("deg_a"))),
         "a")
-      .join(broadcast(adj.select(col("n").as("b"), col("nbrs").as("nb"))),
+      .join(broadcast(deg.select(col("n").as("b"), col("d").as("deg_b"))),
         "b")
       .select(col("a"), col("b"),
-        size(array_intersect(col("na"), col("nb"))).cast("bigint").as("cn"),
-        size(col("na")).cast("bigint").as("deg_a"),
-        size(col("nb")).cast("bigint").as("deg_b"))
+        coalesce(col("cn"), lit(0L)).as("cn"), col("deg_a"), col("deg_b"))
       .select(col("a"), col("b"), col("cn"), col("deg_a"), col("deg_b"),
         (col("cn").cast("double") /
           (col("deg_a") + col("deg_b") - col("cn")).cast("double"))
