@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions for the round-16 operators (SURVEY §2.37-41):
+  * the broadcasts, rank-filter limits, and integer-only pair scans
+  * those rows promise, held against the executed plan.
+  */
+class Round16PlanSpec extends AnyFunSuite {
+  import TestSpark.{sf, spark}
+
+  private def executed(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.count() // finalize AQE
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("graph_connected_components: iterative lineage is checkpoint-truncated") {
+    // The per-round broadcast joins run in their OWN jobs; the final
+    // plan must root at the checkpointed label RDD instead of
+    // replaying a 6-round join tree (the pagerank lineage discipline
+    // — an unbounded lineage re-executes every round per action).
+    val plan = executed("graph_connected_components")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"final aggregate must read the checkpointed labels:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"a join surviving into the final plan means lineage was not cut:\n$plan")
+  }
+
+  test("evt_concurrency_peak: peak lookup broadcasts; one window per type") {
+    val plan = executed("evt_concurrency_peak")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the 5-row peak side must broadcast:\n$plan")
+    assert(plan.contains("RunningWindowFunction") || plan.contains("Window"),
+      s"sweep-line running sum missing:\n$plan")
+  }
+
+  test("llm_mmr_rerank: greedy rounds read checkpointed candidates, not corpus rescans") {
+    // cand/pairs localCheckpoint once; five greedy rounds then never
+    // rescan embeddings — the final plan roots at the checkpointed
+    // selection, and no parquet scan survives into it.
+    val plan = executed("llm_mmr_rerank")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"selection must read the checkpointed frames:\n$plan")
+    assert(!plan.contains("FileScan parquet"),
+      s"a parquet scan in the final plan means the corpus is rescanned per action:\n$plan")
+  }
+
+  test("llm_simsearch_hamming: pair scan compares packed words, not float arrays") {
+    val df = SparkEntry.queries("llm_simsearch_hamming")(spark, sf)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("bit_count"),
+      s"hamming must run on bit_count(xor):\n$plan")
+    val joinPart = plan.split("NestedLoopJoin|BroadcastHashJoin").last
+    assert(!joinPart.contains("CosineSim"),
+      "no float kernel may survive into the pair scan")
+  }
+
+  test("agg_power_mde / evt_uplift_cuped: 1-row scalars ride broadcasts") {
+    assert(executed("agg_power_mde").contains("BroadcastNestedLoopJoin"),
+      "the 1-row totals side must broadcast")
+    assert(executed("evt_uplift_cuped").contains("BroadcastNestedLoopJoin"),
+      "the 1-row split/theta sides must broadcast")
+  }
+
+  test("scan_date_dim: generator explodes from a 1-row aggregate, no fact rescans") {
+    val plan = executed("scan_date_dim")
+    assert(plan.contains("Generate explode"),
+      s"calendar must come from sequence()+explode:\n$plan")
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected exactly one orders scan, got $scans:\n$plan")
+  }
+}
