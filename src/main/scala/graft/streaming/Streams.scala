@@ -154,4 +154,27 @@ object Streams {
       }
       .toDF("user_id", "threshold_multiple", "running_total")
   }
+
+  /** `evt_stream_windowed_topk`'s windowed aggregate: per-hour
+    * (window, user) activity counts. The streaming form runs THIS
+    * aggregate (the state Spark must keep); the per-window top-3
+    * ranking is a stateless post-step both forms share via
+    * [[rankWindowedCounts]] — in streaming it runs downstream of the
+    * windowed agg per micro-batch emission. */
+  def hourlyUserCounts(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("wstart"), col("user_id"), col("cnt"))
+
+  /** Stateless ranking shared by the batch query and the streaming
+    * twin's test assertion: top-3 users per hour window by
+    * (cnt DESC, user_id ASC). */
+  def rankWindowedCounts(counts: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("wstart"))
+      .orderBy(col("cnt").desc, col("user_id").asc)
+    counts.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("wstart"), col("rnk"), col("user_id"), col("cnt"))
+  }
 }

@@ -374,4 +374,30 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1)))
     assert(got.sameElements(Array((1L, "ALPHA"), (2L, "BETA"))))
   }
+
+  test("windowed top-k: streaming counts equal batch; shared ranking agrees") {
+    // The stateful stage is ONLY hourlyUserCounts; rankWindowedCounts
+    // is a stateless post-step both forms share — assert the
+    // streamed counts match batch, then that ranking them gives the
+    // evt_stream_windowed_topk surface.
+    val events = Seq(
+      Ev(1, t("10:05"), 1, "c", 0), Ev(2, t("10:10"), 1, "c", 0),
+      Ev(3, t("10:15"), 2, "c", 0), Ev(4, t("10:20"), 2, "c", 0),
+      Ev(5, t("10:25"), 2, "c", 0), Ev(6, t("10:30"), 3, "c", 0),
+      Ev(7, t("10:35"), 4, "c", 0), Ev(8, t("11:05"), 4, "c", 0))
+    import spark.implicits._
+    runStream("wtopk", events, Streams.hourlyUserCounts, "complete")
+    val streamed = spark.table("wtopk")
+      .orderBy("wstart", "user_id").collect()
+    val batch = Streams.hourlyUserCounts(events.toDF())
+      .orderBy("wstart", "user_id").collect()
+    assert(streamed.sameElements(batch))
+    val ranked = Streams.rankWindowedCounts(spark.table("wtopk"))
+      .orderBy("wstart", "rnk").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+    // hour 10: user 2 (3 events), user 1 (2), then user 3 before 4 on
+    // the id tiebreak; hour 11: only user 4
+    assert(ranked.take(3).sameElements(Array((1, 2L, 3L), (2, 1L, 2L), (3, 3L, 1L))))
+    assert(ranked.last == ((1, 4L, 1L)))
+  }
 }
