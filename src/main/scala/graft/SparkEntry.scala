@@ -51,6 +51,7 @@ object SparkEntry {
       (Composite23.queries, Composite23.oracle),
       (Composite24.queries, Composite24.oracle),
       (Composite25.queries, Composite25.oracle),
+      (Composite26.queries, Composite26.oracle),
       (LlmOps15.queries, LlmOps15.oracle),
       (LlmOps16.queries, LlmOps16.oracle),
       (Composite18.queries, Composite18.oracle),
