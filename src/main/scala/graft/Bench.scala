@@ -66,13 +66,6 @@ object Bench {
       // dedup timings), then time the warm execution — mirroring how
       // the DuckDB baseline numbers in BASELINE.md were taken.
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      // Drop cached relations the query (or its warm-up) registered:
-      // cache_reuse-style queries .cache() and never unpersist, so
-      // over a 300-query run the storage pool otherwise fills with
-      // dead cached plans and squeezes execution memory (seen as
-      // 3-5x in-run inflation of the heavy graph/dedup queries that
-      // vanishes when re-timed solo).
-      spark.catalog.clearCache()
       // Double GC with a settle pause: broadcast/shuffle blocks from
       // prior queries are reclaimed by the ContextCleaner only after
       // their driver references are collected, and the cleaner runs
@@ -82,9 +75,20 @@ object Bench {
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
         catch { case _: Throwable => false }
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // Drop cached relations the query registered AFTER the timed
+      // run: cache_reuse-style queries .cache() and never unpersist,
+      // so over a 300-query run the storage pool otherwise fills with
+      // dead cached plans and squeezes execution memory (seen as
+      // 3-5x in-run inflation of the heavy graph/dedup queries that
+      // vanishes when re-timed solo). Clearing BEFORE the timed run
+      // (the old placement) silently changed what cache-dependent
+      // queries measure — a cold cache materialization instead of the
+      // warm reuse the query exists to demonstrate.
+      spark.catalog.clearCache()
       // -1 is the driver's failure sentinel — a throwing query must
       // not report its time-to-exception as a legitimate timing
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> (if (ok) elapsed else -1.0)
     }
     // Failed queries carry the -1 sentinel in the per-query map but
     // must not subtract fictitious time from the headline total.

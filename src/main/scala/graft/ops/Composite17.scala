@@ -32,10 +32,15 @@ object Composite17 {
   // (deg, node)-ordered nodes. The 3T corner explosion is the only
   // addition over graph_triangle_count's plan.
   private def localClustering(s: SparkSession, dir: String): DataFrame = {
+    // e/deg/o/adj each feed 2+ consumers below — localCheckpoint()
+    // every node/edge-sized intermediate once (the Composite20
+    // commonNeighbors discipline) or the co-purchase groupBy +
+    // double-explode + distinct subtree re-executes per consumer
+    // (measured 9.4 s without, ~4 s with, at sf0.1).
     val e = Composite4.coPurchaseEdges(s, dir)
-      .filter(col("src") < col("dst"))
+      .filter(col("src") < col("dst")).localCheckpoint()
     val deg = e.select(col("src").as("n")).union(e.select(col("dst").as("n")))
-      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg")).localCheckpoint()
     val o = e
       .join(broadcast(deg.select(col("n").as("src"), col("deg").as("da"))),
         "src")
@@ -48,8 +53,10 @@ object Composite17 {
         when(col("da") < col("db") ||
           (col("da") === col("db") && col("src") < col("dst")), col("dst"))
           .otherwise(col("src")).as("v"))
+      .localCheckpoint()
     val adj = o.groupBy(col("u"))
       .agg(sort_array(collect_list(col("v"))).as("nbrs"))
+      .localCheckpoint()
     val corners = o
       .join(broadcast(adj.select(col("u"), col("nbrs").as("nu"))), Seq("u"))
       .join(broadcast(adj.select(col("u").as("v"), col("nbrs").as("nv"))),

@@ -381,9 +381,13 @@ object Composite20 {
   // triangle core's adjacency-list discipline — sorted neighbor
   // lists built with ONE node-keyed aggregate, then each unordered
   // edge intersects its endpoints' lists map-side — NOT the naive
-  // wedge self-join, whose Σdeg² blow-up measured 10× slower (33 s
-  // vs 3 s) at sf0.1. Adjacency rides a broadcast here; at cluster
-  // scale the same two joins shuffle on the node key.
+  // wedge self-join, whose Σdeg² blow-up measured ~10× slower at
+  // sf0.1. Adjacency rides a broadcast here; at cluster scale the
+  // same two joins shuffle on the node key. Every node/edge-sized
+  // intermediate (e, deg, o, adj) is localCheckpoint()'d because
+  // each has 2-4 consumers downstream — without the checkpoints the
+  // whole subtree re-executes per consumer (measured 17 s; with
+  // them ~4 s at sf0.1).
   private def commonNeighbors(s: SparkSession, dir: String): DataFrame = {
     // |N(a)∩N(b)| for an EDGE (a,b) is the number of triangles
     // through that edge, so the oriented triangle core (degree-
@@ -395,7 +399,7 @@ object Composite20 {
     val e = Composite4.coPurchaseEdges(s, dir)
       .filter(col("src") < col("dst")).localCheckpoint()
     val deg = e.select(col("src").as("n")).union(e.select(col("dst").as("n")))
-      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      .groupBy(col("n")).agg(count(lit(1)).as("d")).localCheckpoint()
     val o = e
       .join(broadcast(deg.select(col("n").as("src"), col("d").as("da"))),
         "src")
@@ -408,8 +412,10 @@ object Composite20 {
         when(col("da") < col("db") ||
           (col("da") === col("db") && col("src") < col("dst")), col("dst"))
           .otherwise(col("src")).as("v"))
+      .localCheckpoint()
     val adj = o.groupBy(col("u"))
       .agg(sort_array(collect_list(col("v"))).as("nbrs"))
+      .localCheckpoint()
     val cn = o
       .join(broadcast(adj.select(col("u"), col("nbrs").as("nu"))), Seq("u"))
       .join(broadcast(adj.select(col("u").as("v"), col("nbrs").as("nv"))),

@@ -91,8 +91,12 @@ object Composite24 {
   // the curve — the membership explode is map-side and bounded by 7
   // thresholds per pair.
   private def dedupThresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    // g feeds three consumers (keys, and sets joined twice) — without
+    // the localCheckpoint the tokenize+bigram pipeline re-executes
+    // per consumer (measured 9.7 s; ~4 s with). Document-count-sized.
     val g = LlmOps2.bigramSets(s, dir)
       .withColumn("bucket", floor(col("n_tok").cast("double") / 8.0))
+      .localCheckpoint()
     val keys = g.select(col("doc_id"), col("lang"), col("bucket"))
     val pairs = keys.as("a").join(keys.as("b"),
         col("a.lang") === col("b.lang") &&
@@ -107,6 +111,8 @@ object Composite24 {
         round(graft.functions.SortedJaccard(col("bg"), col("bg_a")), 6)
           .as("j"))
       .filter(col("j") >= 0.3)
+      // surviving-pair-sized; consumed by both count branches below
+      .localCheckpoint()
     val swept = scored
       .select(col("doc_a"), col("doc_b"), col("j"),
         explode(expr(

@@ -56,6 +56,46 @@ object LlmOps2 {
                |  i -> xxhash64(concat_ws(' ', element_at(w, i + 1), element_at(w, i + 2)))))"""
           .stripMargin)).as("bg"))
 
+  /** Word-bigram Jaccard >= 0.5 near-dup pairs, blocked by (language,
+    * token-count bucket): a Jaccard-0.5 pair can differ by at most 2x
+    * in size, so same-size blocking keeps recall while shrinking
+    * blocks ~bucket-count-fold (edits that change token count can
+    * straddle a bucket boundary — the documented recall/scale trade;
+    * LSH banding is the unblocked-recall path, see llm_dedup_near).
+    * Shared by `llm_dedup_ngram` (which just adds the presentation
+    * orderBy) and `llm_dedup_cluster`'s near-dup edge build. */
+  private[graft] def ngramDupPairs(s: SparkSession, dir: String): DataFrame = {
+    // g feeds the pair-key scan AND both verify joins — localCheckpoint
+    // materializes the tokenize+bigram pipeline once (document-count-
+    // sized rows of hashed-bigram arrays) instead of re-executing it
+    // per consumer. Pair on bare keys first, then attach the bigram
+    // sets (same plan discipline as nearDupPairs: never push array
+    // payloads through the pair-generating join).
+    val g = bigramSets(s, dir)
+      .withColumn("bucket", floor(col("n_tok").cast("double") / 8.0))
+      .localCheckpoint()
+    val keys = g.select(col("doc_id"), col("lang"), col("bucket"))
+    val pairs = keys.as("a").join(keys.as("b"),
+        col("a.lang") === col("b.lang") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // Both verify joins SHUFFLE the sets side on doc_id (hint pins
+    // it): the two exchanges are canonically identical and
+    // ReuseExchange scans the checkpointed blocks ONCE. The array-
+    // carrying side still never broadcasts — the right plan at any
+    // scale.
+    val sets = g.select(col("doc_id"), col("bg")).hint("shuffle_merge")
+    val withA = sets.join(pairs, col("doc_id") === col("doc_a"))
+      .select(col("doc_a"), col("doc_b"), col("bg").as("bg_a"))
+    sets.join(withA, col("doc_id") === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.SortedJaccard(col("bg"), col("bg_a")).as("jaccard"))
+      .filter(round(col("jaccard"), 6) >= 0.5)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** 64-bit SimHash over distinct token hashes: bit j is set when at
     * least half the tokens have bit j set in xxhash64(token).
     * Computed per row by the codegen kernel
@@ -172,35 +212,8 @@ object LlmOps2 {
     // -count-fold (edits that change token count can straddle a bucket
     // boundary — the documented recall/scale trade; LSH banding is the
     // unblocked-recall path, see llm_dedup_near).
-    "llm_dedup_ngram" -> ((s: SparkSession, dir: String) => {
-      val g = bigramSets(s, dir)
-        .withColumn("bucket", floor(col("n_tok").cast("double") / 8.0))
-      // Pair on bare keys first, then attach the bigram sets through
-      // broadcast-pinned joins (same plan discipline as nearDupPairs:
-      // never push array payloads through the pair-generating join).
-      val keys = g.select(col("doc_id"), col("lang"), col("bucket"))
-      val pairs = keys.as("a").join(keys.as("b"),
-          col("a.lang") === col("b.lang") &&
-            col("a.bucket") === col("b.bucket") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      // Both verify joins SHUFFLE the sets side on doc_id (hint pins
-      // it): the two exchanges are then canonically identical and
-      // ReuseExchange computes the expensive bigram pipeline ONCE — a
-      // broadcast-pairs plan streamed sets through a BHJ with no
-      // reusable exchange and computed the bigrams twice (measured
-      // ~25% of the query). The array-carrying side still never
-      // broadcasts — the right plan at any scale.
-      val sets = g.select(col("doc_id"), col("bg")).hint("shuffle_merge")
-      val withA = sets.join(pairs, col("doc_id") === col("doc_a"))
-        .select(col("doc_a"), col("doc_b"), col("bg").as("bg_a"))
-      sets.join(withA, col("doc_id") === col("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          graft.functions.SortedJaccard(col("bg"), col("bg_a")).as("jaccard"))
-        .filter(round(col("jaccard"), 6) >= 0.5)
-        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
-        .orderBy("doc_a", "doc_b")
-    }),
+    "llm_dedup_ngram" -> ((s: SparkSession, dir: String) =>
+      ngramDupPairs(s, dir).orderBy("doc_a", "doc_b")),
 
     // SimHash banding + Hamming <= 3 (signature-space near-dup).
     // No oracle (algorithmic); planted-pair recall in LlmSpec.

@@ -84,7 +84,13 @@ object LlmOps4 {
     var iter = 1
     var converged = false
     while (!converged && iter < maxIter) {
-      val next = und.join(labels, col("b") === col("node"))
+      // Broadcast the node-sized label table so the ~2E+N-row und
+      // side never shuffles: the only exchange per round is the
+      // map-side-combined min on `a` (the Composite20 CC discipline).
+      // On a graph whose node table outgrows the broadcast threshold
+      // the hint degrades gracefully to a node-keyed shuffle join —
+      // the algebra is unchanged.
+      val next = und.join(broadcast(labels), col("b") === col("node"))
         .groupBy("a").agg(min("label").as("label"))
         .withColumnRenamed("a", "node")
         .persist()
@@ -213,7 +219,9 @@ object LlmOps4 {
     // min-label propagation. Output: every clustered doc with its
     // cluster representative (min doc_id).
     "llm_dedup_cluster" -> ((s: SparkSession, dir: String) => {
-      val near = LlmOps2.queries("llm_dedup_ngram")(s, dir)
+      // ngramDupPairs checkpoints its bigram-set build internally and
+      // skips llm_dedup_ngram's presentation sort — edges don't need it.
+      val near = LlmOps2.ngramDupPairs(s, dir)
         .select(col("doc_a").as("a"), col("doc_b").as("b"))
       val edges = exactDupEdges(load(s, dir, "documents")).union(near)
       connectedComponents(edges)
