@@ -13,10 +13,13 @@ import graft.util.Tables._
   * column (10 balanced classes, verified).
   *
   * Scale shapes: hard negatives fan 20 pinned queries across the
-  * corpus (linear); LOO k-NN is the documented brute-force O(N²)
-  * eval (at corpus scale the candidate set would come from the IVF
-  * blocking of llm_simsearch_ivf — the eval contract is unchanged);
-  * label margins reduce to 10 centroids and a 10×10 cosine matrix.
+  * corpus (linear); LOO k-NN scores each unordered pair once
+  * (symmetric N²/2 — still the exact eval the oracle demands), with
+  * the IVF-candidate variant [[knnClassifyIvf]] as the corpus-scale
+  * path (spec-pinned equal to exact on clustered data; on this
+  * near-uniform corpus candidate misses flip votes, so it cannot be
+  * the oracle-checked query); label margins reduce to 10 centroids
+  * and a 10×10 cosine matrix.
   *
   * Determinism: every ranking uses round(cos, 6) DESC, vec_id ASC
   * (kmeans discipline); majority votes tie to the smallest label;
@@ -70,20 +73,61 @@ object LlmOps14 {
   // Leave-one-out 5-NN majority-vote accuracy per class — the
   // standard embedding-quality probe. Neighbor votes tie-break to
   // the smallest label; the per-class surface is (label, n,
-  // n_correct, accuracy). Brute-force N² scoring is the documented
-  // eval baseline (the fused CosineSim kernel keeps it map-side);
-  // at corpus scale the same ranking runs over IVF candidates.
-  private def knnClassify(s: SparkSession, dir: String): DataFrame = {
-    val emb = load(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"), col("label"))
+  // n_correct, accuracy). The declared plan is EXACT (it must match
+  // the brute-force LOO oracle) but scores each unordered pair ONCE
+  // using cosine symmetry: the array-carrying half-join emits N²/2
+  // rows, is checkpointed as bare scalars, and the mirrored copy is
+  // a free projection — halving the dominant cost (materializing
+  // embedding pairs). An IVF-candidate re-rank was built and
+  // measured ([[knnClassifyIvf]], the documented scale path): on
+  // this corpus' near-uniform embeddings candidate misses flip
+  // majority votes at EVERY scale factor, so it cannot be the
+  // declared (oracle-exact) query; LlmSpec asserts its equivalence
+  // on a clustered fixture where IVF recall is exact.
+  private def knnClassify(s: SparkSession, dir: String): DataFrame =
+    knnClassifyExact(load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label")))
+
+  /** Exact LOO 5-NN vote with symmetric halving: join on
+    * vec_id < nid, round once, mirror the scalar rows. */
+  private[graft] def knnClassifyExact(emb0: DataFrame): DataFrame = {
+    val emb = emb0.select(col("vec_id"), col("embedding"), col("label"))
     val right = emb.select(col("vec_id").as("nid"),
       col("embedding").as("nvec"), col("label").as("nlabel"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(desc("cos"), asc("nid"))
-    val votes = emb.join(broadcast(right), col("vec_id") =!= col("nid"))
+    // The streamed side arrives as ONE parquet split (the corpus is a
+    // single small file), and the nested-loop join + cosine + the
+    // local top-5 sort all inherit that partitioning — measured 3.2 s
+    // single-task for the sort alone. Spread the streamed side across
+    // the full shuffle-partition count first; the count must be
+    // EXPLICIT because AQE sees only the tiny pre-join shuffle
+    // (N rows) and would coalesce it back to one partition, blind to
+    // the ×N fan-out on the other side of the nested-loop join.
+    val scored = emb.repartition(
+        emb.sparkSession.sessionState.conf.numShufflePartitions,
+        col("vec_id"))
+      .join(broadcast(right), col("vec_id") < col("nid"))
       .select(col("vec_id"), col("label"), col("nid"), col("nlabel"),
         round(graft.functions.CosineSim(col("embedding"), col("nvec")), 6)
           .as("cos"))
+      // consumed twice (identity + mirror) — checkpointed as bare
+      // scalars so the N²/2 array join runs once. (An explode-based
+      // single-pass mirror measured ~1.6x SLOWER: the generate node
+      // splits the codegen stage feeding the window's partial
+      // top-k.)
+      .localCheckpoint()
+    val sym = scored.unionAll(scored.select(
+      col("nid").as("vec_id"), col("nlabel").as("label"),
+      col("vec_id").as("nid"), col("label").as("nlabel"), col("cos")))
+    voteAccuracy(sym)
+  }
+
+  /** (vec_id, label, nid, nlabel, cos) candidate rows → per-class
+    * LOO 5-NN majority-vote accuracy (shared vote/tie/aggregate
+    * tail of the exact and IVF plans). */
+  private def voteAccuracy(cand: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(desc("cos"), asc("nid"))
+    val votes = cand
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
     val pw = Window.partitionBy(col("vec_id"))
@@ -99,6 +143,47 @@ object LlmOps14 {
         round(sum(when(col("nlabel") === col("label"), 1L).otherwise(0L))
           .cast("double") / count(lit(1)).cast("double"), 6).as("accuracy"))
       .orderBy("label")
+  }
+
+  /** IVF-candidate LOO 5-NN vote; `nprobe`/`centEvery` mirror
+    * [[LlmOps3.ivfTopK]]'s defaults. Package-private so LlmSpec can
+    * compare it against [[knnClassifyBrute]] directly. */
+  private[graft] def knnClassifyIvf(emb: DataFrame, nprobe: Int = 2,
+      centEvery: Int = 97): DataFrame = {
+    val centroids = emb.filter(col("vec_id") % centEvery === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    // Corpus → nearest centroid, as a max_by AGGREGATE (shuffles one
+    // row per vector; a window would replicate the corpus ×|cells|).
+    val cells = emb.crossJoin(broadcast(centroids))
+      .withColumn("cent_sim",
+        graft.functions.CosineSim(col("embedding"), col("cent_emb")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cent_id"),
+          struct(col("cent_sim"), -col("cent_id"))).as("cell"),
+        first(col("embedding")).as("embedding"),
+        first(col("label")).as("label"))
+    // Every vector probes its nprobe nearest cells (rank-filter limit
+    // — WindowGroupLimit keeps the per-vector heap bounded).
+    val wProbe = Window.partitionBy(col("vec_id"))
+      .orderBy(desc("cent_sim"), asc("cent_id"))
+    val probes = emb.crossJoin(broadcast(centroids))
+      .withColumn("cent_sim",
+        graft.functions.CosineSim(col("embedding"), col("cent_emb")))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nprobe)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("label").as("qlabel"), col("cent_id").as("cell"))
+    // In-cell scan: each vector lives in exactly ONE cell, so a
+    // (qid, nid) pair can surface at most once — no dedup needed.
+    voteAccuracy(cells
+      .select(col("cell"), col("vec_id").as("nid"),
+        col("embedding").as("nvec"), col("label").as("nlabel"))
+      .join(probes, "cell")
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid").as("vec_id"), col("qlabel").as("label"),
+        col("nid"), col("nlabel"),
+        round(graft.functions.CosineSim(col("qvec"), col("nvec")), 6)
+          .as("cos")))
   }
 
   private val knnClassifyOracle =

@@ -266,6 +266,40 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("llm_knn_classify: IVF-candidate vote equals the exact LOO vote on a clustered corpus") {
+    import spark.implicits._
+    // 10 tight clusters on near-orthogonal axes: member i of cluster c
+    // points along dim c with a small deterministic jitter in dim
+    // 32+c, so every vector's true 5-NN are cluster-mates and
+    // cross-cluster cosine is ~0. Ids are c*100+i with centEvery=100,
+    // so the IVF coarse centroids are exactly one member per cluster
+    // and every vector's nearest cell is its own cluster — the IVF
+    // candidate set provably contains the true top-5, making the
+    // approximate plan EXACT here. (On the near-uniform driver corpus
+    // that containment fails, which is why the declared query is the
+    // exact symmetric plan — this fixture pins the scale path's
+    // semantics instead.)
+    def vec(c: Int, i: Int): Array[Float] = {
+      val a = Array.fill(64)(0.0f)
+      a(c) = 1.0f
+      a(32 + c) = 0.01f * (i % 7)
+      a
+    }
+    val rows = for (c <- 0 until 10; i <- 0 until 30)
+      yield (c * 100L + i, vec(c, i), c)
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val exact = graft.ops.LlmOps14.knnClassifyExact(df).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val ivf = graft.ops.LlmOps14
+      .knnClassifyIvf(df, nprobe = 2, centEvery = 100).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(ivf.sameElements(exact),
+      s"\nivf   ${ivf.mkString(",")}\nexact ${exact.mkString(",")}")
+    // and the clusters are actually learnable: every class perfect
+    assert(exact.forall { case (_, n, nc, acc) => n == 30 && nc == 30 && acc == 1.0 },
+      s"fixture not cleanly clustered: ${exact.mkString(",")}")
+  }
+
   test("llm_bloom_prefilter: seenFilter is exactly the seen ∩ incoming set") {
     import spark.implicits._
     // bloom false positives must be cancelled by the exact verify join;
