@@ -96,6 +96,35 @@ object LlmOps2 {
         round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Multimodal-binary plumbing over a docs frame (doc_id, text,
+    * lang, n_chars): text re-encoded as an opaque binary payload +
+    * typed metadata, pushed through a partition-local "decode" that
+    * is a clearly-marked deterministic STUB for the image/audio
+    * decoders this container lacks. The Spark-side shape — binary
+    * column, per-partition batch iteration, typed output schema — is
+    * the real, tested part (LlmSpec + the SeedSweepSpec matrix). */
+  private[graft] def multimodalBinary(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
+        col("lang"), col("n_chars"))
+      .as[(Long, Array[Byte], String, Long)]
+      .mapPartitions { it =>
+        it.map { case (id, payload, lang, nChars) =>
+          // STUB decode: real pipelines would decode image/audio
+          // here; this deterministic fake extracts byte statistics.
+          var checksum = 0L
+          var i = 0
+          while (i < payload.length) { checksum = checksum * 31 + (payload(i) & 0xff); i += 1 }
+          val head = payload.take(8).map(b => f"${b & 0xff}%02x").mkString
+          (id, payload.length, checksum, head, lang, nChars)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "checksum", "head_hex", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** 64-bit SimHash over distinct token hashes: bit j is set when at
     * least half the tokens have bit j set in xxhash64(token).
     * Computed per row by the codegen kernel
@@ -352,26 +381,8 @@ object LlmOps2 {
     // — binary column, metadata struct, per-partition batch iteration,
     // typed output schema — is the real, tested part). No oracle
     // (binary + stub); asserted in LlmSpec.
-    "llm_multimodal_binary" -> ((s: SparkSession, dir: String) => {
-      import s.implicits._
-      load(s, dir, "documents")
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
-          col("lang"), col("n_chars"))
-        .as[(Long, Array[Byte], String, Long)]
-        .mapPartitions { it =>
-          it.map { case (id, payload, lang, nChars) =>
-            // STUB decode: real pipelines would decode image/audio
-            // here; this deterministic fake extracts byte statistics.
-            var checksum = 0L
-            var i = 0
-            while (i < payload.length) { checksum = checksum * 31 + (payload(i) & 0xff); i += 1 }
-            val head = payload.take(8).map(b => f"${b & 0xff}%02x").mkString
-            (id, payload.length, checksum, head, lang, nChars)
-          }
-        }
-        .toDF("doc_id", "n_bytes", "checksum", "head_hex", "lang", "n_chars")
-        .orderBy("doc_id")
-    }),
+    "llm_multimodal_binary" -> ((s: SparkSession, dir: String) =>
+      multimodalBinary(load(s, dir, "documents"))),
 
     // Frame sampling over an opaque payload (the video/audio shape):
     // the payload is cut into fixed 64-byte "frames", every 4th frame
