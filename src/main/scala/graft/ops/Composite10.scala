@@ -228,9 +228,13 @@ object Composite10 {
     * (one row per unordered pair) — the
     * [[graft.Graft.triangleCount]] facade surface. */
   private[graft] def triangleCountOn(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
+    // e/deg/o/adj each feed 2+ consumers — localCheckpoint() every
+    // node/edge-sized intermediate once (the Composite20
+    // commonNeighbors discipline) so the upstream edge build is not
+    // re-executed per consumer.
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
     val deg = e.select(col("src").as("n")).union(e.select(col("dst").as("n")))
-      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg")).localCheckpoint()
     val o = e
       .join(broadcast(deg.select(col("n").as("src"), col("deg").as("da"))), "src")
       .join(broadcast(deg.select(col("n").as("dst"), col("deg").as("db"))), "dst")
@@ -241,7 +245,9 @@ object Composite10 {
         when(col("da") < col("db") ||
           (col("da") === col("db") && col("src") < col("dst")), col("dst"))
           .otherwise(col("src")).as("v"))
+      .localCheckpoint()
     val adj = o.groupBy(col("u")).agg(sort_array(collect_list(col("v"))).as("nbrs"))
+      .localCheckpoint()
     val tri = o
       .join(broadcast(adj.select(col("u"), col("nbrs").as("nu"))), Seq("u"))
       .join(broadcast(adj.select(col("u").as("v"), col("nbrs").as("nv"))),

@@ -32,8 +32,12 @@ object Composite16 {
   // degree table broadcasts; the code path works identically as two
   // shuffle joins when it cannot.
   private def assortativity(s: SparkSession, dir: String): DataFrame = {
-    val edges = Composite4.coPurchaseEdges(s, dir)
+    // edges feeds deg AND the pairing join; deg feeds two broadcasts
+    // — checkpoint both (edge/node-sized) so the co-purchase build
+    // runs once, not three times (Composite20 discipline).
+    val edges = Composite4.coPurchaseEdges(s, dir).localCheckpoint()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .localCheckpoint()
     val paired = edges
       .join(broadcast(deg.select(col("src"), col("d").as("da"))), "src")
       .join(broadcast(deg.select(col("src").as("dst"), col("d").as("db"))),

@@ -54,8 +54,13 @@ object LlmOps10 {
           "i -> array_join(slice(t, i + 1, 3), ' '))")).as("h"))
       .distinct()
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // The inverted index feeds rarePairs AND the hot slice (which is
+    // itself read three times below): ReuseExchange dedups only the
+    // distinct's exchange, not this collect_set aggregate — without
+    // the checkpoint it re-runs per consumer (measured +0.5-1.3 s).
     val byShingle = grams.groupBy(col("h"))
       .agg(collect_set(col("doc_id")).as("ds"))
+      .localCheckpoint()
     val rarePairs = byShingle.filter(size(col("ds")).between(2, 20))
       .select(explode(expr(
         "flatten(transform(array_sort(ds), (a, i) -> " +
@@ -64,8 +69,10 @@ object LlmOps10 {
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_rare"))
+    // consumed by stats and BOTH sides of the hot-correction join
     val hotG = byShingle.filter(size(col("ds")) > 20)
       .select(col("h"), explode(col("ds")).as("doc_id"))
+      .localCheckpoint()
     // Threshold pushdown: n_shared ≤ n_rare + min(hot_a, hot_b), so a
     // pair that cannot reach 0.5·min(|A|,|B|) even with every hot
     // shingle shared is dropped BEFORE the hot-correction join — the
@@ -83,6 +90,9 @@ object LlmOps10 {
         col("sz").as("sb"), col("hc").as("hcb"))), "doc_b")
       .filter((col("n_rare") + least(col("hca"), col("hcb"))).cast("double") >=
         lit(0.5) * least(col("sa"), col("sb")).cast("double"))
+      // near-threshold pairs only (small); feeds the hot join AND the
+      // final assembly
+      .localCheckpoint()
     val hot = pruned.select(col("doc_a"), col("doc_b"))
       .join(hotG.as("ha"), col("doc_a") === col("ha.doc_id"))
       .join(hotG.as("hb"),
