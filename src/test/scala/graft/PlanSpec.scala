@@ -150,4 +150,59 @@ class PlanSpec extends AnyFunSuite {
     val base = graft.util.Tables.load(spark, sf, "lineitem").count()
     assert(n == base, s"merged read lost rows: $n != $base")
   }
+
+  test("graph/dedup heavies: multi-consumer subtrees sit behind a checkpoint boundary") {
+    // The round-7 fix class: every node/edge-sized intermediate with
+    // 2+ consumers is localCheckpoint()'d, so the executed plan reads
+    // it back as an ExistingRDD scan instead of re-executing the
+    // whole subtree per consumer (16.95 s -> ~4.7 s on
+    // common_neighbors alone). Pin the boundary's presence so a
+    // refactor that drops a checkpoint fails here, not in the bench.
+    Seq("graph_common_neighbors", "graph_local_clustering",
+      "graph_triangle_count", "graph_assortativity",
+      "llm_dedup_threshold_sweep", "llm_dedup_ngram").foreach { q =>
+      val plan = executed(q)
+      assert(plan.contains("Scan ExistingRDD"),
+        s"$q lost its checkpoint boundary:\n${plan.take(1500)}")
+    }
+  }
+
+  test("llm_knn_classify: scored pairs are checkpointed AND spread over many partitions") {
+    // Two pins in one: the scored-pair frame must sit behind a
+    // checkpoint boundary (it feeds the identity + mirror branches),
+    // and its partition count must be the explicit shuffle-partition
+    // count — AQE sizes the tiny pre-join shuffle and would coalesce
+    // to ONE task, blind to the xN nested-loop fan-out behind it
+    // (measured 3.2 s single-task sort). An implicit repartition
+    // (no count) silently re-introduces that cliff.
+    import spark.implicits._
+    val emb = (0 until 200).map { i =>
+      (i.toLong, (0 until 64).map(d => math.sin(i * 64.0 + d).toFloat).toArray, i % 5)
+    }.toDF("vec_id", "embedding", "label")
+    val out = graft.ops.LlmOps14.knnClassifyExact(emb)
+    val plan = { out.count(); out.queryExecution.executedPlan.toString }
+    assert(plan.contains("Scan ExistingRDD"),
+      s"scored pairs lost their checkpoint boundary:\n${plan.take(1500)}")
+    // reach the checkpointed RDD through the union's children: both
+    // branches scan the same RDD; its partitioning must be the
+    // session shuffle-partition count, not AQE's coalesced 1.
+    // collectLeaves() stops at AQE/query-stage wrappers, so descend
+    // manually.
+    import org.apache.spark.sql.execution.{SparkPlan, RDDScanExec}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def leaves(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
+      case q: QueryStageExec => leaves(q.plan)
+      case _ if p.children.isEmpty => Seq(p)
+      case _ => p.children.flatMap(leaves)
+    }
+    val expected = spark.sessionState.conf.numShufflePartitions
+    val rddScans = leaves(out.queryExecution.executedPlan)
+      .collect { case r: RDDScanExec => r }
+    assert(rddScans.nonEmpty, s"no RDD scan found:\n${plan.take(1500)}")
+    rddScans.foreach { r =>
+      assert(r.rdd.getNumPartitions == expected,
+        s"scored RDD has ${r.rdd.getNumPartitions} partitions, expected $expected (AQE coalesce crept back)")
+    }
+  }
 }
