@@ -268,7 +268,7 @@ object Composite10 {
 
   private def triangleCount(s: SparkSession, dir: String): DataFrame =
     triangleCountOn(
-      Composite4.coPurchaseEdges(s, dir).filter(col("src") < col("dst")))
+      Composite4.coPurchaseHalfEdges(s, dir))
 
   private val triangleOracle =
     """WITH ps AS (

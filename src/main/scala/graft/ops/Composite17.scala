@@ -37,8 +37,7 @@ object Composite17 {
     // commonNeighbors discipline) or the co-purchase groupBy +
     // double-explode + distinct subtree re-executes per consumer
     // (measured 9.4 s without, ~4 s with, at sf0.1).
-    val e = Composite4.coPurchaseEdges(s, dir)
-      .filter(col("src") < col("dst")).localCheckpoint()
+    val e = Composite4.coPurchaseHalfEdges(s, dir).localCheckpoint()
     val deg = e.select(col("src").as("n")).union(e.select(col("dst").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg")).localCheckpoint()
     val o = e

@@ -98,9 +98,13 @@ object Composite19 {
   // (lift DESC, pair) over pairs with support ≥ 5 — the min-support
   // prune runs BEFORE the item join.
   private def basketLift(s: SparkSession, dir: String): DataFrame = {
+    // sets feeds pairs, items AND the order count — checkpoint the
+    // order-sized aggregate once (Composite20 discipline) or the
+    // lineitem groupBy re-executes per consumer.
     val sets = load(s, dir, "lineitem")
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .localCheckpoint()
     val pairs = sets
       .select(explode(expr(
         """flatten(transform(ps, (a, i) ->

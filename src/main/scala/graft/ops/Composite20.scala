@@ -396,8 +396,7 @@ object Composite20 {
     // — the localClustering corner-explode shape, keyed by edge
     // instead of node. Full-adjacency intersection per edge measured
     // 2-4× slower; the naive wedge self-join 10× slower.
-    val e = Composite4.coPurchaseEdges(s, dir)
-      .filter(col("src") < col("dst")).localCheckpoint()
+    val e = Composite4.coPurchaseHalfEdges(s, dir).localCheckpoint()
     val deg = e.select(col("src").as("n")).union(e.select(col("dst").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d")).localCheckpoint()
     val o = e

@@ -346,23 +346,42 @@ object Composite4 {
     ranks.orderBy("node")
   }
 
-  /** Co-purchase edge list (distinct directed part pairs sharing an
-    * order). Built as ONE orderkey aggregation + a map-side pair
-    * explosion rather than a sort-merge self-join: the groupBy
-    * shuffles the projected fact once (no per-side sorts), the
-    * within-order pair generation is pure map work, and the global
-    * DISTINCT is the only other shuffle. Per-order part sets are
-    * bounded (TPC-H orders have ≤7 lines), so the explosion cannot
-    * skew. Shared by graph_pagerank and graph_degree_dist.
+  /** Unordered co-purchase pairs (src < dst, each once). Built as ONE
+    * orderkey aggregation + a map-side pair explosion rather than a
+    * sort-merge self-join: the groupBy shuffles the projected fact
+    * once (no per-side sorts), the within-order pair generation is
+    * pure map work over the SORTED part set (so each unordered pair
+    * is emitted exactly once — half the rows the old both-directions
+    * explosion pushed into the global DISTINCT, which is the only
+    * other shuffle). Per-order part sets are bounded (TPC-H orders
+    * have ≤7 lines), so the explosion cannot skew. Triangle-core
+    * consumers (triangle_count, local_clustering, common_neighbors)
+    * use this directly; symmetric-graph consumers go through
+    * [[coPurchaseEdges]].
     */
-  private[graft] def coPurchaseEdges(s: SparkSession, dir: String): DataFrame =
+  private[graft] def coPurchaseHalfEdges(s: SparkSession, dir: String): DataFrame =
     load(s, dir, "lineitem")
       .groupBy(col("l_orderkey"))
-      .agg(collect_set(col("l_partkey")).as("ps"))
-      .select(explode(col("ps")).as("src"), col("ps"))
-      .select(col("src"), explode(col("ps")).as("dst"))
-      .filter(col("src") =!= col("dst"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps)),
+          |            y -> struct(x AS src, y AS dst))))""".stripMargin))
+        .as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"))
       .distinct()
+
+  /** Directed-symmetric co-purchase edge list: [[coPurchaseHalfEdges]]
+    * union its map-side swap. The dedup exchange under the half-edge
+    * build is shared between the two union branches (ReuseExchange),
+    * so symmetrizing costs no extra shuffle. Shared by pagerank,
+    * degree_dist, label_prop, kcore, connected_components,
+    * assortativity.
+    */
+  private[graft] def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val half = coPurchaseHalfEdges(s, dir)
+    half.unionAll(half.select(col("dst").as("src"), col("src").as("dst")))
+  }
 
   private def pageRank(s: SparkSession, dir: String): DataFrame =
     pageRankOn(coPurchaseEdges(s, dir), iterations = 5, damping = 0.85)
