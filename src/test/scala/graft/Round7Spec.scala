@@ -32,6 +32,27 @@ class Round7Spec extends AnyFunSuite {
     assert(total == nCust)
   }
 
+  test("coPurchaseHalfEdges: each unordered pair once; symmetric closure matches the naive build") {
+    val half = graft.ops.Composite4.coPurchaseHalfEdges(spark, sf)
+    val hrows = half.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(hrows.nonEmpty)
+    assert(hrows.forall { case (a, b) => a < b }, "half edges must be src < dst")
+    assert(hrows.distinct.length == hrows.length, "duplicate unordered pair")
+    // the symmetric closure must equal the reference definition:
+    // distinct (a, b), a != b, sharing an order — built here the
+    // naive both-directions way.
+    val full = graft.ops.Composite4.coPurchaseEdges(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val li = graft.util.Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = li.groupBy(_._1).values.map(_.map(_._2).distinct.toSeq)
+    val naive = byOrder.flatMap(ps =>
+      for (a <- ps; b <- ps if a != b) yield (a, b)).toSet
+    assert(full == naive, "symmetric closure diverges from the naive edge set")
+    assert(full.size == 2 * hrows.length)
+  }
+
   test("graph_pagerank: rank mass is conserved and every node surfaces") {
     val df = graft.ops.Composite4.queries("graph_pagerank")(spark, sf)
     // declared query: rank broadcasts reach the plan (no edge shuffle
