@@ -372,14 +372,21 @@ object Composite4 {
       .distinct()
 
   /** Directed-symmetric co-purchase edge list: [[coPurchaseHalfEdges]]
-    * union its map-side swap. The dedup exchange under the half-edge
-    * build is shared between the two union branches (ReuseExchange),
-    * so symmetrizing costs no extra shuffle. Shared by pagerank,
+    * union its map-side swap. The half-edge build (the only shuffle —
+    * groupBy + distinct) is localCheckpoint'd so BOTH union branches
+    * read the materialized blocks. Round 7 relied on ReuseExchange to
+    * share the dedup exchange between the branches instead, and the
+    * driver's bench showed it does NOT fire reliably under AQE
+    * replanning: every symmetric consumer re-ran the whole build per
+    * branch (graph_label_prop 2.45 → 9.81 s, pagerank/cc/kcore/
+    * assortativity all regressed ~+1-2 s). The checkpoint pins the
+    * build to exactly one execution per invocation; the swap branch
+    * is pure map work over the blocks. Shared by pagerank,
     * degree_dist, label_prop, kcore, connected_components,
     * assortativity.
     */
   private[graft] def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
-    val half = coPurchaseHalfEdges(s, dir)
+    val half = coPurchaseHalfEdges(s, dir).localCheckpoint()
     half.unionAll(half.select(col("dst").as("src"), col("src").as("dst")))
   }
 

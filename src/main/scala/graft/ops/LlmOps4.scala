@@ -100,6 +100,8 @@ object LlmOps4 {
       converged = cur.compareTo(prev) == 0
       prev = cur
       iter += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] round $iter labelSum=$cur converged=$converged")
     }
     if (!converged)
       // Unconverged labels are WRONG (one true component surfaces as
