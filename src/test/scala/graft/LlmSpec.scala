@@ -31,6 +31,23 @@ class LlmSpec extends AnyFunSuite {
     assert(out.length == 1 && out(0).getDouble(2) == 1.0)
   }
 
+  test("llm_dedup_near_verified: LSH output equals exhaustive exact Jaccard on the sf corpus") {
+    // The oracle-checked twin's whole claim is recall = 1.0 against
+    // the all-pairs ground truth; assert it in-engine too so a
+    // banding-parameter change that silently loses a pair fails here
+    // before it fails the driver's hash compare.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val sets = graft.ops.LlmOps.shingleSets(docs)
+    val exhaustive = sets.as("a").join(sets.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        graft.functions.SortedJaccard(col("a.sh"), col("b.sh")).as("j"))
+      .filter(col("j") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
+    val lsh = graft.SparkEntry.queries("llm_dedup_near_verified")(spark, sf)
+    assert(lsh.exceptAll(exhaustive).isEmpty && exhaustive.exceptAll(lsh).isEmpty)
+  }
+
   test("MinHashSig kernel is bit-identical to the 32x array_min(transform) form") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(200)
     val sets = graft.ops.LlmOps.shingleSets(docs)
