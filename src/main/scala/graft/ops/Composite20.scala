@@ -45,15 +45,30 @@ object Composite20 {
   // has converged (fixed-iteration semantics, pagerank discipline).
   private def connectedComponents(s: SparkSession, dir: String): DataFrame = {
     val edges = Composite4.coPurchaseEdges(s, dir).localCheckpoint()
-    var lbl = edges.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("l"))
-      .localCheckpoint()
-    for (_ <- 1 to 6) {
+    // Round 1 specialized: l0 is the identity labelling, so the
+    // neighbourhood-min of labels is just min(dst) — ONE map-side-
+    // combining aggregate replaces that round's two broadcast joins.
+    // (Symmetric edge list ⇒ every node appears as src, so this also
+    // covers the l0 node set.) Value-identical to the oracle's l1.
+    var lbl = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("m"))
+      .select(col("src").as("node"), least(col("src"), col("m")).as("l"))
+      .persist()
+    for (_ <- 2 to 6) {
       // The label table is node-sized — broadcast it so the 150×
       // larger edge list never shuffles; the only exchange per round
       // is the node-keyed min. (On a graph whose node table outgrows
       // the broadcast threshold both joins degrade gracefully to
       // node-keyed shuffles — the algebra is unchanged.)
+      //
+      // persist (not eager localCheckpoint): each round's broadcast
+      // collect is an action that materializes the PREVIOUS round's
+      // cache, so rounds still execute exactly once, but without the
+      // per-round standalone checkpoint job (6 jobs saved — measured
+      // ~1 s at sf0.1). Superseded rounds stay cached until the bench
+      // / session cleanup drops them: an in-loop unpersist would
+      // cascade a full lineage recompute, and six node-sized tables
+      // are noise next to the edge blocks.
       val nbrMin = edges
         .join(broadcast(lbl.select(col("node").as("dst"), col("l").as("pl"))),
           "dst")
@@ -62,7 +77,7 @@ object Composite20 {
       lbl = lbl.join(broadcast(nbrMin), Seq("node"), "left")
         .select(col("node"),
           least(col("l"), coalesce(col("nl"), col("l"))).as("l"))
-        .localCheckpoint()
+        .persist()
     }
     lbl.groupBy(col("l").as("component"))
       .agg(count(lit(1)).as("n_nodes"))

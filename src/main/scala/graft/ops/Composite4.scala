@@ -363,12 +363,20 @@ object Composite4 {
     load(s, dir, "lineitem")
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-      .select(explode(expr(
-        """flatten(transform(ps, (x, i) ->
-          |  transform(slice(ps, i + 2, size(ps)),
-          |            y -> struct(x AS src, y AS dst))))""".stripMargin))
-        .as("p"))
-      .select(col("p.src").as("src"), col("p.dst").as("dst"))
+      // Pair generation as TWO chained Generates (posexplode, then
+      // explode of the tail slice) instead of one explode over a
+      // flatten(transform(transform(...))) HOF tree: higher-order
+      // lambdas are evaluated interpreted (outside whole-stage
+      // codegen), and the HOF shape measured consistently slower in
+      // interleaved A/B at sf0.1. posexplode's 0-based i makes the
+      // 1-based slice start i+2 = "strictly after position i", so
+      // src < dst and each unordered pair is emitted exactly once —
+      // identical output to the HOF form.
+      .select(col("ps"), posexplode(col("ps")))
+      .toDF("ps", "i", "src")
+      .select(col("src"),
+        explode(slice(col("ps"), col("i") + lit(2), size(col("ps"))))
+          .as("dst"))
       .distinct()
 
   /** Directed-symmetric co-purchase edge list: [[coPurchaseHalfEdges]]
