@@ -15,16 +15,21 @@ class Round16PlanSpec extends AnyFunSuite {
     df.queryExecution.executedPlan.toString
   }
 
-  test("graph_connected_components: iterative lineage is checkpoint-truncated") {
+  test("graph_connected_components: iterative lineage is materialization-truncated") {
     // The per-round broadcast joins run in their OWN jobs; the final
-    // plan must root at the checkpointed label RDD instead of
-    // replaying a 6-round join tree (the pagerank lineage discipline
-    // — an unbounded lineage re-executes every round per action).
+    // aggregate must read the last round's MATERIALIZED labels
+    // (r8: persist() — the InMemoryRelation body still DISPLAYS the
+    // build tree, but execution scans the cache) instead of replaying
+    // a 6-round join tree per action. So: a materialization boundary
+    // must exist, and no join may sit ABOVE it.
     val plan = executed("graph_connected_components")
-    assert(plan.contains("Scan ExistingRDD"),
-      s"final aggregate must read the checkpointed labels:\n$plan")
-    assert(!plan.contains("BroadcastHashJoin"),
-      s"a join surviving into the final plan means lineage was not cut:\n$plan")
+    val boundary = Seq("InMemoryTableScan", "Scan ExistingRDD")
+      .map(plan.indexOf).filter(_ >= 0)
+    assert(boundary.nonEmpty,
+      s"final aggregate must read materialized labels:\n$plan")
+    val aboveBoundary = plan.substring(0, boundary.min)
+    assert(!aboveBoundary.contains("Join"),
+      s"a join above the materialization boundary replays the round tree:\n$plan")
   }
 
   test("evt_concurrency_peak: peak lookup broadcasts; one window per type") {
