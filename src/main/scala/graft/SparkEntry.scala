@@ -61,7 +61,8 @@ object SparkEntry {
       (LlmOps11.queries, LlmOps11.oracle),
       (LlmOps9.queries, LlmOps9.oracle),
       (SqlSurface.queries, SqlSurface.oracle),
-      (Typed.queries, Typed.oracle)
+      (Typed.queries, Typed.oracle),
+      (Composite27.queries, Composite27.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -84,6 +84,51 @@ object Composite20 {
       .orderBy("component")
   }
 
+  // ---- graph_connected_components_conv -----------------------------
+  // Convergence-DETECTED components (VERDICT r7 "next tier" item 3):
+  // the fixed-6-round row above pins the oracle's unrolled semantics;
+  // this row runs [[LlmOps4.connectedComponents]]'s min-label loop to
+  // its fixpoint (per-round 1-row label-sum scalar, O(diameter)
+  // rounds, throws rather than returning unconverged labels) and
+  // surfaces the same component histogram. Oracle: 10 unrolled
+  // HashMin rounds — strictly more than this graph's diameter, so the
+  // SQL side is at ITS fixpoint too and the two definitions coincide
+  // exactly (any divergence = the loop stopped early = red row).
+  // Half edges suffice: connectedComponents symmetrizes internally
+  // (both directions + self-loops), so the pre-symmetrized list would
+  // just be unioned into itself.
+  private def connectedComponentsConv(s: SparkSession, dir: String): DataFrame =
+    LlmOps4.connectedComponents(
+        Composite4.coPurchaseHalfEdges(s, dir).toDF("a", "b"), maxIter = 30)
+      .groupBy(col("cluster_id").as("component"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy("component")
+
+  // Every round CTE is referenced twice (as `p` and as `q`), so it
+  // must be AS MATERIALIZED: DuckDB otherwise inlines each reference
+  // and the 10-round tree re-expands 2^10-fold (the un-pinned form
+  // exhausted temp disk; the 6-round fixed oracle above survives
+  // inlining only because 2^6 is still small).
+  private def connectedComponentsConvOracle: String = {
+    val rounds = (1 to 10).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT p.node, least(p.l, coalesce(m.nl, p.l)) AS l
+         |  FROM l${i - 1} p LEFT JOIN (
+         |    SELECT e.src AS node, min(q.l) AS nl
+         |    FROM e JOIN l${i - 1} q ON e.dst = q.node
+         |    GROUP BY e.src) m ON p.node = m.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+       |  WHERE a.l_partkey <> b.l_partkey),
+       |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS l FROM e),
+       |$rounds
+       |SELECT l AS component, CAST(count(*) AS BIGINT) AS n_nodes
+       |FROM l10 GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   private def connectedComponentsOracle: String = {
     val rounds = (1 to 6).map { i =>
       s"""l$i AS (
@@ -487,6 +532,7 @@ object Composite20 {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_connected_components" -> (connectedComponents _),
+    "graph_connected_components_conv" -> (connectedComponentsConv _),
     "evt_concurrency_peak" -> (concurrencyPeak _),
     "win_bollinger" -> (bollinger _),
     "win_rsi" -> (rsi _),
@@ -497,6 +543,7 @@ object Composite20 {
 
   val oracle: Map[String, String] = Map(
     "graph_connected_components" -> connectedComponentsOracle,
+    "graph_connected_components_conv" -> connectedComponentsConvOracle,
     "evt_concurrency_peak" -> concurrencyPeakOracle,
     "win_bollinger" -> bollingerOracle,
     "win_rsi" -> rsiOracle,

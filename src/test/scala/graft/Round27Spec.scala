@@ -50,6 +50,49 @@ class Round27Spec extends AnyFunSuite {
     }
   }
 
+  test("graph_connected_components_conv: fixpoint labels partition every node") {
+    val conv = SparkEntry.queries("graph_connected_components_conv")(spark, sf)
+      .collect()
+    assert(conv.nonEmpty)
+    val nNodes = graft.ops.Composite4.coPurchaseEdges(spark, sf)
+      .select("src").distinct().count()
+    assert(conv.map(_.getLong(1)).sum == nNodes,
+      "component sizes must sum to the node count")
+    // every component label is the component's own minimum node id —
+    // a label that were not a member would violate min-label semantics
+    assert(conv.map(_.getLong(0)).distinct.length == conv.length)
+  }
+
+  test("dq_constraint_check: one row per declared constraint, counts non-negative") {
+    val rows = SparkEntry.queries("dq_constraint_check")(spark, sf).collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getString(0)).distinct.length == 10)
+    assert(rows.forall(_.getLong(1) >= 0))
+  }
+
+  test("dq_uniqueness_audit: surfaces the known lineitem composite-key duplicates") {
+    val rows = SparkEntry.queries("dq_uniqueness_audit")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(rows.size == 10)
+    // declared-unique single-column keys hold in this corpus
+    for ((e, (n, k, d)) <- rows if e != "lineitem.l_orderkey+l_linenumber") {
+      assert(d == 0 && n == k, s"$e expected unique, got $n rows / $k keys")
+    }
+    // the documented non-unique tuple must show a NON-zero dup count
+    // (Tables.lineitemCols note) — an audit that can't see it is broken
+    val (n, k, d) = rows("lineitem.l_orderkey+l_linenumber")
+    assert(d > 0 && d == n - k, s"expected duplicates, got $n/$k/$d")
+  }
+
+  test("dq_freshness: freshest type has lag 0; trailing window bounded by total") {
+    val rows = SparkEntry.queries("dq_freshness")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.exists(_.getLong(3) == 0L), "some type must carry the corpus max")
+    assert(rows.forall(r => r.getLong(4) <= r.getLong(1)))
+    assert(rows.forall(r => r.getLong(3) >= 0L))
+  }
+
   test("llm_dedup_near_verified and llm_dedup_near share one result surface") {
     val a = SparkEntry.queries("llm_dedup_near")(spark, sf).collect().toSeq
     val b = SparkEntry.queries("llm_dedup_near_verified")(spark, sf).collect().toSeq
