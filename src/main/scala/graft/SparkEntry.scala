@@ -62,7 +62,8 @@ object SparkEntry {
       (LlmOps9.queries, LlmOps9.oracle),
       (SqlSurface.queries, SqlSurface.oracle),
       (Typed.queries, Typed.oracle),
-      (Composite27.queries, Composite27.oracle)
+      (Composite27.queries, Composite27.oracle),
+      (Composite28.queries, Composite28.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -98,4 +98,67 @@ class Round27Spec extends AnyFunSuite {
     val b = SparkEntry.queries("llm_dedup_near_verified")(spark, sf).collect().toSeq
     assert(a == b, "twin rows must stay plan-identical")
   }
+
+  test("evt_session_stats: session count consistent with evt_session_window") {
+    // Same gap rule, different builder (session_window vs lag+cumsum):
+    // the session COUNT must agree. (session_window closes a session
+    // when the next event is MORE than 30 min after the previous —
+    // the same > predicate as the lag rule.)
+    val stats = SparkEntry.queries("evt_session_stats")(spark, sf).collect()(0)
+    val viaWindow = SparkEntry.queries("evt_session_window")(spark, sf).count()
+    assert(stats.getLong(0) == viaWindow,
+      s"lag+cumsum sessions ${stats.getLong(0)} != session_window $viaWindow")
+    assert(stats.getLong(1) > 0 && stats.getDouble(2) >= 1.0)
+  }
+
+  test("agg_geometric_mean: geo <= arithmetic, harm <= geo (AM-GM-HM)") {
+    val rows = SparkEntry.queries("agg_geometric_mean")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val arith = graft.util.Tables.load(spark, sf, "part")
+      .filter(col("p_retailprice") > 0)
+      .groupBy(col("p_brand")).agg(avg(col("p_retailprice")).as("am"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      val (geo, harm) = (r.getDouble(2), r.getDouble(3))
+      assert(harm <= geo + 1e-6 && geo <= arith(r.getString(0)) + 1e-6,
+        s"AM-GM-HM violated for ${r.getString(0)}")
+    }
+  }
+
+  test("llm_token_histogram: buckets partition the corpus; bounds inside bucket range") {
+    val rows = SparkEntry.queries("llm_token_histogram")(spark, sf).collect()
+    val nDocs = graft.util.Tables.load(spark, sf, "documents")
+      .filter(size(split(col("text"), " ")) >= 1).count()
+    assert(rows.map(_.getLong(1)).sum == nDocs)
+    rows.foreach { r =>
+      val (b, mn, mx) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      assert(mn >= (1L << b) && mx < (1L << (b + 1)),
+        s"bucket $b bounds [$mn,$mx] outside [2^$b, 2^${b + 1})")
+    }
+  }
+
+  test("win_macd: a constant series yields zero macd/signal/histogram") {
+    import spark.implicits._
+    val const = Seq.tabulate(60)(i => ("X", f"2024-01-${i % 28 + 1}%02dT${i / 28}", 100.0))
+      .map { case (n, d, x) => (n, d, x) }
+      .toDF("n_name", "day", "x")
+      .select(col("n_name"),
+        to_timestamp(col("day"), "yyyy-MM-dd'T'H").as("day"), col("x"))
+    const.createOrReplaceTempView("graft_macd_daily")
+    val out = spark.sql(graft.ops.Composite28.macdSqlForTest).collect()
+    assert(out.nonEmpty)
+    // truncated-kernel EMA of a constant is that constant (weights
+    // renormalize), so macd == signal == histogram == 0 everywhere
+    assert(out.forall(r =>
+      r.getDouble(2) == 0.0 && r.getDouble(3) == 0.0 && r.getDouble(4) == 0.0))
+  }
+
+  test("win_stochastic: pct_k bounded in [0, 100]; pct_d within pct_k hull") {
+    val rows = SparkEntry.queries("win_stochastic")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.filterNot(_.isNullAt(2)).foreach { r =>
+      val k = r.getDouble(2)
+      assert(k >= -1e-9 && k <= 100.0 + 1e-9, s"pct_k out of range: $k")
+    }
+  }
 }
