@@ -63,7 +63,8 @@ object SparkEntry {
       (SqlSurface.queries, SqlSurface.oracle),
       (Typed.queries, Typed.oracle),
       (Composite27.queries, Composite27.oracle),
-      (Composite28.queries, Composite28.oracle)
+      (Composite28.queries, Composite28.oracle),
+      (Composite29.queries, Composite29.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

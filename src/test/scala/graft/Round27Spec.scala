@@ -153,6 +153,46 @@ class Round27Spec extends AnyFunSuite {
       r.getDouble(2) == 0.0 && r.getDouble(3) == 0.0 && r.getDouble(4) == 0.0))
   }
 
+  test("evt_transition_time: transition counts match evt_markov_chain-style totals") {
+    val rows = SparkEntry.queries("evt_transition_time")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // Σ transitions = Σ_users (n_events - 1): every event except each
+    // user's first is the target of exactly one transition.
+    val e = graft.util.Tables.loadEvents(spark, sf)
+    val expected = e.count() - e.select("user_id").distinct().count()
+    assert(rows.map(_.getLong(2)).sum == expected)
+    assert(rows.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(4) >= 0.0))
+  }
+
+  test("win_rolling_skew: a symmetric two-point frame has zero skewness") {
+    // Sanity against the closed form: alternating {a, b} values give
+    // sample skewness 0 for any even frame. Use the real query's
+    // generated SQL over a synthetic view.
+    import spark.implicits._
+    Seq.tabulate(40)(i => ("Z", i, if (i % 2 == 0) 100.0 else 300.0))
+      .toDF("n_name", "i", "x")
+      .select(col("n_name"),
+        expr("timestamp '2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, i, 0, 0)")
+          .as("day"),
+        col("x"))
+      .createOrReplaceTempView("graft_skew_daily")
+    val out = spark.sql(graft.ops.Composite29.rollingSkewSqlForTest).collect()
+    // even-length frames alternate exactly; check the full-30 frames
+    val full = out.filter(_.getLong(2) == 30)
+    assert(full.nonEmpty)
+    assert(full.forall(r => math.abs(r.getDouble(4)) < 1e-6),
+      "even alternating frame must have ~0 skewness")
+  }
+
+  test("llm_vocab_coverage_curve: monotone non-decreasing, bounded by 1") {
+    val rows = SparkEntry.queries("llm_vocab_coverage_curve")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 3)
+    val cov = rows.sortBy(_.getLong(0)).map(_.getDouble(2))
+    assert(cov.zip(cov.tail).forall { case (a, b) => a <= b })
+    assert(cov.forall(c => c > 0.0 && c <= 1.0))
+  }
+
   test("win_stochastic: pct_k bounded in [0, 100]; pct_d within pct_k hull") {
     val rows = SparkEntry.queries("win_stochastic")(spark, sf).collect()
     assert(rows.nonEmpty)
