@@ -179,15 +179,72 @@ object Composite29 {
       |WHERE rnk IN (10, 100, 1000)
       |ORDER BY top_k""".stripMargin
 
+  // ---- evt_window_funnel -------------------------------------------
+  // ClickHouse-windowFunnel semantics, distinct from `evt_funnel`'s
+  // unconstrained chain: the whole view→click→purchase sequence must
+  // complete within ONE HOUR of the user's FIRST view, each step
+  // strictly after the previous. Output: users per furthest level
+  // (0 = never viewed). One generated SQL text runs on both engines
+  // over a (user_id, event_type, tu-µs) relation; each step is a
+  // user-keyed min aggregate joined to the previous step — three
+  // co-partitioned hash aggs, no window over the raw stream.
+  private val FunnelWindowUs = 3600000000L // 1 h in µs
+
+  private def windowFunnelSql(e: String): String =
+    s"""WITH $e
+       |u0 AS (SELECT DISTINCT user_id FROM e),
+       |u1 AS (
+       |  SELECT user_id, min(tu) AS t1 FROM e
+       |  WHERE event_type = 'view' GROUP BY user_id),
+       |u2 AS (
+       |  SELECT e.user_id, min(tu) AS t2 FROM e
+       |  JOIN u1 ON e.user_id = u1.user_id
+       |  WHERE event_type = 'click' AND tu > t1
+       |    AND tu <= t1 + $FunnelWindowUs
+       |  GROUP BY e.user_id),
+       |u3 AS (
+       |  SELECT e.user_id, min(tu) AS t3 FROM e
+       |  JOIN u1 ON e.user_id = u1.user_id
+       |  JOIN u2 ON e.user_id = u2.user_id
+       |  WHERE event_type = 'purchase' AND tu > t2
+       |    AND tu <= t1 + $FunnelWindowUs
+       |  GROUP BY e.user_id),
+       |lv AS (
+       |  SELECT u0.user_id,
+       |    CASE WHEN t3 IS NOT NULL THEN 3
+       |         WHEN t2 IS NOT NULL THEN 2
+       |         WHEN t1 IS NOT NULL THEN 1
+       |         ELSE 0 END AS level
+       |  FROM u0
+       |  LEFT JOIN u1 ON u0.user_id = u1.user_id
+       |  LEFT JOIN u2 ON u0.user_id = u2.user_id
+       |  LEFT JOIN u3 ON u0.user_id = u3.user_id)
+       |SELECT level, CAST(count(*) AS BIGINT) AS n_users
+       |FROM lv GROUP BY level ORDER BY level""".stripMargin
+
+  private def windowFunnel(s: SparkSession, dir: String): DataFrame = {
+    loadEvents(s, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tu"))
+      .createOrReplaceTempView("graft_funnel_events")
+    s.sql(windowFunnelSql(
+      "e AS (SELECT * FROM graft_funnel_events),"))
+  }
+
+  private val windowFunnelOracle = windowFunnelSql(
+    "e AS (SELECT user_id, event_type, epoch_us(ts) AS tu FROM events),")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_transition_time" -> (transitionTime _),
     "win_rolling_skew" -> (rollingSkew _),
-    "llm_vocab_coverage_curve" -> (vocabCoverageCurve _)
+    "llm_vocab_coverage_curve" -> (vocabCoverageCurve _),
+    "evt_window_funnel" -> (windowFunnel _)
   )
 
   val oracle: Map[String, String] = Map(
     "evt_transition_time" -> transitionTimeOracle,
     "win_rolling_skew" -> rollingSkewOracle,
-    "llm_vocab_coverage_curve" -> vocabCoverageCurveOracle
+    "llm_vocab_coverage_curve" -> vocabCoverageCurveOracle,
+    "evt_window_funnel" -> windowFunnelOracle
   )
 }

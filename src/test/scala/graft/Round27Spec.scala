@@ -153,6 +153,35 @@ class Round27Spec extends AnyFunSuite {
       r.getDouble(2) == 0.0 && r.getDouble(3) == 0.0 && r.getDouble(4) == 0.0))
   }
 
+  test("dq_constraint_check: ONE lineitem scan feeds all 7 lineitem constraints") {
+    // The §2.44 claim: the naive plan rescans the fact per constraint;
+    // this one must read lineitem exactly once.
+    val df = SparkEntry.queries("dq_constraint_check")(spark, sf)
+    // count SCAN nodes (file path mentions), not column-name echoes —
+    // the constraint aliases themselves contain the word "lineitem"
+    val plan = df.queryExecution.executedPlan.toString
+    val scans = "lineitem\\.parquet".r.findAllIn(plan).length
+    assert(scans >= 1, s"no lineitem scan found:\n${plan.take(1500)}")
+    assert(scans <= 2, // path may appear in both Location and ReadSchema lines
+      s"lineitem scanned more than once ($scans path mentions):\n${plan.take(3000)}")
+  }
+
+  test("evt_window_funnel: levels partition users; monotone level counts vs evt_funnel") {
+    val rows = SparkEntry.queries("evt_window_funnel")(spark, sf).collect()
+      .map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    val nUsers = graft.util.Tables.loadEvents(spark, sf)
+      .select("user_id").distinct().count()
+    assert(rows.values.sum == nUsers, "levels must partition the user base")
+    // the 1-hour-constrained funnel can never pass MORE users than the
+    // unconstrained evt_funnel at each stage
+    val loose = SparkEntry.queries("evt_funnel")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def reached(l: Long) = rows.filter(_._1 >= l).values.sum
+    assert(reached(1) <= loose("1_view"))
+    assert(reached(2) <= loose("2_click"))
+    assert(reached(3) <= loose("3_purchase"))
+  }
+
   test("evt_transition_time: transition counts match evt_markov_chain-style totals") {
     val rows = SparkEntry.queries("evt_transition_time")(spark, sf).collect()
     assert(rows.nonEmpty)
