@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.util.Tables._
+
+/** SURVEY.md §2.46 (round-8 additions, batch 4):
+  *
+  *  - [[skyline]]: the Pareto frontier / skyline query (Börzsönyi,
+  *    Kossmann & Stocker, ICDE 2001) over (o_totalprice, o_orderdate)
+  *    — orders not dominated by any other (≥ in both, > in one).
+  *    Single-pass window formulation: after DISTINCT on the point
+  *    pair, order by (price DESC, date DESC); a point survives iff
+  *    the running max of date over STRICTLY PRIOR rows is < its own
+  *    date (prior rows have higher price, or equal price with later
+  *    date — exactly the dominators). At cluster scale the same
+  *    algebra range-partitions on price, computes per-partition
+  *    skylines, and merges the (small) candidate frontiers — no
+  *    semantic change; the frontier itself is output-bounded.
+  *
+  *  - [[churnRisk]]: users inactive in the trailing 24 hours before
+  *    the CORPUS max timestamp (deterministic — no wall clock),
+  *    histogrammed by their LAST event type with staleness stats.
+  *    The last-event row is an argmax via (µs, event_id)-max struct —
+  *    one aggregate, no self-join, tie-broken deterministically.
+  */
+object Composite30 {
+
+  private def skyline(s: SparkSession, dir: String): DataFrame = {
+    val pts = load(s, dir, "orders")
+      .select(col("o_totalprice").as("price"),
+        col("o_orderdate").cast("date").as("day"))
+      .distinct()
+    val w = Window.orderBy(col("price").desc, col("day").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pts
+      .withColumn("md", max(col("day")).over(w))
+      .filter(col("md").isNull || col("md") < col("day"))
+      .select(col("price"), col("day"))
+      .orderBy(desc("price"), desc("day"))
+  }
+
+  private val skylineOracle =
+    """WITH pts AS (
+      |  SELECT DISTINCT o_totalprice AS price,
+      |    CAST(o_orderdate AS DATE) AS day
+      |  FROM orders),
+      |r AS (
+      |  SELECT price, day,
+      |    max(day) OVER (ORDER BY price DESC, day DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS md
+      |  FROM pts)
+      |SELECT price, day FROM r
+      |WHERE md IS NULL OR md < day
+      |ORDER BY price DESC, day DESC""".stripMargin
+
+  private val ChurnWindowUs = 24L * 3600 * 1000000 // 24 h in µs
+  // (this corpus spans ~30 days with every user active ~daily — a
+  // fortnight window is empty at every SF; 24 h keeps the op's signal
+  // non-trivial: 1/17/156 churned users at sf0.001/0.01/0.1)
+
+  private def churnRisk(s: SparkSession, dir: String): DataFrame = {
+    val e = loadEvents(s, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tu"), col("event_id"))
+    val g = e.agg(max(col("tu")).as("gmax"))
+    e.groupBy(col("user_id"))
+      .agg(max(struct(col("tu"), col("event_id"), col("event_type")))
+        .as("last"))
+      .crossJoin(broadcast(g))
+      .filter(col("last.tu") < col("gmax") - ChurnWindowUs)
+      .groupBy(col("last.event_type").as("last_event_type"))
+      .agg(count(lit(1)).as("n_churned"),
+        round(avg((col("gmax") - col("last.tu")) / 86400000000.0), 6)
+          .as("avg_stale_days"),
+        round(max((col("gmax") - col("last.tu")) / 86400000000.0), 6)
+          .as("max_stale_days"))
+      .orderBy("last_event_type")
+  }
+
+  private val churnRiskOracle =
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, epoch_us(ts) AS tu, event_id
+       |  FROM events),
+       |g AS (SELECT max(tu) AS gmax FROM e),
+       |lastev AS (
+       |  SELECT user_id,
+       |    max({'tu': tu, 'event_id': event_id, 'event_type': event_type})
+       |      AS last
+       |  FROM e GROUP BY user_id),
+       |churned AS (
+       |  SELECT last.event_type AS last_event_type,
+       |    (g.gmax - last.tu) / 86400000000.0 AS stale_days
+       |  FROM lastev CROSS JOIN g
+       |  WHERE last.tu < g.gmax - $ChurnWindowUs)
+       |SELECT last_event_type, CAST(count(*) AS BIGINT) AS n_churned,
+       |  round(avg(stale_days), 6) AS avg_stale_days,
+       |  round(max(stale_days), 6) AS max_stale_days
+       |FROM churned GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_skyline" -> (skyline _),
+    "evt_churn_risk" -> (churnRisk _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "agg_skyline" -> skylineOracle,
+    "evt_churn_risk" -> churnRiskOracle
+  )
+}

@@ -182,6 +182,39 @@ class Round27Spec extends AnyFunSuite {
     assert(reached(3) <= loose("3_purchase"))
   }
 
+  test("agg_skyline: frontier is mutually non-dominated (strictly staircase-shaped)") {
+    val rows = SparkEntry.queries("agg_skyline")(spark, sf).collect()
+      .map(r => (r.getDouble(0), r.getDate(1).toLocalDate))
+    assert(rows.nonEmpty)
+    // ordered by price DESC: a valid 2-D skyline must have STRICTLY
+    // increasing dates — any non-increase means one point dominates
+    // its neighbour
+    rows.sliding(2).foreach {
+      case Array((p1, d1), (p2, d2)) =>
+        assert(p1 > p2 || (p1 == p2 && d1.isAfter(d2)),
+          "ordering broken")
+        assert(d2.isAfter(d1), s"($p2,$d2) dominated by ($p1,$d1)")
+      case _ => ()
+    }
+    // and the global max-price / max-date points are always on it
+    val pts = graft.util.Tables.load(spark, sf, "orders")
+      .agg(max(col("o_totalprice")), max(col("o_orderdate").cast("date")))
+      .collect()(0)
+    assert(rows.head._1 == pts.getDouble(0))
+    assert(rows.last._2 == pts.getDate(1).toLocalDate)
+  }
+
+  test("evt_churn_risk: everyone surfaced is >1 day stale; counts bounded") {
+    val rows = SparkEntry.queries("evt_churn_risk")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nUsers = graft.util.Tables.loadEvents(spark, sf)
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getLong(1)).sum <= nUsers)
+    rows.foreach { r =>
+      assert(r.getDouble(2) > 1.0 && r.getDouble(3) >= r.getDouble(2))
+    }
+  }
+
   test("evt_transition_time: transition counts match evt_markov_chain-style totals") {
     val rows = SparkEntry.queries("evt_transition_time")(spark, sf).collect()
     assert(rows.nonEmpty)
