@@ -215,6 +215,28 @@ class Round27Spec extends AnyFunSuite {
     }
   }
 
+  test("llm_doc_length_by_source: quantiles ordered; doc counts partition corpus") {
+    val rows = SparkEntry.queries("llm_doc_length_by_source")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nDocs = graft.util.Tables.load(spark, sf, "documents").count()
+    assert(rows.map(_.getLong(1)).sum == nDocs)
+    rows.foreach { r =>
+      assert(r.getDouble(2) <= r.getDouble(3) && r.getDouble(3) <= r.getDouble(4),
+        s"p10<=p50<=p90 violated for ${r.getString(0)}")
+    }
+  }
+
+  test("evt_error_rate_hourly: rates in [0,1]; events partition by hour") {
+    val rows = SparkEntry.queries("evt_error_rate_hourly")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 24)
+    val nEvents = graft.util.Tables.loadEvents(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == nEvents)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
   test("evt_transition_time: transition counts match evt_markov_chain-style totals") {
     val rows = SparkEntry.queries("evt_transition_time")(spark, sf).collect()
     assert(rows.nonEmpty)
