@@ -54,6 +54,7 @@ object Composite20 {
       .agg(min(col("dst")).as("m"))
       .select(col("src").as("node"), least(col("src"), col("m")).as("l"))
       .persist()
+    val rounds = scala.collection.mutable.ListBuffer(lbl)
     for (_ <- 2 to 6) {
       // The label table is node-sized — broadcast it so the 150×
       // larger edge list never shuffles; the only exchange per round
@@ -65,10 +66,12 @@ object Composite20 {
       // collect is an action that materializes the PREVIOUS round's
       // cache, so rounds still execute exactly once, but without the
       // per-round standalone checkpoint job (6 jobs saved — measured
-      // ~1 s at sf0.1). Superseded rounds stay cached until the bench
-      // / session cleanup drops them: an in-loop unpersist would
-      // cascade a full lineage recompute, and six node-sized tables
-      // are noise next to the edge blocks.
+      // ~1 s at sf0.1). An IN-LOOP unpersist would drop caches before
+      // anything has executed (no action runs until the end) and
+      // cascade a 2^6 lineage re-expansion — instead the final label
+      // table is eagerly localCheckpoint'd below and every round
+      // cache is dropped there, so a library caller invoking this op
+      // repeatedly accumulates nothing (ADVICE r8).
       val nbrMin = edges
         .join(broadcast(lbl.select(col("node").as("dst"), col("l").as("pl"))),
           "dst")
@@ -78,8 +81,16 @@ object Composite20 {
         .select(col("node"),
           least(col("l"), coalesce(col("nl"), col("l"))).as("l"))
         .persist()
+      rounds += lbl
     }
-    lbl.groupBy(col("l").as("component"))
+    // ONE eager checkpoint materializes the whole 6-round chain (each
+    // round's broadcast collect fills the previous round's cache, so
+    // every round still executes exactly once), after which all six
+    // node-sized round caches are unreachable and dropped — O(1)
+    // retained storage per invocation instead of O(rounds).
+    val finalLbl = lbl.localCheckpoint()
+    rounds.foreach(_.unpersist(false))
+    finalLbl.groupBy(col("l").as("component"))
       .agg(count(lit(1)).as("n_nodes"))
       .orderBy("component")
   }
@@ -126,8 +137,20 @@ object Composite20 {
        |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS l FROM e),
        |$rounds
        |SELECT l AS component, CAST(count(*) AS BIGINT) AS n_nodes
-       |FROM l10 GROUP BY 1 ORDER BY 1""".stripMargin
+       |FROM l10 GROUP BY 1
+       |UNION ALL
+       |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+       |WHERE (SELECT sum(CAST(l AS HUGEINT)) FROM l9)
+       |   <> (SELECT sum(CAST(l AS HUGEINT)) FROM l10)
+       |ORDER BY 1""".stripMargin
   }
+  // The sentinel row asserts the "diameter < 10" assumption IN the
+  // oracle: labels only decrease, so equal l9/l10 label sums == the
+  // SQL side reached ITS fixpoint and coincides with the Spark loop's
+  // convergence-detected labels. On a deeper corpus the extra
+  // (-1, -1) row turns the compare red pointing at non-convergence
+  // instead of a silent histogram drift (ADVICE r8). The Spark side
+  // needs no twin: it THROWS when unconverged at maxIter.
 
   private def connectedComponentsOracle: String = {
     val rounds = (1 to 6).map { i =>

@@ -171,8 +171,11 @@ object Composite27 {
           .otherwise(0L)).as("n_last_7d"),
         first(col("gmax")).as("gmax"))
       .select(col("event_type"), col("n_events"), col("last_ts"),
-        floor((unix_timestamp(col("gmax")) - unix_timestamp(col("last_ts")))
-          / 3600.0).cast("long").as("lag_hours"),
+        // µs-epoch discipline (matches sessionStats/transitionTime/
+        // churnRisk): whole-second truncation can flip floor(diff/3600)
+        // across an hour boundary when sub-second parts straddle it.
+        floor((unix_micros(col("gmax")) - unix_micros(col("last_ts")))
+          / 3600000000.0).cast("long").as("lag_hours"),
         col("n_last_7d"))
       .orderBy("event_type")
   }
@@ -181,8 +184,8 @@ object Composite27 {
     """WITH g AS (SELECT max(ts) AS gmax FROM events)
       |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
       |  max(ts) AS last_ts,
-      |  CAST(floor((epoch(g.gmax) - epoch(max(ts))) / 3600.0) AS BIGINT)
-      |    AS lag_hours,
+      |  CAST(floor((epoch_us(g.gmax) - epoch_us(max(ts))) / 3600000000.0)
+      |    AS BIGINT) AS lag_hours,
       |  CAST(sum(CASE WHEN ts >= g.gmax - INTERVAL 7 DAY THEN 1 ELSE 0 END)
       |    AS BIGINT) AS n_last_7d
       |FROM events CROSS JOIN g

@@ -11,14 +11,20 @@ import graft.util.Tables._
   *  - [[skyline]]: the Pareto frontier / skyline query (Börzsönyi,
   *    Kossmann & Stocker, ICDE 2001) over (o_totalprice, o_orderdate)
   *    — orders not dominated by any other (≥ in both, > in one).
-  *    Single-pass window formulation: after DISTINCT on the point
-  *    pair, order by (price DESC, date DESC); a point survives iff
-  *    the running max of date over STRICTLY PRIOR rows is < its own
-  *    date (prior rows have higher price, or equal price with later
-  *    date — exactly the dominators). At cluster scale the same
-  *    algebra range-partitions on price, computes per-partition
-  *    skylines, and merges the (small) candidate frontiers — no
-  *    semantic change; the frontier itself is output-bounded.
+  *    Two-phase bucketed formulation (the scale shape): after
+  *    DISTINCT on the point pair, assign each point an equi-width
+  *    price bucket (bounds from one broadcast 2-scalar aggregate).
+  *    A dominator of p (≥ price, ≥ day, > in one) has either the
+  *    same bucket — caught by a PER-BUCKET window ordered
+  *    (price DESC, day DESC) taking max(day) over strictly prior
+  *    rows — or a strictly higher bucket (equi-width floors are
+  *    monotone, so higher bucket ⟹ strictly higher price) — caught
+  *    by a prefix max(day) over the ≤256-row per-bucket day maxima,
+  *    broadcast back. A point survives iff both dominator-day maxima
+  *    are < its own day. No operator ever sees the full point set in
+  *    one partition: the big window is bucket-partitioned, the only
+  *    global window runs on the 256-row bucket aggregate, and the
+  *    final sort orders only the output-bounded frontier.
   *
   *  - [[churnRisk]]: users inactive in the trailing 24 hours before
   *    the CORPUS max timestamp (deterministic — no wall clock),
@@ -28,16 +34,39 @@ import graft.util.Tables._
   */
 object Composite30 {
 
+  private val SkylineBuckets = 256
+
   private def skyline(s: SparkSession, dir: String): DataFrame = {
     val pts = load(s, dir, "orders")
       .select(col("o_totalprice").as("price"),
         col("o_orderdate").cast("date").as("day"))
       .distinct()
-    val w = Window.orderBy(col("price").desc, col("day").desc)
+    val rng = pts.agg(min(col("price").cast("double")).as("lo"),
+      max(col("price").cast("double")).as("hi"))
+    // floor is monotone in price, so bkt(q) > bkt(p) ⟹ q.price > p.price
+    // and equal prices share a bucket — the dominator set splits exactly
+    // into same-bucket (local window) and higher-bucket (prefix max).
+    // The bucketed point set feeds BOTH the per-bucket window and the
+    // bucket-maxima aggregate; an eager localCheckpoint here measured
+    // SLOWER (0.93 s vs 0.81 s at sf0.1) than letting both consumers
+    // replay the cheap scan+distinct subtree, so it is recomputed.
+    val b = pts.crossJoin(broadcast(rng))
+      .withColumn("bkt", least(lit(SkylineBuckets - 1),
+        floor((col("price").cast("double") - col("lo")) * SkylineBuckets
+          / (col("hi") - col("lo") + lit(1e-6)))).cast("int"))
+      .select(col("price"), col("day"), col("bkt"))
+    val wLocal = Window.partitionBy(col("bkt"))
+      .orderBy(col("price").desc, col("day").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    pts
-      .withColumn("md", max(col("day")).over(w))
-      .filter(col("md").isNull || col("md") < col("day"))
+    val wUpper = Window.orderBy(col("bkt").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val upper = b.groupBy(col("bkt")).agg(max(col("day")).as("bday"))
+      .withColumn("umd", max(col("bday")).over(wUpper))
+      .select(col("bkt"), col("umd"))
+    b.withColumn("lmd", max(col("day")).over(wLocal))
+      .join(broadcast(upper), Seq("bkt"))
+      .filter((col("lmd").isNull || col("lmd") < col("day")) &&
+        (col("umd").isNull || col("umd") < col("day")))
       .select(col("price"), col("day"))
       .orderBy(desc("price"), desc("day"))
   }

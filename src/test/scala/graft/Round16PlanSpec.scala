@@ -69,6 +69,25 @@ class Round16PlanSpec extends AnyFunSuite {
       "the 1-row split/theta sides must broadcast")
   }
 
+  test("agg_skyline: point-set window is bucket-partitioned; single-partition data is aggregate-bounded") {
+    // The r8 plan ran ONE global window over all distinct order points
+    // (single-partition sort = the scale-killer). The r9 plan must
+    // (a) window the point set partitioned by price bucket, and
+    // (b) only ever single-partition the ≤256-row per-bucket aggregate.
+    val plan = executed("agg_skyline")
+    assert(plan.contains("hashpartitioning(bkt"),
+      s"point-set window must be bucket-partitioned:\n$plan")
+    val singles = plan.split("Exchange SinglePartition").drop(1)
+    assert(singles.nonEmpty, "the 256-row prefix-max window should exist")
+    singles.foreach { seg =>
+      // Bounded feeders: the ≤256-row per-bucket aggregate, or a
+      // partial-aggregated global scalar (≤ #partitions rows).
+      assert(seg.take(600).contains("HashAggregate(keys=[bkt") ||
+        seg.take(600).contains("HashAggregate(keys=[], functions=[partial_"),
+        s"a SinglePartition exchange must feed from a bounded aggregate, not the point set:\n$plan")
+    }
+  }
+
   test("scan_date_dim: generator explodes from a 1-row aggregate, no fact rescans") {
     val plan = executed("scan_date_dim")
     assert(plan.contains("Generate explode"),
