@@ -66,9 +66,17 @@ object LlmOps3 {
     // VECTOR — a window would shuffle the corpus replicated
     // ×|centroids| with the embedding arrays attached (n^1.5 bytes at
     // scale). Tie-break (-cent_id) keeps the argmax deterministic.
+    // cent_sim rounds to 6 dp BEFORE the argmax / probe rank (same
+    // float-stability discipline as the in-cell cos_sim): the raw
+    // double is summation-order-sensitive across engines, and the
+    // oracle-checked twin below hash-compares the cell assignment
+    // transitively — a near-tie flipping argmax between engines would
+    // red the row over representation, not algebra. Recall impact is
+    // nil (planted-pair recall asserted unchanged in LlmSpec).
     val cells = emb.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(centroids))
-      .withColumn("cent_sim", CosineSim(col("embedding"), col("cent_emb")))
+      .withColumn("cent_sim",
+        round(CosineSim(col("embedding"), col("cent_emb")), 6))
       .groupBy(col("vec_id"))
       .agg(
         max_by(col("cent_id"), struct(col("cent_sim"), -col("cent_id"))).as("cell"),
@@ -80,7 +88,8 @@ object LlmOps3 {
     val wProbe = Window.partitionBy("q_id")
       .orderBy(desc("cent_sim"), asc("cent_id"))
     val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("cent_sim", CosineSim(col("q_emb"), col("cent_emb")))
+      .withColumn("cent_sim",
+        round(CosineSim(col("q_emb"), col("cent_emb")), 6))
       .withColumn("prn", row_number().over(wProbe))
       .filter(col("prn") <= nprobe)
       .select(col("q_id"), col("q_emb"), col("cent_id").as("cell"))
@@ -185,6 +194,21 @@ object LlmOps3 {
     "llm_simsearch_ivf" -> ((s: SparkSession, dir: String) =>
       ivfTopK(load(s, dir, "embeddings"), col("vec_id") % 100 === 0, k = 5)),
 
+    // Oracle-checked twin of llm_simsearch_ivf (the r8 verdict's
+    // "graduate the ANN path" item, via the llm_dedup_near_verified
+    // pattern): the IDENTICAL IVF plan, hash-compared against a FULL
+    // DuckDB replica of the pipeline — deterministic centroid
+    // subsample, 6-dp-rounded argmax cell assignment, nprobe probing,
+    // exact in-cell ranking. Every stage that matters at 100 TB
+    // (cell blocking, probe selection, candidate ranking) is thereby
+    // re-derived by an independent engine each round; a drifted cell
+    // assignment or probe order fails the hash compare. (The sign-LSH
+    // llm_simsearch_ann row stays ✗: its xxhash64-seeded projections
+    // are not expressible in the oracle's SQL dialect, and its
+    // corpus recall is by design partial.)
+    "llm_simsearch_ivf_verified" -> ((s: SparkSession, dir: String) =>
+      ivfTopK(load(s, dir, "embeddings"), col("vec_id") % 100 === 0, k = 5)),
+
     // Benchmark decontamination over the documents corpus: every 50th
     // doc is the "eval set"; training docs sharing any 5-gram with it
     // are flagged with their shared-gram count.
@@ -203,6 +227,49 @@ object LlmOps3 {
   )
 
   val oracle: Map[String, String] = Map(
+    // Full IVF replica: centroids = vec_id % 97 = 0; cell = argmax
+    // centroid cosine (6 dp, tie -> lowest cent_id); probes = top-2
+    // cells per query by the same key; candidates = probed cells
+    // minus self; rank by (cos_sim 6 dp DESC, vec_id). Mirrors
+    // ivfTopK stage for stage.
+    "llm_simsearch_ivf_verified" ->
+      """WITH cent AS (
+        |  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cent_emb
+        |  FROM embeddings WHERE vec_id % 97 = 0),
+        |asn AS (
+        |  SELECT vec_id, cent_id AS cell FROM (
+        |    SELECT e.vec_id, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        round(list_cosine_similarity(
+        |          CAST(e.embedding AS DOUBLE[]), c.cent_emb), 6) DESC,
+        |        c.cent_id) AS arn
+        |    FROM embeddings e CROSS JOIN cent c)
+        |  WHERE arn = 1),
+        |probes AS (
+        |  SELECT q_id, cell FROM (
+        |    SELECT q.vec_id AS q_id, c.cent_id AS cell,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        round(list_cosine_similarity(
+        |          CAST(q.embedding AS DOUBLE[]), c.cent_emb), 6) DESC,
+        |        c.cent_id) AS prn
+        |    FROM embeddings q CROSS JOIN cent c WHERE q.vec_id % 100 = 0)
+        |  WHERE prn <= 2),
+        |ranked AS (
+        |  SELECT q_id, vec_id, cos_sim,
+        |    CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos_sim DESC, vec_id) AS INT) AS rn
+        |  FROM (
+        |    SELECT p.q_id, a.vec_id,
+        |      round(list_cosine_similarity(
+        |        CAST(qe.embedding AS DOUBLE[]),
+        |        CAST(ce.embedding AS DOUBLE[])), 6) AS cos_sim
+        |    FROM probes p
+        |    JOIN asn a ON a.cell = p.cell AND a.vec_id <> p.q_id
+        |    JOIN embeddings qe ON qe.vec_id = p.q_id
+        |    JOIN embeddings ce ON ce.vec_id = a.vec_id))
+        |SELECT q_id, vec_id, cos_sim, rn FROM ranked
+        |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+
     "llm_bloom_prefilter" ->
       """SELECT DISTINCT b.user_id FROM events b
         |WHERE CAST(b.ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16'
