@@ -220,6 +220,23 @@ object LlmOps4 {
     // bigram-Jaccard >= 0.5 near-dup pairs, components solved by
     // min-label propagation. Output: every clustered doc with its
     // cluster representative (min doc_id).
+    // End-to-end oracle twin of the MinHash->cluster pipeline
+    // (VERDICT r8 item 8): LSH-banded near-dup pairs (the
+    // llm_dedup_near_verified plan, whose recall the driver already
+    // hash-checks) resolved to components by the convergence-detected
+    // min-label loop, hash-compared against DuckDB's exact all-pairs
+    // Jaccard >= 0.8 edges run through 6 unrolled HashMin rounds with
+    // an l5-vs-l6 convergence sentinel (near-dup clusters are
+    // shallow; a deeper corpus reds the row with a (-1,-1) pointer
+    // instead of silent drift, the conv-CC discipline).
+    "llm_dedup_minhash_cluster" -> ((s: SparkSession, dir: String) =>
+      connectedComponents(
+          LlmOps.nearDupPairs(load(s, dir, "documents"))
+            .select(col("doc_a").as("a"), col("doc_b").as("b")),
+          maxIter = 10)
+        .select(col("node").as("doc_id"), col("cluster_id"))
+        .orderBy("doc_id")),
+
     "llm_dedup_cluster" -> ((s: SparkSession, dir: String) => {
       // ngramDupPairs checkpoints its bigram-set build internally and
       // skips llm_dedup_ngram's presentation sort — edges don't need it.
@@ -460,7 +477,50 @@ object LlmOps4 {
       |  FROM pr JOIN lm ON pr.w1 = lm.w1 AND pr.w2 = lm.w2
       |  GROUP BY pr.doc_id)""".stripMargin
 
+  // Exact all-pairs Jaccard >= 0.8 edges (the llm_dedup_near_verified
+  // CTEs) -> symmetric closure + self-loops -> 6 unrolled HashMin
+  // rounds (AS MATERIALIZED: each round CTE is referenced twice and
+  // would otherwise re-expand 2^6-fold) -> (doc, min-label) map, with
+  // a convergence sentinel comparing the last two rounds' label sums.
+  private val minhashClusterOracle = {
+    val rounds = (1 to 6).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT p.node, least(p.l, coalesce(m.nl, p.l)) AS l
+         |  FROM l${i - 1} p LEFT JOIN (
+         |    SELECT e.src AS node, min(q.l) AS nl
+         |    FROM e JOIN l${i - 1} q ON e.dst = q.node
+         |    GROUP BY e.src) m ON p.node = m.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |g AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+       |      FROM w WHERE len(w) >= 3),
+       |s AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+       |      FROM g),
+       |n AS (SELECT doc_id, count(*) AS n FROM s GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+       |  FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |j AS (
+       |  SELECT doc_a, doc_b
+       |  FROM inter JOIN n na ON na.doc_id = doc_a
+       |             JOIN n nb ON nb.doc_id = doc_b
+       |  WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.8),
+       |e AS MATERIALIZED (
+       |  SELECT doc_a AS src, doc_b AS dst FROM j
+       |  UNION ALL SELECT doc_b, doc_a FROM j),
+       |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS l FROM e),
+       |$rounds
+       |SELECT node AS doc_id, l AS cluster_id FROM l6
+       |UNION ALL
+       |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+       |WHERE (SELECT sum(CAST(l AS HUGEINT)) FROM l5)
+       |   <> (SELECT sum(CAST(l AS HUGEINT)) FROM l6)
+       |ORDER BY 1""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "llm_dedup_minhash_cluster" -> minhashClusterOracle,
     "llm_hash_features" ->
       """SELECT doc_id,
         |  CAST(concat('0x', substr(md5(t), 1, 6)) AS BIGINT) % 128 AS bucket,
