@@ -37,7 +37,7 @@ class Round19Spec extends AnyFunSuite {
     val rows =
       graft.ops.Composite18.queries("llm_score_vs_dup")(spark, sf).collect()
     assert(rows.length == 10)
-    val ttrs = rows.sortBy(_.getInt(0)).map(_.getDouble(2))
+    val ttrs = rows.sortBy(_.getLong(0)).map(_.getDouble(2))
     assert(ttrs.zip(ttrs.tail).forall { case (a, b) => b >= a - 1e-9 },
       "mean TTR must rise with the TTR decile")
     rows.foreach { r =>
