@@ -245,7 +245,9 @@ object LlmOps {
 
   // k-NN (k=5) for a deterministic query subset; the query side is
   // broadcast so the corpus scan never shuffles.
-  private def simsearchKnn(s: SparkSession, dir: String): DataFrame = {
+  // private[graft]: llm_ivf_recall reuses THIS exact-knn definition as
+  // its ground truth, so the two rows cannot drift apart.
+  private[graft] def simsearchKnn(s: SparkSession, dir: String): DataFrame = {
       val e = load(s, dir, "embeddings")
       val q = e.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))

@@ -209,6 +209,27 @@ object LlmOps3 {
     "llm_simsearch_ivf_verified" -> ((s: SparkSession, dir: String) =>
       ivfTopK(load(s, dir, "embeddings"), col("vec_id") % 100 === 0, k = 5)),
 
+    // ANN recall@5, oracle-checked end to end: the IVF plan's top-5
+    // joined against the exact brute-force top-5 ground truth (THE
+    // llm_simsearch_knn definition), per-query hit count + recall.
+    // The driver re-derives BOTH sides in SQL each round, so the
+    // recall NUMBER itself — not just the candidate plumbing — is in
+    // the hard signal. At 100 TB this is the evaluation harness run
+    // on a query sample; both sides stay blocked/broadcast-shaped.
+    "llm_ivf_recall" -> ((s: SparkSession, dir: String) => {
+      val approx = ivfTopK(load(s, dir, "embeddings"),
+          col("vec_id") % 100 === 0, k = 5)
+        .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+      LlmOps.simsearchKnn(s, dir)
+        .select(col("q_id"), col("vec_id"))
+        .join(approx, Seq("q_id", "vec_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(col("q_id"), col("n_hits"),
+          round(col("n_hits").cast("double") / 5.0, 6).as("recall"))
+        .orderBy("q_id")
+    }),
+
     // Incremental-corpus dedup (VERDICT r8 item 8): the "seen"
     // generation (even doc_ids) publishes its 30-token-prefix
     // fingerprints; the "incoming" generation (odd doc_ids) is
@@ -251,49 +272,76 @@ object LlmOps3 {
         .limit(20))
   )
 
+  private val ivfOracleCtes =
+    """cent AS (
+      |  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cent_emb
+      |  FROM embeddings WHERE vec_id % 97 = 0),
+      |asn AS (
+      |  SELECT vec_id, cent_id AS cell FROM (
+      |    SELECT e.vec_id, c.cent_id,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        round(list_cosine_similarity(
+      |          CAST(e.embedding AS DOUBLE[]), c.cent_emb), 6) DESC,
+      |        c.cent_id) AS arn
+      |    FROM embeddings e CROSS JOIN cent c)
+      |  WHERE arn = 1),
+      |probes AS (
+      |  SELECT q_id, cell FROM (
+      |    SELECT q.vec_id AS q_id, c.cent_id AS cell,
+      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |        round(list_cosine_similarity(
+      |          CAST(q.embedding AS DOUBLE[]), c.cent_emb), 6) DESC,
+      |        c.cent_id) AS prn
+      |    FROM embeddings q CROSS JOIN cent c WHERE q.vec_id % 100 = 0)
+      |  WHERE prn <= 2),
+      |ranked AS (
+      |  SELECT q_id, vec_id, cos_sim,
+      |    CAST(row_number() OVER (PARTITION BY q_id
+      |      ORDER BY cos_sim DESC, vec_id) AS INT) AS rn
+      |  FROM (
+      |    SELECT p.q_id, a.vec_id,
+      |      round(list_cosine_similarity(
+      |        CAST(qe.embedding AS DOUBLE[]),
+      |        CAST(ce.embedding AS DOUBLE[])), 6) AS cos_sim
+      |    FROM probes p
+      |    JOIN asn a ON a.cell = p.cell AND a.vec_id <> p.q_id
+      |    JOIN embeddings qe ON qe.vec_id = p.q_id
+      |    JOIN embeddings ce ON ce.vec_id = a.vec_id))""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // Full IVF replica: centroids = vec_id % 97 = 0; cell = argmax
     // centroid cosine (6 dp, tie -> lowest cent_id); probes = top-2
     // cells per query by the same key; candidates = probed cells
     // minus self; rank by (cos_sim 6 dp DESC, vec_id). Mirrors
-    // ivfTopK stage for stage.
+    // ivfTopK stage for stage. SINGLE CTE text (ivfOracleCtes) — the
+    // verified-plan row and the recall row compose from it, so the
+    // two SQL replicas cannot drift apart.
     "llm_simsearch_ivf_verified" ->
-      """WITH cent AS (
-        |  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cent_emb
-        |  FROM embeddings WHERE vec_id % 97 = 0),
-        |asn AS (
-        |  SELECT vec_id, cent_id AS cell FROM (
-        |    SELECT e.vec_id, c.cent_id,
-        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |        round(list_cosine_similarity(
-        |          CAST(e.embedding AS DOUBLE[]), c.cent_emb), 6) DESC,
-        |        c.cent_id) AS arn
-        |    FROM embeddings e CROSS JOIN cent c)
-        |  WHERE arn = 1),
-        |probes AS (
-        |  SELECT q_id, cell FROM (
-        |    SELECT q.vec_id AS q_id, c.cent_id AS cell,
-        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
-        |        round(list_cosine_similarity(
-        |          CAST(q.embedding AS DOUBLE[]), c.cent_emb), 6) DESC,
-        |        c.cent_id) AS prn
-        |    FROM embeddings q CROSS JOIN cent c WHERE q.vec_id % 100 = 0)
-        |  WHERE prn <= 2),
-        |ranked AS (
-        |  SELECT q_id, vec_id, cos_sim,
-        |    CAST(row_number() OVER (PARTITION BY q_id
-        |      ORDER BY cos_sim DESC, vec_id) AS INT) AS rn
-        |  FROM (
-        |    SELECT p.q_id, a.vec_id,
-        |      round(list_cosine_similarity(
-        |        CAST(qe.embedding AS DOUBLE[]),
-        |        CAST(ce.embedding AS DOUBLE[])), 6) AS cos_sim
-        |    FROM probes p
-        |    JOIN asn a ON a.cell = p.cell AND a.vec_id <> p.q_id
-        |    JOIN embeddings qe ON qe.vec_id = p.q_id
-        |    JOIN embeddings ce ON ce.vec_id = a.vec_id))
-        |SELECT q_id, vec_id, cos_sim, rn FROM ranked
-        |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+      s"""WITH $ivfOracleCtes
+         |SELECT q_id, vec_id, cos_sim, rn FROM ranked
+         |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+
+    // recall@5 = |IVF top-5 INTERSECT exact top-5| / 5 per query: the
+    // IVF replica above joined against the llm_simsearch_knn exact
+    // ground truth. count(i.vec_id) counts matches only (LEFT JOIN
+    // nulls drop out of count(col)).
+    "llm_ivf_recall" ->
+      s"""WITH $ivfOracleCtes,
+         |ivf AS (SELECT q_id, vec_id FROM ranked WHERE rn <= 5),
+         |gq AS (SELECT vec_id AS q_id, embedding AS q_emb
+         |  FROM embeddings WHERE vec_id % 100 = 0),
+         |gc AS (SELECT q_id, vec_id,
+         |  round(list_cosine_similarity(CAST(q_emb AS DOUBLE[]),
+         |    CAST(embedding AS DOUBLE[])), 6) AS cos_sim
+         |  FROM gq JOIN embeddings ON q_id <> vec_id),
+         |gr AS (SELECT q_id, vec_id, row_number() OVER (
+         |  PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn FROM gc),
+         |exact AS (SELECT q_id, vec_id FROM gr WHERE rn <= 5)
+         |SELECT e.q_id, CAST(count(i.vec_id) AS BIGINT) AS n_hits,
+         |  round(CAST(count(i.vec_id) AS DOUBLE) / 5.0, 6) AS recall
+         |FROM exact e LEFT JOIN ivf i
+         |  ON e.q_id = i.q_id AND e.vec_id = i.vec_id
+         |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin,
 
     // The bloom is invisible to the result (false positives are
     // verified away), so the oracle is the bare exact semi-join.
