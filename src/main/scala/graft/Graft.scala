@@ -216,6 +216,15 @@ object Graft {
     * (min-max scale your dimensions to 0..255 first). */
   def morton(x: Column, y: Column): Column = graft.ops.Scans.morton(x, y)
 
+  /** SQL-semantics `ntile(buckets)` over a total order with NO
+    * single-partition stage (range partition → broadcast prefix
+    * offsets → per-partition row_number) — the entity-scale
+    * replacement for a bare `Window.orderBy` ntile. `sort` must be a
+    * total order (append a unique tie-breaker). */
+  def globalNtile(df: DataFrame, as: String, buckets: Int,
+      sort: Seq[Column]): DataFrame =
+    graft.util.DistRank.globalNtile(df, as, buckets, sort)
+
   /** PageRank over an edge list with columns (src, dst). The edge
     * table is checkpointed once with out-degree attached; each
     * iteration broadcasts the node-sized rank table into a

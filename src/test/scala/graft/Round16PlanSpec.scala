@@ -69,6 +69,32 @@ class Round16PlanSpec extends AnyFunSuite {
       "the 1-row split/theta sides must broadcast")
   }
 
+  test("llm_dedup_incremental: bloom probe prunes the incoming scan BEFORE the verify join") {
+    // The generation-boundary promise: might_contain(bloom subquery)
+    // sits in the incoming side's scan filter, so only suspected-seen
+    // rows ever reach the exact LeftSemi verify shuffle.
+    val plan = executed("llm_dedup_incremental")
+    val joinAt = plan.indexOf("LeftSemi")
+    assert(joinAt >= 0, s"exact left-semi verify join missing:\n$plan")
+    assert(plan.contains("might_contain"),
+      s"bloom probe missing from the plan:\n$plan")
+    assert(plan.substring(joinAt).contains("might_contain"),
+      s"bloom probe must filter the scan BELOW the verify join, not above it:\n$plan")
+  }
+
+  test("llm_dedup_minhash_cluster: CC lineage is materialization-truncated") {
+    // Same contract as graph_connected_components: the final aggregate
+    // reads the last round's materialized labels, never a replayed
+    // multi-round join tree.
+    val plan = executed("llm_dedup_minhash_cluster")
+    val boundary = Seq("InMemoryTableScan", "Scan ExistingRDD")
+      .map(plan.indexOf).filter(_ >= 0)
+    assert(boundary.nonEmpty,
+      s"final aggregate must read materialized labels:\n$plan")
+    assert(!plan.substring(0, boundary.min).contains("Join"),
+      s"a join above the materialization boundary replays the round tree:\n$plan")
+  }
+
   test("agg_skyline: point-set window is bucket-partitioned; single-partition data is aggregate-bounded") {
     // The r8 plan ran ONE global window over all distinct order points
     // (single-partition sort = the scale-killer). The r9 plan must
