@@ -192,13 +192,79 @@ object Composite27 {
       |GROUP BY event_type, g.gmax
       |ORDER BY event_type""".stripMargin
 
+  // ---- dq_generation_drift -----------------------------------------
+  // Corpus-version drift check: per-source PSI contributions of the
+  // doc-length distribution between two generations (even vs odd
+  // doc_ids — the llm_dedup_incremental split). Lengths bucket into 9
+  // fixed 64-char bands (scale-independent bounds; the cap band
+  // absorbs outliers), counts are Laplace-smoothed (+0.5 per cell, so
+  // empty cells stay finite and deterministic), and the row surfaces
+  // the PER-BUCKET PSI term (pb−pa)·ln(pb/pa) rather than their sum:
+  // each term is ONE double expression over exact integers — the
+  // growth_decompose cross-engine float discipline — whereas a 9-term
+  // double SUM would be summation-order-sensitive between engines.
+  // Per-bucket terms also localize WHERE the distribution moved,
+  // which is the diagnostic a corpus owner actually wants.
+  private def generationDrift(s: SparkSession, dir: String): DataFrame = {
+    val d = load(s, dir, "documents")
+      .select(col("source"), (col("doc_id") % 2 === 0).as("ga"),
+        expr("least(n_chars div 64, 8)").as("b"))
+    val counts = d.groupBy(col("source"), col("b"))
+      .agg(sum(when(col("ga"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("ga"), 1L).otherwise(0L)).as("cb"))
+    val spine = d.select(col("source")).distinct()
+      .crossJoin(s.range(9).select(col("id").as("b")))
+    val tot = d.groupBy(col("source"))
+      .agg(sum(when(col("ga"), 1L).otherwise(0L)).as("na"),
+        sum(when(!col("ga"), 1L).otherwise(0L)).as("nb"))
+    val pa = (col("ca") + 0.5) / (col("na") + 4.5)
+    val pb = (col("cb") + 0.5) / (col("nb") + 4.5)
+    spine.join(counts, Seq("source", "b"), "left")
+      .na.fill(0L, Seq("ca", "cb"))
+      .join(broadcast(tot), "source")
+      .select(col("source"), col("b"), col("ca"), col("cb"),
+        round((pb - pa) * log(pb / pa), 6).as("psi_term"))
+      .orderBy("source", "b")
+  }
+
+  private val generationDriftOracle =
+    """WITH d AS (
+      |  SELECT source, doc_id % 2 = 0 AS ga,
+      |    least(n_chars // 64, 8) AS b
+      |  FROM documents),
+      |counts AS (
+      |  SELECT source, b,
+      |    CAST(sum(CASE WHEN ga THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(sum(CASE WHEN NOT ga THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      |  FROM d GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT source, CAST(r.range AS BIGINT) AS b
+      |  FROM (SELECT DISTINCT source FROM d) CROSS JOIN range(9) r),
+      |tot AS (
+      |  SELECT source,
+      |    CAST(sum(CASE WHEN ga THEN 1 ELSE 0 END) AS BIGINT) AS na,
+      |    CAST(sum(CASE WHEN NOT ga THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      |  FROM d GROUP BY 1)
+      |SELECT spine.source, spine.b,
+      |  coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb,
+      |  round(((coalesce(cb, 0) + 0.5) / (nb + 4.5)
+      |       - (coalesce(ca, 0) + 0.5) / (na + 4.5))
+      |    * ln(((coalesce(cb, 0) + 0.5) / (nb + 4.5))
+      |       / ((coalesce(ca, 0) + 0.5) / (na + 4.5))), 6) AS psi_term
+      |FROM spine
+      |LEFT JOIN counts ON spine.source = counts.source AND spine.b = counts.b
+      |JOIN tot ON spine.source = tot.source
+      |ORDER BY spine.source, spine.b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_generation_drift" -> (generationDrift _),
     "dq_constraint_check" -> (constraintCheck _),
     "dq_uniqueness_audit" -> (uniquenessAudit _),
     "dq_freshness" -> (freshness _)
   )
 
   val oracle: Map[String, String] = Map(
+    "dq_generation_drift" -> generationDriftOracle,
     "dq_constraint_check" -> constraintCheckOracle,
     "dq_uniqueness_audit" -> uniquenessAuditOracle,
     "dq_freshness" -> freshnessOracle

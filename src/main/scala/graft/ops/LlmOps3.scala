@@ -230,6 +230,33 @@ object LlmOps3 {
         .orderBy("q_id")
     }),
 
+    // The nprobe capacity-planning curve: mean recall@5 for nprobe in
+    // {1, 2, 4} against the SAME exact ground truth (lazily
+    // checkpointed — three arms read one materialization). Cell
+    // assignment is nprobe-independent, so at scale the three arms
+    // share one corpus pass conceptually; here each arm re-derives it
+    // (the oracle does too — symmetric cost). mean_recall is ONE
+    // double division of two exact integers — no cross-engine
+    // summation-order hazard.
+    "llm_ivf_nprobe_sweep" -> ((s: SparkSession, dir: String) => {
+      val emb = load(s, dir, "embeddings")
+      val exact = LlmOps.simsearchKnn(s, dir)
+        .select(col("q_id"), col("vec_id"))
+        .localCheckpoint(false)
+      Seq(1, 2, 4).map { np =>
+        val ap = ivfTopK(emb, col("vec_id") % 100 === 0, k = 5, nprobe = np)
+          .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+        exact.join(ap, Seq("q_id", "vec_id"), "left")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(coalesce(col("hit"), lit(0L))).as("total_hits"))
+          .select(lit(np.toLong).as("nprobe"),
+            expr("n_pairs div 5").as("n_queries"),
+            col("total_hits"),
+            round(col("total_hits").cast("double")
+              / col("n_pairs").cast("double"), 6).as("mean_recall"))
+      }.reduce(_.union(_)).orderBy("nprobe")
+    }),
+
     // Incremental-corpus dedup (VERDICT r8 item 8): the "seen"
     // generation (even doc_ids) publishes its 30-token-prefix
     // fingerprints; the "incoming" generation (odd doc_ids) is
@@ -272,7 +299,11 @@ object LlmOps3 {
         .limit(20))
   )
 
-  private val ivfOracleCtes =
+  // Cell assignment (cent, asn) is nprobe-independent and shared;
+  // probe selection + in-cell ranking are generated per nprobe with a
+  // CTE-name suffix so the sweep row can hold three replicas in one
+  // query. The verified row uses the default (nprobe 2, no suffix).
+  private val ivfOracleBase =
     """cent AS (
       |  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cent_emb
       |  FROM embeddings WHERE vec_id % 97 = 0),
@@ -284,31 +315,67 @@ object LlmOps3 {
       |          CAST(e.embedding AS DOUBLE[]), c.cent_emb), 6) DESC,
       |        c.cent_id) AS arn
       |    FROM embeddings e CROSS JOIN cent c)
-      |  WHERE arn = 1),
-      |probes AS (
-      |  SELECT q_id, cell FROM (
-      |    SELECT q.vec_id AS q_id, c.cent_id AS cell,
-      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
-      |        round(list_cosine_similarity(
-      |          CAST(q.embedding AS DOUBLE[]), c.cent_emb), 6) DESC,
-      |        c.cent_id) AS prn
-      |    FROM embeddings q CROSS JOIN cent c WHERE q.vec_id % 100 = 0)
-      |  WHERE prn <= 2),
-      |ranked AS (
-      |  SELECT q_id, vec_id, cos_sim,
-      |    CAST(row_number() OVER (PARTITION BY q_id
-      |      ORDER BY cos_sim DESC, vec_id) AS INT) AS rn
-      |  FROM (
-      |    SELECT p.q_id, a.vec_id,
-      |      round(list_cosine_similarity(
-      |        CAST(qe.embedding AS DOUBLE[]),
-      |        CAST(ce.embedding AS DOUBLE[])), 6) AS cos_sim
-      |    FROM probes p
-      |    JOIN asn a ON a.cell = p.cell AND a.vec_id <> p.q_id
-      |    JOIN embeddings qe ON qe.vec_id = p.q_id
-      |    JOIN embeddings ce ON ce.vec_id = a.vec_id))""".stripMargin
+      |  WHERE arn = 1)""".stripMargin
+
+  private def ivfOracleProbe(nprobe: Int, sfx: String): String =
+    s"""probes$sfx AS (
+       |  SELECT q_id, cell FROM (
+       |    SELECT q.vec_id AS q_id, c.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        round(list_cosine_similarity(
+       |          CAST(q.embedding AS DOUBLE[]), c.cent_emb), 6) DESC,
+       |        c.cent_id) AS prn
+       |    FROM embeddings q CROSS JOIN cent c WHERE q.vec_id % 100 = 0)
+       |  WHERE prn <= $nprobe),
+       |ranked$sfx AS (
+       |  SELECT q_id, vec_id, cos_sim,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos_sim DESC, vec_id) AS INT) AS rn
+       |  FROM (
+       |    SELECT p.q_id, a.vec_id,
+       |      round(list_cosine_similarity(
+       |        CAST(qe.embedding AS DOUBLE[]),
+       |        CAST(ce.embedding AS DOUBLE[])), 6) AS cos_sim
+       |    FROM probes$sfx p
+       |    JOIN asn a ON a.cell = p.cell AND a.vec_id <> p.q_id
+       |    JOIN embeddings qe ON qe.vec_id = p.q_id
+       |    JOIN embeddings ce ON ce.vec_id = a.vec_id))""".stripMargin
+
+  private val ivfOracleCtes =
+    ivfOracleBase + ",\n" + ivfOracleProbe(2, "")
+
+  // The exact brute-force ground truth (the llm_simsearch_knn
+  // definition) as reusable CTEs, shared by the recall and sweep rows.
+  private val exactKnnCtes =
+    """gq AS (SELECT vec_id AS q_id, embedding AS q_emb
+      |  FROM embeddings WHERE vec_id % 100 = 0),
+      |gc AS (SELECT q_id, vec_id,
+      |  round(list_cosine_similarity(CAST(q_emb AS DOUBLE[]),
+      |    CAST(embedding AS DOUBLE[])), 6) AS cos_sim
+      |  FROM gq JOIN embeddings ON q_id <> vec_id),
+      |gr AS (SELECT q_id, vec_id, row_number() OVER (
+      |  PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn FROM gc),
+      |exact AS (SELECT q_id, vec_id FROM gr WHERE rn <= 5)""".stripMargin
+
+  private val nprobeSweepOracle = {
+    val arms = Seq(1 -> "_1", 2 -> "_2", 4 -> "_4")
+    val probeCtes = arms.map { case (np, sfx) => ivfOracleProbe(np, sfx) }
+      .mkString(",\n")
+    val selects = arms.map { case (np, sfx) =>
+      s"""SELECT CAST($np AS BIGINT) AS nprobe,
+         |  CAST(count(*) // 5 AS BIGINT) AS n_queries,
+         |  CAST(count(i.vec_id) AS BIGINT) AS total_hits,
+         |  round(CAST(count(i.vec_id) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE), 6) AS mean_recall
+         |FROM exact e LEFT JOIN
+         |  (SELECT q_id, vec_id FROM ranked$sfx WHERE rn <= 5) i
+         |  ON e.q_id = i.q_id AND e.vec_id = i.vec_id""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH $ivfOracleBase,\n$probeCtes,\n$exactKnnCtes\n$selects\nORDER BY nprobe"
+  }
 
   val oracle: Map[String, String] = Map(
+    "llm_ivf_nprobe_sweep" -> nprobeSweepOracle,
     // Full IVF replica: centroids = vec_id % 97 = 0; cell = argmax
     // centroid cosine (6 dp, tie -> lowest cent_id); probes = top-2
     // cells per query by the same key; candidates = probed cells
@@ -328,15 +395,7 @@ object LlmOps3 {
     "llm_ivf_recall" ->
       s"""WITH $ivfOracleCtes,
          |ivf AS (SELECT q_id, vec_id FROM ranked WHERE rn <= 5),
-         |gq AS (SELECT vec_id AS q_id, embedding AS q_emb
-         |  FROM embeddings WHERE vec_id % 100 = 0),
-         |gc AS (SELECT q_id, vec_id,
-         |  round(list_cosine_similarity(CAST(q_emb AS DOUBLE[]),
-         |    CAST(embedding AS DOUBLE[])), 6) AS cos_sim
-         |  FROM gq JOIN embeddings ON q_id <> vec_id),
-         |gr AS (SELECT q_id, vec_id, row_number() OVER (
-         |  PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn FROM gc),
-         |exact AS (SELECT q_id, vec_id FROM gr WHERE rn <= 5)
+         |$exactKnnCtes
          |SELECT e.q_id, CAST(count(i.vec_id) AS BIGINT) AS n_hits,
          |  round(CAST(count(i.vec_id) AS DOUBLE) / 5.0, 6) AS recall
          |FROM exact e LEFT JOIN ivf i
