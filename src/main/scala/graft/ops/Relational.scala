@@ -701,6 +701,21 @@ object Relational {
         .orderBy(desc("o_totalprice"), asc("o_orderkey"))
         .limit(100)),
 
+    // LIMIT + OFFSET pagination over a total order (Spark >= 3.4 has
+    // native OFFSET; planned as a global limit of offset+k rows with
+    // the first `offset` dropped at the merge — the per-partition
+    // collection stays bounded by offset+k, never the full sort).
+    // Deep pagination at 100 TB is an anti-pattern (offset+k rows
+    // funnel through the merge); keyset pagination (filter on the
+    // last-seen sort key) is the scale path — this row pins the
+    // OFFSET semantics for the shallow case.
+    "limit_offset" -> ((s, dir) =>
+      load(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .offset(50)
+        .limit(25)),
+
     // Global top-k: planned as TakeOrderedAndProject — per-partition
     // heaps + single merge, never a full sort of 100 TB.
     "topk_global" -> ((s, dir) =>
@@ -727,6 +742,10 @@ object Relational {
     "limit_k" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+    "limit_offset" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC
+        |LIMIT 25 OFFSET 50""".stripMargin,
     "topk_global" ->
       """SELECT l_orderkey, l_linenumber,
         |  CAST(CAST(l_extendedprice AS DECIMAL(15,2)) * CAST(1 - CAST(l_discount AS DECIMAL(15,2)) AS DECIMAL(8,4)) AS DOUBLE) AS revenue

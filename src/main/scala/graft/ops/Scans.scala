@@ -71,6 +71,21 @@ object Scans {
     "scan_parquet" -> ((s, dir) =>
       load(s, dir, "lineitem").orderBy(lineitemCols.head, lineitemCols.tail: _*)),
 
+    // Hidden file-metadata column (_metadata.file_name, Spark >= 3.4):
+    // per-file row counts straight off the scan — the lineage /
+    // shard-audit primitive (which files fed this table, how many rows
+    // each) with NO extra read cost; at 100 TB the same query audits
+    // a million-file lake in one scan. The oracle pins the literal
+    // file name: the driver corpus is one file per table by
+    // construction (TESTDATA.md), so the name is SF-independent and a
+    // wrong/missing metadata column reds the row.
+    "scan_file_metadata" -> ((s, dir) =>
+      load(s, dir, "orders")
+        .select(col("_metadata").getField("file_name").as("file_name"))
+        .groupBy("file_name")
+        .agg(count(lit(1)).as("n_rows"))
+        .orderBy("file_name")),
+
     // Only 2 of 11 columns: the parquet reader prunes (ReadSchema shows
     // just these two). Ordering by the full projected tuple keeps the
     // output deterministic without extra columns.
@@ -378,6 +393,10 @@ object Scans {
       ("SELECT * FROM lineitem ORDER BY " + lineitemCols.mkString(", ")),
     "scan_parquet_pruned" ->
       "SELECT l_orderkey, l_quantity FROM lineitem ORDER BY l_orderkey, l_quantity",
+    "scan_file_metadata" ->
+      """SELECT 'orders.parquet' AS file_name,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM orders ORDER BY file_name""".stripMargin,
     "scan_csv_roundtrip" -> rtOracle,
     "scan_orc_roundtrip" -> rtOracle,
     "scan_xml_roundtrip" ->
