@@ -134,8 +134,8 @@ object Composite14 {
       |    CAST(CAST(sum(y) OVER w AS VARCHAR) AS DOUBLE) AS sy,
       |    CAST(CAST(sum(x * y) OVER w AS VARCHAR) AS DOUBLE) AS sxy,
       |    CAST(sum(x * x) OVER w AS DOUBLE) AS sx2,
-      |    CAST(CAST(sum(CAST(y * y AS DECIMAL(38,4))) OVER w AS VARCHAR)
-      |      AS DOUBLE) AS sy2
+      |    CAST(CAST(sum(CAST(CAST(y AS DECIMAL(19,2)) * y
+      |      AS DECIMAL(38,4))) OVER w AS VARCHAR) AS DOUBLE) AS sy2
       |  FROM daily
       |  WINDOW w AS (ORDER BY d ROWS BETWEEN 29 PRECEDING AND CURRENT ROW))
       |SELECT d, x, CAST(CAST(y AS VARCHAR) AS DOUBLE) AS y,

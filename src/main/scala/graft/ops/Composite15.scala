@@ -94,12 +94,17 @@ object Composite15 {
     traces.reduce(_ union _).orderBy("iter")
   }
 
+  // AS MATERIALIZED on every round CTE: each e_i is referenced three
+  // times (next peel, next edge filter, final union row) — unpinned,
+  // DuckDB inlines each reference and the 5-round tree re-expands
+  // ~3^5-fold, which exhausted temp disk at sf0.1 (the
+  // graph_connected_components_conv lesson, r8).
   private def kcoreOracle: String = {
     val peels = (1 to 5).map { i =>
-      s"""k$i AS (
+      s"""k$i AS MATERIALIZED (
          |  SELECT src AS n FROM e${i - 1} GROUP BY src
          |  HAVING count(*) >= 3),
-         |e$i AS (
+         |e$i AS MATERIALIZED (
          |  SELECT e.src, e.dst FROM e${i - 1} e
          |  JOIN k$i a ON e.src = a.n JOIN k$i b ON e.dst = b.n)"""
         .stripMargin
@@ -111,7 +116,7 @@ object Composite15 {
         .stripMargin
     }.mkString("\nUNION ALL\n")
     s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
-       |e0 AS (
+       |e0 AS MATERIALIZED (
        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
        |  WHERE a.l_partkey <> b.l_partkey),

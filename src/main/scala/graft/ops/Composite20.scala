@@ -262,7 +262,8 @@ object Composite20 {
       |  SELECT d, rev,
       |    count(*) OVER w AS fn,
       |    sum(rev) OVER w AS sx,
-      |    sum(CAST(rev * rev AS DECIMAL(31,4))) OVER w AS sx2
+      |    sum(CAST(CAST(rev AS DECIMAL(19,2)) * rev AS DECIMAL(31,4)))
+      |      OVER w AS sx2
       |  FROM daily
       |  WINDOW w AS (ORDER BY d ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
       |a AS (

@@ -204,7 +204,8 @@ object Composite23 {
       |  FROM daily),
       |win AS (
       |  SELECT d, dd, count(*) OVER w AS fn,
-      |    sum(CAST(dd * dd AS DECIMAL(33,4))) OVER w AS sdd2
+      |    sum(CAST(CAST(dd AS DECIMAL(19,2)) * dd AS DECIMAL(33,4)))
+      |      OVER w AS sdd2
       |  FROM pk
       |  WINDOW w AS (ORDER BY d ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
       |SELECT d, CAST(CAST(dd AS VARCHAR) AS DOUBLE) AS drawdown,
