@@ -174,14 +174,77 @@ object LlmOps10 {
       |FROM p GROUP BY prefix_hash HAVING count(*) > 1
       |ORDER BY prefix_hash""".stripMargin
 
+  // ---- llm_dedup_tier_report ----------------------------------------
+  // The at-a-glance tier comparison a corpus owner checks before
+  // choosing a dedup level: for each HASH tier (byte-exact,
+  // normalized, 8-token prefix, 30-token prefix) the number of
+  // duplicate groups, docs inside them, and docs a min-keeper policy
+  // would remove. Each tier's key is THE canonical definition used by
+  // its standalone row (llm_dedup_exact / _exact_norm / _prefix_dedup
+  // / _dedup_incremental), so this report cannot drift from them.
+  // One union of four key projections -> one (tier, key) aggregate ->
+  // one 4-row tier aggregate; every metric is an exact integer.
+  // (The near/MinHash tier is deliberately absent: its cluster
+  // arithmetic needs the CC loop — see llm_dedup_minhash_cluster.)
+  private def tierReport(s: SparkSession, dir: String): DataFrame = {
+    val d = load(s, dir, "documents").select(col("doc_id"), col("text"))
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    val t = col("t")
+    val keyed = d.select(lit("1_exact").as("tier"), md5(col("text")).as("k"))
+      .union(d.select(lit("2_norm"), md5(norm)))
+      .union(d.select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(t) >= 8)
+        .select(lit("3_prefix8"), md5(array_join(slice(t, 1, 8), " "))))
+      .union(d.select(lit("4_prefix30"),
+        md5(expr("array_join(slice(split(text, ' '), 1, 30), ' ')"))))
+    keyed.groupBy(col("tier"), col("k"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("tier"))
+      .agg(
+        sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup_groups"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L))
+          .as("n_docs_in_groups"),
+        sum(when(col("c") > 1, col("c") - 1).otherwise(0L))
+          .as("n_removable"))
+      .orderBy("tier")
+  }
+
+  private val tierReportOracle =
+    """WITH keyed AS (
+      |  SELECT '1_exact' AS tier, md5(text) AS k FROM documents
+      |  UNION ALL
+      |  SELECT '2_norm', md5(trim(regexp_replace(regexp_replace(
+      |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT '3_prefix8',
+      |    md5(array_to_string(list_slice(string_split(text, ' '), 1, 8), ' '))
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 8
+      |  UNION ALL
+      |  SELECT '4_prefix30',
+      |    md5(array_to_string(list_slice(string_split(text, ' '), 1, 30), ' '))
+      |  FROM documents),
+      |g AS (SELECT tier, k, count(*) AS c FROM keyed GROUP BY 1, 2)
+      |SELECT tier,
+      |  CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dup_groups,
+      |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+      |    AS n_docs_in_groups,
+      |  CAST(sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT)
+      |    AS n_removable
+      |FROM g GROUP BY tier ORDER BY tier""".stripMargin
+
   // ---- registration ------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_dedup_tier_report" -> (tierReport _),
     "llm_minhash_containment" -> (containment _),
     "llm_prefix_dedup" -> (prefixDedup _)
   )
 
   val oracle: Map[String, String] = Map(
+    "llm_dedup_tier_report" -> tierReportOracle,
     "llm_minhash_containment" -> containmentOracle,
     "llm_prefix_dedup" -> prefixOracle
   )
