@@ -35,6 +35,28 @@ object Bench {
   private def fmt(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
+  /** 1-minute load average, or -1 outside Linux. Two consecutive
+    * rounds of judge re-timing were needed to separate ambient CPU
+    * steal from regression (VERDICT r9 item 2); recording machine
+    * state in the artifact makes a noisy window adjudicable from
+    * bench_full.json alone. */
+  private def loadavg1: Double =
+    try scala.io.Source.fromFile("/proc/loadavg").getLines()
+      .next().split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
+  /** (steal, total) jiffies from the aggregate cpu line of /proc/stat.
+    * Steal is field 8 (user nice system idle iowait irq softirq STEAL);
+    * a rising steal delta during the run is the hypervisor taking CPU
+    * from this guest — the signature behind r8/r9's "rerun slower than
+    * cold on identical code" readings. */
+  private def cpuJiffies: (Long, Long) =
+    try {
+      val f = scala.io.Source.fromFile("/proc/stat").getLines()
+        .next().trim.split("\\s+").drop(1).map(_.toLong)
+      (if (f.length > 7) f(7) else -1L, f.sum)
+    } catch { case _: Throwable => (-1L, -1L) }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -62,7 +84,12 @@ object Bench {
     // query records BOTH measurements in bench_full.json, so the
     // cold-vs-rerun spread is inspectable per query per round instead
     // of vanishing into the min.
-    val retimed = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
+    val loadStart = loadavg1
+    val (stealStart, totalStart) = cpuJiffies
+    // Per retimed query: (cold, rerun, loadavg at rerun end, steal
+    // jiffies accumulated since bench start) — the judge adjudicates a
+    // cold-vs-rerun anomaly against the machine state that produced it.
+    val retimed = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Double, Long)]
     val results = selected.map { case (name, fn) =>
       // Warm once per query (plan compilation + whole-stage codegen
       // class generation are one-time costs, ~2.5s for the widest
@@ -121,7 +148,8 @@ object Bench {
           catch { case _: Throwable => false }
         if (ok2) {
           val second = (System.nanoTime() - t1) / 1e9
-          retimed(name) = (elapsed, second)
+          retimed(name) = (elapsed, second, loadavg1,
+            math.max(cpuJiffies._1 - stealStart, -1L))
           elapsed = math.min(elapsed, second)
         }
       }
@@ -165,11 +193,16 @@ object Bench {
     // filtered debug run clobbering it once cost a round's snapshot.
     val fullQs = results.map { case (k, v) => s""""$k":${fmt(v)}""" }
       .mkString("{", ",", "}")
-    val retimedQs = retimed.map { case (k, (c, r)) =>
-      s""""$k":{"cold":${fmt(c)},"rerun":${fmt(r)}}""" }
+    val retimedQs = retimed.map { case (k, (c, r, l, st)) =>
+      s""""$k":{"cold":${fmt(c)},"rerun":${fmt(r)},"load":${fmt(l)},"steal_jiffies":$st}""" }
       .mkString("{", ",", "}")
+    val loadEnd = loadavg1
+    val (stealEnd, totalEnd) = cpuJiffies
+    val machine =
+      s"""{"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},""" +
+      s""""steal_jiffies":${stealEnd - stealStart},"total_jiffies":${totalEnd - totalStart}}"""
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$fullQs,"retimed":$retimedQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$fullQs,"retimed":$retimedQs,"machine":$machine,"sf":"$sfDir"}"""
     val outFile = if (only.nonEmpty) "bench_only.json" else "bench_full.json"
     try {
       val w = new java.io.PrintWriter(outFile)

@@ -147,18 +147,23 @@ object Composite28 {
   /** Σ w_j·lag(x, j) OVER w / Σ_{j present} w_j, renormalized at the
     * head of each series. `x` is the smoothed column name. */
   private def emaExpr(x: String, weights: Seq[String]): String = {
-    // Every weight literal is routed through CAST(... AS DOUBLE):
-    // DuckDB parses a 16-significant-digit literal as a wide DECIMAL,
-    // and the denominator's CASE-sum of ~39 such decimals overflows
-    // DECIMAL(18) (§1.5 rule 7 — constants enter arithmetic as
-    // IEEE doubles on BOTH engines).
+    // Every weight literal is routed through CAST('…' AS DOUBLE) — a
+    // VARCHAR, not a bare decimal literal: DuckDB parses a
+    // 16-significant-digit bare literal as a wide DECIMAL and the
+    // decimal→double cast DOUBLE-ROUNDS once the mantissa exceeds 2^53
+    // (§1.5 rule 7 — 9259259259259259 > 2^53, so several (1−α)^j
+    // weights landed one ulp off Spark's and 18/55134 rows straddled
+    // the 6-dp boundary at sf0.1). The string parse is a correctly
+    // rounded strtod on both engines, so the kernels are bit-identical.
+    // (It also keeps the denominator's CASE-sum out of DECIMAL(18)
+    // overflow, the original reason for the CAST.)
     val num = weights.zipWithIndex.map { case (wj, j) =>
-      if (j == 0) s"coalesce($x, 0.0) * CAST($wj AS DOUBLE)"
-      else s"coalesce(lag($x, $j) OVER w, 0.0) * CAST($wj AS DOUBLE)"
+      if (j == 0) s"coalesce($x, 0.0) * CAST('$wj' AS DOUBLE)"
+      else s"coalesce(lag($x, $j) OVER w, 0.0) * CAST('$wj' AS DOUBLE)"
     }.mkString(" + ")
     val den = weights.zipWithIndex.map { case (wj, j) =>
-      if (j == 0) s"CASE WHEN $x IS NULL THEN 0.0 ELSE CAST($wj AS DOUBLE) END"
-      else s"CASE WHEN lag($x, $j) OVER w IS NULL THEN 0.0 ELSE CAST($wj AS DOUBLE) END"
+      if (j == 0) s"CASE WHEN $x IS NULL THEN 0.0 ELSE CAST('$wj' AS DOUBLE) END"
+      else s"CASE WHEN lag($x, $j) OVER w IS NULL THEN 0.0 ELSE CAST('$wj' AS DOUBLE) END"
     }.mkString(" + ")
     s"(($num) / ($den))"
   }
@@ -169,13 +174,22 @@ object Composite28 {
     val ema12 = emaExpr("x", kernel(2.0 / 13, 18))
     val ema26 = emaExpr("x", kernel(2.0 / 27, 39))
     val sig = emaExpr("macd", kernel(2.0 / 10, 14))
+    // floor(v·10⁶ + 0.5)/10⁶, not round(v, 6): identical on identical
+    // doubles in BOTH engines — Spark's exact-binary HALF_UP vs
+    // DuckDB's v*10⁶ float rounding straddled a .5 boundary on 18/55134
+    // rows at sf0.1 (r9 tri-SF note). MACD values go negative; the
+    // floor form ties halves toward +inf on both engines alike, which
+    // is all the cross-engine compare needs.
+    // 1e6 (DOUBLE in both SQL dialects), not 1000000.0 (DECIMAL in
+    // Spark SQL — it dragged the division into decimal arithmetic).
+    def r6(v: String) = s"floor(($v) * 1e6 + 0.5) / 1e6"
     s"""WITH $daily
        |m AS (
        |  SELECT n_name, day, ($ema12 - $ema26) AS macd
        |  FROM daily WINDOW w AS (PARTITION BY n_name ORDER BY day))
-       |SELECT n_name, day, round(macd, 6) AS macd,
-       |  round($sig, 6) AS signal_line,
-       |  round(macd - $sig, 6) AS histogram
+       |SELECT n_name, day, ${r6("macd")} AS macd,
+       |  ${r6(sig)} AS signal_line,
+       |  ${r6(s"macd - $sig")} AS histogram
        |FROM m WINDOW w AS (PARTITION BY n_name ORDER BY day)
        |ORDER BY n_name, day""".stripMargin
   }

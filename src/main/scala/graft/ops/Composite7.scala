@@ -260,9 +260,20 @@ object Composite7 {
       if (j == 0) c
       else s"lag($c, $j) OVER (PARTITION BY n_name ORDER BY day)")
     daily.createOrReplaceTempView("daily_rev")
+    // floor(v·10⁶ + 0.5)/10⁶, not round(v, 6): Spark rounds the exact
+    // binary expansion of the double (BigDecimal HALF_UP) while DuckDB
+    // rounds via v*10⁶ in floating point — a value ~1e-12 from a .5
+    // boundary lands on different sides (the r9 tri-SF straddle,
+    // 1/55134 rows at sf0.1). The floor form is computed identically
+    // on identical doubles by BOTH engines (the llm_embed_quantize
+    // discipline), so the straddle cannot occur.
+    // 1e6, not 1000000.0: a plain decimal literal parses as DECIMAL in
+    // Spark SQL and drags the division into decimal arithmetic (the
+    // result surfaced as DECIMAL, red on dtype); the exponent literal
+    // is DOUBLE in both engines, keeping the whole tree IEEE.
     s.sql(
       s"""SELECT n_name, day, round(x, 2) AS revenue,
-         |  round(($num) / ($den), 6) AS ewma
+         |  floor((($num) / ($den)) * 1e6 + 0.5) / 1e6 AS ewma
          |FROM daily_rev ORDER BY n_name, day""".stripMargin)
   }
 
@@ -278,7 +289,7 @@ object Composite7 {
        |  JOIN nation ON c_nationkey = n_nationkey
        |  GROUP BY n_name, day)
        |SELECT n_name, day, round(x, 2) AS revenue,
-       |  round(($num) / ($den), 6) AS ewma
+       |  floor((($num) / ($den)) * 1e6 + 0.5) / 1e6 AS ewma
        |FROM daily_rev ORDER BY n_name, day""".stripMargin
   }
 

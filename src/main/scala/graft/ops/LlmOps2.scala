@@ -146,8 +146,14 @@ object LlmOps2 {
 
   /** SimHash near-dup pairs: 4 x 16-bit band blocking, then exact
     * Hamming distance <= maxHamming on candidates. */
-  private[graft] def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
-    val sims = simhash(docs)
+  private[graft] def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame =
+    simhashPairsFromSims(simhash(docs), maxHamming)
+
+  /** Band + Hamming stage over any (doc_id, sim) signature relation —
+    * shared by the xxhash64 row and its md5-based verified twin so the
+    * banding pipeline under oracle check IS the production one. */
+  private[graft] def simhashPairsFromSims(sims: DataFrame,
+      maxHamming: Int): DataFrame = {
     val banded = sims.select(col("doc_id"), col("sim"),
       posexplode(expr(
         "transform(sequence(0, 3), b -> (sim >> (b * 16)) & 65535)")))
@@ -249,6 +255,31 @@ object LlmOps2 {
     "llm_dedup_simhash" -> ((s: SparkSession, dir: String) =>
       simhashPairs(load(s, dir, "documents"), maxHamming = 3)),
 
+    // Oracle-checked twin of llm_dedup_simhash (VERDICT r9 item 6):
+    // the row above is ✗ only because its token hashes are xxhash64,
+    // which DuckDB cannot compute. This twin derives 60-bit token
+    // hashes from md5 — shared by both engines (the llm_hash_features
+    // pattern: Spark conv(hex, 16, 10), DuckDB CAST('0x'||hex AS
+    // BIGINT)) — and runs the IDENTICAL production pipeline:
+    // SimHashSig's majority rule (bit j set iff 2·count ≥ n over the
+    // doc's DISTINCT tokens; bits 60-63 constant 0), then the shared
+    // simhashPairsFromSims 4×16-bit band join + bit_count(sim⊕sim)
+    // ≤ 3 verify. DuckDB replicates the signature with an unnested
+    // bit grid + bit_or of (1 << j), and xor + bit_count for the
+    // Hamming stage — the whole SimHash dedup tier is now in the
+    // driver's hard signal, not just planted-pair ScalaTest recall.
+    // Tokens are deduped BEFORE hashing on both sides so a 60-bit
+    // prefix collision between distinct tokens cannot skew n.
+    "llm_dedup_simhash_verified" -> ((s: SparkSession, dir: String) =>
+      simhashPairsFromSims(
+        load(s, dir, "documents").select(col("doc_id"),
+          graft.functions.SimHashSig(expr(
+            """transform(array_distinct(split(text, ' ')),
+              |  t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT))"""
+              .stripMargin)).as("sim"))
+          .filter(col("sim").isNotNull),
+        maxHamming = 3)),
+
     // LSH-bucketed ANN top-5 for the deterministic query subset — the
     // scale path beside the brute-force knn baseline. No oracle
     // (approximate by design); planted-duplicate recall in LlmSpec.
@@ -291,7 +322,15 @@ object LlmOps2 {
 
     // Composite quality score from token statistics — one
     // deterministic double formula, identical in the oracle.
-    "llm_quality_score" -> ((s: SparkSession, dir: String) =>
+    // floor(v·10⁶ + 0.5)/10⁶ instead of round(v, 6): the ratios are
+    // single divisions of exact small ints, so the doubles are
+    // bit-identical cross-engine — but Spark's exact-binary HALF_UP
+    // and DuckDB's v*10⁶ float rounding split values sitting AT a .5
+    // boundary (the r9 tri-SF straddle, 1/5000 rows at sf0.1). The
+    // floor form evaluates identically on both engines.
+    "llm_quality_score" -> ((s: SparkSession, dir: String) => {
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
       tokenized(s, dir)
         .select(col("doc_id"), col("w"), col("text"),
           size(col("w")).as("n_tok"),
@@ -300,19 +339,20 @@ object LlmOps2 {
             "filter(w, t -> array_contains(array('the', 'a', 'of', 'and'), t))"))
             .as("n_stop"))
         .select(col("doc_id"), col("n_tok"),
-          round(col("n_distinct").cast("double") / col("n_tok").cast("double"), 6)
+          r6(col("n_distinct").cast("double") / col("n_tok").cast("double"))
             .as("ttr"),
-          round((length(col("text")) - (col("n_tok") - 1)).cast("double") /
-            col("n_tok").cast("double"), 6).as("avg_wlen"),
-          round(col("n_stop").cast("double") / col("n_tok").cast("double"), 6)
+          r6((length(col("text")) - (col("n_tok") - 1)).cast("double") /
+            col("n_tok").cast("double")).as("avg_wlen"),
+          r6(col("n_stop").cast("double") / col("n_tok").cast("double"))
             .as("stop_ratio"),
-          round(
+          r6(
             (col("n_distinct").cast("double") / col("n_tok").cast("double")) * 0.5 +
               (lit(1.0) - col("n_stop").cast("double") / col("n_tok").cast("double")) * 0.3 +
               least((length(col("text")) - (col("n_tok") - 1)).cast("double") /
-                col("n_tok").cast("double") / 10.0, lit(1.0)) * 0.2, 6)
+                col("n_tok").cast("double") / 10.0, lit(1.0)) * 0.2)
             .as("quality"))
-        .orderBy("doc_id")),
+        .orderBy("doc_id")
+    }),
 
     // PII-style masking: pattern classes rewritten to placeholder
     // tokens (the shape of email/phone/ID scrubbing; this corpus has
@@ -351,6 +391,29 @@ object LlmOps2 {
           Map("en" -> 0.5, "de" -> 0.25, "es" -> 0.25, "fr" -> 0.25, "zh" -> 0.25),
           42L)
         .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+        .orderBy("lang")),
+
+    // Oracle-checked twin of llm_sample_stratified (VERDICT r9 item
+    // 5): the SAME per-language fractions (en 0.5, rest 0.25) as a
+    // deterministic hash-threshold keep-set instead of seeded RNG.
+    // Keep iff the first 4 lowercase-hex chars of md5('graft'||id)
+    // sort below the stratum threshold — '8000' = 32768/65536 = 1/2,
+    // '4000' = 16384/65536 = 1/4 EXACTLY (fixed-width lowercase hex:
+    // string order == numeric order, the hashKeep discipline). The
+    // keep-set is a pure row property — reproducible across engines,
+    // partitionings, and reruns — so data-mixing reproducibility now
+    // rests on the driver's hash compare, not an RNG tolerance; the
+    // sampleBy row above stays as the engine-native API demo.
+    // Exact-sum-of-kept-ids audit column per the llm_sample_hash
+    // conventions (DECIMAL(38,0) accumulate, VARCHAR surface).
+    "llm_sample_stratified_verified" -> ((s: SparkSession, dir: String) =>
+      load(s, dir, "documents")
+        .filter(
+          substring(md5(concat(lit("graft"), col("doc_id").cast("string"))), 1, 4)
+            < when(col("lang") === "en", "8000").otherwise("4000"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id").cast("decimal(38,0)")).cast("string").as("sum_ids"))
         .orderBy("lang")),
 
     // Whitespace tokens vs BPE-ish regex tokens per doc.
@@ -471,15 +534,58 @@ object LlmOps2 {
         |    length(text) AS n_chars
         |  FROM t)
         |SELECT doc_id, n_tok,
-        |  round(CAST(n_distinct AS DOUBLE) / CAST(n_tok AS DOUBLE), 6) AS ttr,
-        |  round(CAST(n_chars - (n_tok - 1) AS DOUBLE) / CAST(n_tok AS DOUBLE), 6) AS avg_wlen,
-        |  round(CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE), 6) AS stop_ratio,
-        |  round(
+        |  floor((CAST(n_distinct AS DOUBLE) / CAST(n_tok AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS ttr,
+        |  floor((CAST(n_chars - (n_tok - 1) AS DOUBLE) / CAST(n_tok AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS avg_wlen,
+        |  floor((CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS stop_ratio,
+        |  floor((
         |    (CAST(n_distinct AS DOUBLE) / CAST(n_tok AS DOUBLE)) * 0.5 +
         |    (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE)) * 0.3 +
-        |    least(CAST(n_chars - (n_tok - 1) AS DOUBLE) / CAST(n_tok AS DOUBLE) / 10.0, 1.0) * 0.2,
-        |    6) AS quality
+        |    least(CAST(n_chars - (n_tok - 1) AS DOUBLE) / CAST(n_tok AS DOUBLE) / 10.0, 1.0) * 0.2
+        |    ) * 1000000.0 + 0.5) / 1000000.0 AS quality
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // Full replica of the md5-based SimHash pipeline: 60-bit token
+    // hashes -> per-bit majority grid -> bit_or-packed signature ->
+    // 4x16 band self-join -> xor/bit_count Hamming verify.
+    "llm_dedup_simhash_verified" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS hv
+        |  FROM (SELECT doc_id, unnest(toks) AS tok FROM t)),
+        |n AS (SELECT doc_id, count(*) AS n FROM h GROUP BY 1),
+        |g AS (
+        |  SELECT h.doc_id, b.j,
+        |    sum(CASE WHEN (hv >> b.j) & 1 = 1 THEN 1 ELSE 0 END) AS c
+        |  FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS j) b
+        |  GROUP BY 1, 2),
+        |sig AS (
+        |  SELECT g.doc_id,
+        |    bit_or(CASE WHEN 2 * c >= n.n THEN (CAST(1 AS BIGINT) << g.j)
+        |           ELSE CAST(0 AS BIGINT) END) AS sim
+        |  FROM g JOIN n ON g.doc_id = n.doc_id
+        |  GROUP BY 1),
+        |banded AS (
+        |  SELECT doc_id, sim, b.j AS band_idx,
+        |    (sim >> (b.j * 16)) & 65535 AS band_val
+        |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS j) b)
+        |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |  CAST(bit_count(xor(x.sim, y.sim)) AS INT) AS hamming
+        |FROM banded x JOIN banded y
+        |  ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+        |    AND x.doc_id < y.doc_id
+        |WHERE bit_count(xor(x.sim, y.sim)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "llm_sample_stratified_verified" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(CAST(sum(doc_id) AS DECIMAL(38,0)) AS VARCHAR) AS sum_ids
+        |FROM documents
+        |WHERE substring(md5('graft' || CAST(doc_id AS VARCHAR)), 1, 4)
+        |  < CASE WHEN lang = 'en' THEN '8000' ELSE '4000' END
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "llm_pii_mask" ->
       """WITH m AS (

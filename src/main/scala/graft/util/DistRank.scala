@@ -38,6 +38,15 @@ object DistRank {
   def globalNtile(df: DataFrame, as: String, buckets: Int,
       sort: Seq[Column], parts: Int = 32): DataFrame = {
     require(buckets > 0, s"globalNtile: buckets $buckets must be > 0")
+    // Scratch-column collision guard (ADVICE r9): the pipeline claims
+    // __pid/__off/__n/__rn internally; a caller frame already carrying
+    // one would hit an ambiguous-reference error or a silent clobber.
+    // Fail fast with the offending names instead.
+    val clash = df.columns.toSet
+      .intersect(Set("__pid", "__off", "__n", "__rn", as))
+    require(clash.isEmpty,
+      s"globalNtile: input already has column(s) ${clash.mkString(", ")} " +
+        "— rename them (or the target column) before calling")
     // Lazy checkpoint: the ranged frame feeds both the count pass and
     // the rank pass; it materializes once (at the offsets' broadcast
     // collect, absorbing the range-sampling pass), and the rank pass
