@@ -115,20 +115,14 @@ object Composite20 {
       .agg(count(lit(1)).as("n_nodes"))
       .orderBy("component")
 
-  // Every round CTE is referenced twice (as `p` and as `q`), so it
-  // must be AS MATERIALIZED: DuckDB otherwise inlines each reference
-  // and the 10-round tree re-expands 2^10-fold (the un-pinned form
-  // exhausted temp disk; the 6-round fixed oracle above survives
-  // inlining only because 2^6 is still small).
+  // Rounds come from [[LlmOps4.hashMinJumpRounds]]: HashMin + pointer
+  // jump per round, so 10 rounds resolve depth ~2^10 — the same
+  // exponential budget as the Spark loop's per-round l(l(v)) jump
+  // (ADVICE r10: a plain 10-round unroll covered only depth 10 while
+  // maxIter=30 jumped Spark rounds cover ~2^29, so a deep corpus
+  // would red the sentinel against a CORRECT Spark result).
   private def connectedComponentsConvOracle: String = {
-    val rounds = (1 to 10).map { i =>
-      s"""l$i AS MATERIALIZED (
-         |  SELECT p.node, least(p.l, coalesce(m.nl, p.l)) AS l
-         |  FROM l${i - 1} p LEFT JOIN (
-         |    SELECT e.src AS node, min(q.l) AS nl
-         |    FROM e JOIN l${i - 1} q ON e.dst = q.node
-         |    GROUP BY e.src) m ON p.node = m.node)""".stripMargin
-    }.mkString(",\n")
+    val rounds = LlmOps4.hashMinJumpRounds(10)
     s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
        |e AS MATERIALIZED (
        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
@@ -144,7 +138,7 @@ object Composite20 {
        |   <> (SELECT sum(CAST(l AS HUGEINT)) FROM l10)
        |ORDER BY 1""".stripMargin
   }
-  // The sentinel row asserts the "diameter < 10" assumption IN the
+  // The sentinel row asserts the "depth < 2^10" assumption IN the
   // oracle: labels only decrease, so equal l9/l10 label sums == the
   // SQL side reached ITS fixpoint and coincides with the Spark loop's
   // convergence-detected labels. On a deeper corpus the extra

@@ -287,10 +287,26 @@ object LlmOps4 {
       // once instead of per-broadcast-build.
       val exact = exactDupEdges(load(s, dir, "documents")).localCheckpoint()
       val rep = exact.select(col("b").as("doc"), col("a").as("rep"))
+      // Size-gate the broadcast hints (ADVICE r10): Spark honors an
+      // explicit broadcast() REGARDLESS of relation size (8 GB hard
+      // cap / driver OOM on a corpus-scale exact tier), so the
+      // earlier "degrades gracefully to a shuffle join" claim did not
+      // hold for hinted joins. Both build sides are localCheckpointed
+      // above, so counting them is a cheap cached-block scan; under
+      // the gate the hint skips AQE's estimate round-trip, above it
+      // the joins run un-hinted and AQE still broadcasts at runtime
+      // if the actual bytes allow — now genuinely graceful.
+      val bcastGate = 4L * 1000 * 1000
+      val repHint: DataFrame => DataFrame =
+        if (exact.count() <= bcastGate) broadcast(_) else identity
+      // cc's node set is bounded by the contracted edge endpoints,
+      // i.e. by 2x the near-pair count — gate its hint on that bound.
+      val ccHint: DataFrame => DataFrame =
+        if (near.count() <= bcastGate / 2) broadcast(_) else identity
       val contracted = near
-        .join(broadcast(rep.select(col("doc").as("a"), col("rep").as("ra"))),
+        .join(repHint(rep.select(col("doc").as("a"), col("rep").as("ra"))),
           Seq("a"), "left")
-        .join(broadcast(rep.select(col("doc").as("b"), col("rep").as("rb"))),
+        .join(repHint(rep.select(col("doc").as("b"), col("rep").as("rb"))),
           Seq("b"), "left")
         .select(coalesce(col("ra"), col("a")).as("x"),
           coalesce(col("rb"), col("b")).as("y"))
@@ -307,10 +323,10 @@ object LlmOps4 {
         .union(near.select(col("a"))).union(near.select(col("b").as("a")))
         .distinct()
       nodes
-        .join(broadcast(rep.select(col("doc").as("a"), col("rep"))),
+        .join(repHint(rep.select(col("doc").as("a"), col("rep"))),
           Seq("a"), "left")
         .withColumn("r", coalesce(col("rep"), col("a")))
-        .join(broadcast(cc.select(col("node").as("r"), col("cluster_id"))),
+        .join(ccHint(cc.select(col("node").as("r"), col("cluster_id"))),
           Seq("r"), "left")
         .select(col("a").as("doc_id"),
           coalesce(col("cluster_id"), col("r")).as("cluster_id"))
@@ -546,24 +562,46 @@ object LlmOps4 {
       |  FROM pr JOIN lm ON pr.w1 = lm.w1 AND pr.w2 = lm.w2
       |  GROUP BY pr.doc_id)""".stripMargin
 
-  // Exact all-pairs Jaccard >= 0.8 edges (the llm_dedup_near_verified
-  // CTEs) -> symmetric closure + self-loops -> 10 unrolled HashMin
-  // rounds (AS MATERIALIZED: each round CTE is referenced twice and
-  // would otherwise re-expand 2^10-fold) -> (doc, min-label) map, with
-  // a convergence sentinel comparing the last two rounds' label sums.
-  // 10 rounds == the Spark side's maxIter (ADVICE r9: with the
-  // previous 6-round unroll, a component of propagation depth 7-10
-  // yielded a CORRECT Spark result but a red sentinel; both sides now
-  // share one depth budget, like graph_connected_components_conv).
-  private val minhashClusterOracle = {
-    val rounds = (1 to 10).map { i =>
-      s"""l$i AS MATERIALIZED (
+  /** Unrolled HashMin rounds WITH a pointer-jump step, for the DuckDB
+    * CC oracles. Round i emits two CTEs over an `e(src, dst)` edge
+    * list and an `l0(node, l)` identity labelling:
+    *   h$i — neighbourhood min (classic HashMin), and
+    *   l$i — pointer jump l'(v) = l(l(v)) through h$i itself,
+    * so n rounds resolve propagation depth ~2^n, matching the Spark
+    * loop in [[connectedComponents]] which jumps every round (ADVICE
+    * r10: the previous plain unroll covered only depth n while Spark
+    * maxIter=n covers ~2^n — a deep corpus would have yielded a
+    * CORRECT Spark result but a red oracle sentinel, the false-red
+    * class ADVICE r9 set out to remove; now both sides' budgets are
+    * exponential in the round count). Labels are node ids and only
+    * decrease (closed-neighbourhood min), so the jump's inner lookup
+    * always finds its target and least() is monotone-safe. Every CTE
+    * is AS MATERIALIZED: each is referenced twice and would otherwise
+    * re-expand 2^n-fold (the un-pinned form exhausted temp disk). */
+  private[graft] def hashMinJumpRounds(n: Int): String =
+    (1 to n).map { i =>
+      s"""h$i AS MATERIALIZED (
          |  SELECT p.node, least(p.l, coalesce(m.nl, p.l)) AS l
          |  FROM l${i - 1} p LEFT JOIN (
          |    SELECT e.src AS node, min(q.l) AS nl
          |    FROM e JOIN l${i - 1} q ON e.dst = q.node
-         |    GROUP BY e.src) m ON p.node = m.node)""".stripMargin
+         |    GROUP BY e.src) m ON p.node = m.node),
+         |l$i AS MATERIALIZED (
+         |  SELECT p.node, least(p.l, coalesce(q.l, p.l)) AS l
+         |  FROM h$i p LEFT JOIN h$i q ON p.l = q.node)""".stripMargin
     }.mkString(",\n")
+
+  // Exact all-pairs Jaccard >= 0.8 edges (the llm_dedup_near_verified
+  // CTEs) -> symmetric closure -> 10 unrolled HashMin+jump rounds
+  // ([[hashMinJumpRounds]]) -> (doc, min-label) map, with a
+  // convergence sentinel comparing the last two rounds' label sums.
+  // Depth budget: the oracle's 10 jumped rounds resolve depth ~2^10,
+  // matching the Spark side's maxIter=10 pointer-jumping loop — the
+  // sentinel reds only for component depth > 2^10, i.e. effectively
+  // never on a corpus either engine can hold (ADVICE r10 closed the
+  // budget gap the r9 alignment comment had claimed prematurely).
+  private val minhashClusterOracle = {
+    val rounds = hashMinJumpRounds(10)
     s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |g AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
        |      FROM w WHERE len(w) >= 3),
