@@ -161,6 +161,13 @@ object Events {
     // signal. Values are all positive, so per-event crossings ==
     // the batch row's 1..floor(total/step) multiples, with the
     // crossing event and exact total at crossing surfaced as well.
+    // Semantics note (ADVICE r10): this twin pins the EXACT-CENTS
+    // accumulation, while the streaming row accumulates IEEE doubles —
+    // on a stream whose double running total lands just below a step
+    // boundary that the exact-cents total crosses, the two rows emit
+    // different alerts. The twin is the stricter (and reproducible)
+    // semantics; the ✗ streaming row stays a surface demo of the
+    // flatMapGroupsWithState machinery, not a value oracle for it.
     "evt_threshold_alerts_verified" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy("ts", "event_id")
