@@ -203,9 +203,10 @@ object LlmOps3 {
     // (cell blocking, probe selection, candidate ranking) is thereby
     // re-derived by an independent engine each round; a drifted cell
     // assignment or probe order fails the hash compare. (The sign-LSH
-    // llm_simsearch_ann row stays ✗: its xxhash64-seeded projections
-    // are not expressible in the oracle's SQL dialect, and its
-    // corpus recall is by design partial.)
+    // llm_simsearch_ann row stays ✗ — its xxhash64-seeded projections
+    // are not expressible in the oracle's SQL dialect — but since r11
+    // its md5-matrix twin llm_simsearch_ann_verified puts the
+    // identical bucket-join + ranking pipeline in the hard signal.)
     "llm_simsearch_ivf_verified" -> ((s: SparkSession, dir: String) =>
       ivfTopK(load(s, dir, "embeddings"), col("vec_id") % 100 === 0, k = 5)),
 
