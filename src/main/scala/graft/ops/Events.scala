@@ -37,6 +37,34 @@ object Events {
       .select(keyCols.map(col) ++ payload.map(c => col(s"_last.$c").as(c)): _*)
   }
 
+  /** Threshold-crossing alerts, exact-cents batch form (the
+    * evt_threshold_alerts_verified body, factored so planted-case
+    * ScalaTests drive the production path): one alert per step
+    * multiple (step = 100000 cents) a user's running total crosses,
+    * with the crossing event and the exact total at the crossing.
+    * Input needs (user_id, ts, event_id, value); (ts, event_id) must
+    * be unique per user so the running order is total. */
+  private[graft] def thresholdAlertsVerified(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+      .withColumn("running", sum("cents").over(w))
+      .withColumn("k_from", expr("(running - cents) div 100000") + 1)
+      .withColumn("k_to", expr("running div 100000"))
+      // Spark's sequence(a, b) DESCENDS when a > b — filter first
+      .filter(col("k_to") >= col("k_from"))
+      .select(col("user_id"),
+        explode(sequence(col("k_from"), col("k_to")))
+          .as("threshold_multiple"),
+        col("event_id").as("cross_event_id"),
+        col("running").as("total_cents_at_cross"))
+      .orderBy("user_id", "threshold_multiple")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_tumbling_window" -> ((s, dir) =>
       loadEvents(s, dir)
@@ -168,26 +196,8 @@ object Events {
     // different alerts. The twin is the stricter (and reproducible)
     // semantics; the ✗ streaming row stays a surface demo of the
     // flatMapGroupsWithState machinery, not a value oracle for it.
-    "evt_threshold_alerts_verified" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("user_id").orderBy("ts", "event_id")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      loadEvents(s, dir)
-        .select(col("user_id"), col("ts"), col("event_id"),
-          floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
-        .withColumn("running", sum("cents").over(w))
-        .withColumn("k_from", expr("(running - cents) div 100000") + 1)
-        .withColumn("k_to", expr("running div 100000"))
-        // Spark's sequence(a, b) DESCENDS when a > b — filter first
-        .filter(col("k_to") >= col("k_from"))
-        .select(col("user_id"),
-          explode(sequence(col("k_from"), col("k_to")))
-            .as("threshold_multiple"),
-          col("event_id").as("cross_event_id"),
-          col("running").as("total_cents_at_cross"))
-        .orderBy("user_id", "threshold_multiple")
-    }),
+    "evt_threshold_alerts_verified" -> ((s, dir) =>
+      thresholdAlertsVerified(loadEvents(s, dir))),
 
     // Rolling 7-day active users (WAU per day): rolling DISTINCT
     // cannot run as a window sum, so each observed day joins the

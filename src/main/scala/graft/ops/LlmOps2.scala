@@ -149,6 +149,28 @@ object LlmOps2 {
   private[graft] def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame =
     simhashPairsFromSims(simhash(docs), maxHamming)
 
+  /** The verified twin's signatures: 60-bit md5-derived token hashes
+    * (engine-shared, the llm_hash_features pattern) through the
+    * production SimHashSig majority rule. Factored from the
+    * llm_dedup_simhash_verified row so planted-case ScalaTests drive
+    * the identical path the oracle checks. */
+  private[graft] def simhashMd5Sigs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.SimHashSig(expr(
+        """transform(array_distinct(split(text, ' ')),
+          |  t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT))"""
+          .stripMargin)).as("sim"))
+      .filter(col("sim").isNotNull)
+
+  /** Deterministic md5-threshold stratified keep-set (the
+    * llm_sample_stratified_verified predicate): keep iff the first 4
+    * lowercase-hex chars of md5('graft'||doc_id) sort below the
+    * stratum threshold — '8000' = 1/2 for en, '4000' = 1/4 otherwise
+    * (fixed-width lowercase hex: string order == numeric order). */
+  private[graft] def stratifiedKeep: org.apache.spark.sql.Column =
+    substring(md5(concat(lit("graft"), col("doc_id").cast("string"))), 1, 4) <
+      when(col("lang") === "en", "8000").otherwise("4000")
+
   /** Band + Hamming stage over any (doc_id, sim) signature relation —
     * shared by the xxhash64 row and its md5-based verified twin so the
     * banding pipeline under oracle check IS the production one. */
@@ -319,13 +341,7 @@ object LlmOps2 {
     // Tokens are deduped BEFORE hashing on both sides so a 60-bit
     // prefix collision between distinct tokens cannot skew n.
     "llm_dedup_simhash_verified" -> ((s: SparkSession, dir: String) =>
-      simhashPairsFromSims(
-        load(s, dir, "documents").select(col("doc_id"),
-          graft.functions.SimHashSig(expr(
-            """transform(array_distinct(split(text, ' ')),
-              |  t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT))"""
-              .stripMargin)).as("sim"))
-          .filter(col("sim").isNotNull),
+      simhashPairsFromSims(simhashMd5Sigs(load(s, dir, "documents")),
         maxHamming = 3)),
 
     // LSH-bucketed ANN top-5 for the deterministic query subset — the
@@ -476,9 +492,7 @@ object LlmOps2 {
     // conventions (DECIMAL(38,0) accumulate, VARCHAR surface).
     "llm_sample_stratified_verified" -> ((s: SparkSession, dir: String) =>
       load(s, dir, "documents")
-        .filter(
-          substring(md5(concat(lit("graft"), col("doc_id").cast("string"))), 1, 4)
-            < when(col("lang") === "en", "8000").otherwise("4000"))
+        .filter(stratifiedKeep)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_kept"),
           sum(col("doc_id").cast("decimal(38,0)")).cast("string").as("sum_ids"))

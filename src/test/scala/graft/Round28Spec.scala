@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Planted-case guards for the rows that graduated to oracle checks in
+  * driver rounds 10-11 (VERDICT r10 item 3: those rows' shared
+  * production helpers — simhashPairsFromSims, the cents arithmetic,
+  * the stratified keep predicate, the ann bucket join — had no fast
+  * local signal between round-end oracle runs). Each test drives the
+  * SAME factored production path the oracle-checked query uses, on
+  * inputs whose expected output is derivable by hand.
+  */
+class Round28Spec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  // ---- evt_threshold_alerts_verified ------------------------------
+
+  test("thresholdAlertsVerified: one event crossing two multiples emits both; a non-crossing event emits none") {
+    // step = 100000 cents (1000.00). User 1: e1 = 2500.00 crosses
+    // multiples 1 and 2 in ONE event (running 250000); e2 = 10.00
+    // lands at 251000 — crosses nothing. User 2: e3 = 1000.00 lands
+    // EXACTLY on the boundary (running 100000) — k_to = 1 inclusive,
+    // so the boundary itself counts as crossed.
+    val events = Seq(
+      (1L, 10L, 100L, 2500.00),
+      (1L, 20L, 101L, 10.00),
+      (2L, 10L, 200L, 1000.00))
+      .toDF("user_id", "ts", "event_id", "value")
+    val got = graft.ops.Events.thresholdAlertsVerified(events)
+      .select("user_id", "threshold_multiple", "cross_event_id",
+        "total_cents_at_cross")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 100L, 250000L),
+      (1L, 2L, 100L, 250000L),
+      (2L, 1L, 200L, 100000L)))
+  }
+
+  test("thresholdAlertsVerified: 2-dp values accumulate as exact cents (no double drift)") {
+    // 10000 events of 0.10 sum to exactly 100.00; in doubles the
+    // running sum of 0.1 drifts below — the cents lift must not.
+    // 1000000 cents = 10 * step? No: 10000 * 10 cents = 100000 cents
+    // = exactly one step boundary, crossed by the LAST event.
+    val events = (1 to 10000).map(i => (7L, i.toLong, i.toLong, 0.10))
+      .toDF("user_id", "ts", "event_id", "value")
+    val got = graft.ops.Events.thresholdAlertsVerified(events)
+      .select("threshold_multiple", "cross_event_id", "total_cents_at_cross")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 10000L, 100000L)),
+      s"exact-cents boundary crossing drifted: $got")
+  }
+
+  // ---- llm_sample_stratified_verified -----------------------------
+
+  test("stratifiedKeep: fixed doc_ids land in the exact '8000'/'4000' keep-set") {
+    // Independent reference: compute the md5 prefix per id here and
+    // apply the threshold rule directly; the production Column must
+    // agree id-for-id for both an 'en' stratum and a non-'en' one.
+    def hex4(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s"graft$id".getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString.substring(0, 4)
+    }
+    val ids = (0L until 64L).toSeq
+    val docs = ids.flatMap(i => Seq((i, "en"), (i + 1000L, "de")))
+      .toDF("doc_id", "lang")
+    val kept = docs.filter(graft.ops.LlmOps2.stratifiedKeep)
+      .select("doc_id").as[Long].collect().toSet
+    val expected = (ids.filter(i => hex4(i) < "8000") ++
+      ids.map(_ + 1000L).filter(i => hex4(i) < "4000")).toSet
+    assert(kept == expected)
+    // The set is non-trivial in both directions (some kept, some not)
+    // so the assertion can actually fail on a drifted predicate.
+    assert(kept.nonEmpty && kept.size < docs.count())
+  }
+
+  // ---- llm_dedup_simhash_verified ---------------------------------
+
+  test("simhashMd5Sigs -> simhashPairsFromSims: planted near-identical pair recalled, distinct doc not paired") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    // Changing tok3 flips exactly 2 majority bits for this fixed
+    // vocabulary (verified against an independent md5 replica) —
+    // hamming 2 <= 3, and <= 3 flips always leave one clean band, so
+    // band recall is guaranteed, not probabilistic.
+    val near = (1 to 40).map(i => if (i == 3) "changed" else s"tok$i")
+      .mkString(" ")
+    val far = (1 to 40).map(i => s"other$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, base), (3L, near), (4L, far))
+      .toDF("doc_id", "text")
+    val pairs = graft.ops.LlmOps2.simhashPairsFromSims(
+        graft.ops.LlmOps2.simhashMd5Sigs(docs), maxHamming = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // Identical docs: hamming 0, all bands collide — guaranteed.
+    assert(pairs.contains((1L, 2L)))
+    // One token changed out of 40: majority vote flips few bits
+    // (deterministic for these fixed strings — verified hamming <= 3).
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    // Fully disjoint vocabulary: must not band-collide within h <= 3.
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  // ---- llm_simsearch_ann_verified ---------------------------------
+
+  test("annVerifiedBuckets: planted identical 64-dim vectors share all buckets and are recalled at cos 1.0") {
+    val dim = graft.ops.LlmOps2.AnnVerifiedDims
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(dim)(d => math.sin(seed * 97 + d).toFloat)
+    // vec_id 0 is a query (vec_id % 100 == 0 convention); 7 is its
+    // planted duplicate; 21/22 are distinct fillers.
+    val emb = Seq((0L, vec(1)), (7L, vec(1)), (21L, vec(2)), (22L, vec(3)))
+      .toDF("vec_id", "embedding")
+    val buckets = graft.ops.LlmOps2.annVerifiedBuckets(emb)
+    val b = buckets.collect().map(r => r.getLong(0) ->
+      (1 to 4).map(r.getLong)).toMap
+    assert(b(0L) == b(7L), "identical vectors must share all 4 buckets")
+    val top = graft.ops.LlmOps2.annTopKFromBuckets(
+        buckets, emb, col("vec_id") === 0L, k = 5)
+      .select("q_id", "vec_id", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+    assert(top.head == ((0L, 7L, 1.0)),
+      s"planted duplicate must rank first at cos 1.0: ${top.toSeq}")
+  }
+
+  test("SignBucketsExact: wrong-dimension input yields null (filtered upstream)") {
+    val emb = Seq((1L, Array.tabulate(32)(_.toFloat)),
+        (2L, Array.tabulate(graft.ops.LlmOps2.AnnVerifiedDims)(_.toFloat)))
+      .toDF("vec_id", "embedding")
+    val out = graft.ops.LlmOps2.annVerifiedBuckets(emb)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(out == Seq(2L), "32-dim row must drop, 64-dim row must survive")
+  }
+}
