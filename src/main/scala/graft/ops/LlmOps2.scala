@@ -162,6 +162,44 @@ object LlmOps2 {
           .stripMargin)).as("sim"))
       .filter(col("sim").isNotNull)
 
+  /** Composite quality score from token statistics — THE
+    * llm_quality_score definition (one deterministic double formula,
+    * identical in the oracle), factored so the quality-weighted
+    * mixing optimizer reuses the SAME weights. floor(v·10⁶ + 0.5)/10⁶
+    * instead of round(v, 6): the ratios are single divisions of exact
+    * small ints, so the doubles are bit-identical cross-engine — but
+    * Spark's exact-binary HALF_UP and DuckDB's v·10⁶ float rounding
+    * split values sitting AT a .5 boundary (the r9 tri-SF straddle);
+    * the floor form evaluates identically on both engines. Input
+    * needs (doc_id, lang, text); output carries lang through for
+    * per-stratum consumers. */
+  private[graft] def qualityFull(docs: DataFrame): DataFrame = {
+    def r6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    docs
+      .select(col("doc_id"), col("lang"), col("text"),
+        split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("lang"), col("text"),
+        size(col("w")).as("n_tok"),
+        size(array_distinct(col("w"))).as("n_distinct"),
+        size(expr(
+          "filter(w, t -> array_contains(array('the', 'a', 'of', 'and'), t))"))
+          .as("n_stop"))
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        r6(col("n_distinct").cast("double") / col("n_tok").cast("double"))
+          .as("ttr"),
+        r6((length(col("text")) - (col("n_tok") - 1)).cast("double") /
+          col("n_tok").cast("double")).as("avg_wlen"),
+        r6(col("n_stop").cast("double") / col("n_tok").cast("double"))
+          .as("stop_ratio"),
+        r6(
+          (col("n_distinct").cast("double") / col("n_tok").cast("double")) * 0.5 +
+            (lit(1.0) - col("n_stop").cast("double") / col("n_tok").cast("double")) * 0.3 +
+            least((length(col("text")) - (col("n_tok") - 1)).cast("double") /
+              col("n_tok").cast("double") / 10.0, lit(1.0)) * 0.2)
+          .as("quality"))
+  }
+
   /** Deterministic md5-threshold stratified keep-set (the
     * llm_sample_stratified_verified predicate): keep iff the first 4
     * lowercase-hex chars of md5('graft'||doc_id) sort below the
@@ -412,31 +450,10 @@ object LlmOps2 {
     // and DuckDB's v*10⁶ float rounding split values sitting AT a .5
     // boundary (the r9 tri-SF straddle, 1/5000 rows at sf0.1). The
     // floor form evaluates identically on both engines.
-    "llm_quality_score" -> ((s: SparkSession, dir: String) => {
-      def r6(c: org.apache.spark.sql.Column) =
-        floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
-      tokenized(s, dir)
-        .select(col("doc_id"), col("w"), col("text"),
-          size(col("w")).as("n_tok"),
-          size(array_distinct(col("w"))).as("n_distinct"),
-          size(expr(
-            "filter(w, t -> array_contains(array('the', 'a', 'of', 'and'), t))"))
-            .as("n_stop"))
-        .select(col("doc_id"), col("n_tok"),
-          r6(col("n_distinct").cast("double") / col("n_tok").cast("double"))
-            .as("ttr"),
-          r6((length(col("text")) - (col("n_tok") - 1)).cast("double") /
-            col("n_tok").cast("double")).as("avg_wlen"),
-          r6(col("n_stop").cast("double") / col("n_tok").cast("double"))
-            .as("stop_ratio"),
-          r6(
-            (col("n_distinct").cast("double") / col("n_tok").cast("double")) * 0.5 +
-              (lit(1.0) - col("n_stop").cast("double") / col("n_tok").cast("double")) * 0.3 +
-              least((length(col("text")) - (col("n_tok") - 1)).cast("double") /
-                col("n_tok").cast("double") / 10.0, lit(1.0)) * 0.2)
-            .as("quality"))
-        .orderBy("doc_id")
-    }),
+    "llm_quality_score" -> ((s: SparkSession, dir: String) =>
+      qualityFull(load(s, dir, "documents"))
+        .select("doc_id", "n_tok", "ttr", "avg_wlen", "stop_ratio", "quality")
+        .orderBy("doc_id")),
 
     // PII-style masking: pattern classes rewritten to placeholder
     // tokens (the shape of email/phone/ID scrubbing; this corpus has

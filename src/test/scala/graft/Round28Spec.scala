@@ -123,6 +123,66 @@ class Round28Spec extends AnyFunSuite {
       s"planted duplicate must rank first at cos 1.0: ${top.toSeq}")
   }
 
+  // ---- llm_span_neardup -------------------------------------------
+
+  test("spanNearDup: planted shared 16-token span found across docs; disjoint docs not paired") {
+    val span = (1 to 16).map(i => s"s$i").mkString(" ")
+    val near = ((1 to 15).map(i => s"s$i") :+ "edited").mkString(" ")
+    val other = (1 to 16).map(i => s"x$i").mkString(" ")
+    // doc 1: the span as its first chunk + filler chunk; doc 2: the
+    // identical span; doc 3: a 1-token edit (14/16 shared bigrams ->
+    // J = 13/17 ~ 0.76 >= 0.5 if the min-bigram block recalls it);
+    // doc 4: fully disjoint vocabulary.
+    val docs = Seq(
+      (1L, span + " " + other),
+      (2L, span),
+      (3L, near),
+      (4L, (1 to 16).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = graft.ops.LlmOps17.spanNearDup(docs)
+      .select("doc_a", "span_a", "doc_b", "span_b")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // Identical spans share ALL bigrams, hence the same min hash —
+    // guaranteed recall; span 0 of doc 1 == span 0 of doc 2.
+    assert(got.contains((1L, 0L, 2L, 0L)))
+    // The disjoint doc must pair with nothing.
+    assert(!got.exists(p => p._1 == 4L || p._3 == 4L))
+    // Doc 1's filler chunk (span 1) must not pair with the span.
+    assert(!got.contains((1L, 1L, 2L, 0L)))
+  }
+
+  // ---- llm_domain_mix_optimize ------------------------------------
+
+  test("domainMixOptimize: water-filling cap allocates the 70% budget across skewed strata") {
+    // Strata sizes 4 / 6 / 20 (total 30, budget = 21). Sorted asc:
+    // i=1: (21-0) div 3 = 7 > 4 -> infeasible; i=2: (21-4) div 2 =
+    // 8 > 6 -> infeasible; i=3: (21-10) div 1 = 11 <= 20 -> cap 11.
+    // Allocation: 4 + 6 + 11 = 21 = the budget, exactly.
+    val docs = (
+      (1 to 4).map(i => (i.toLong, "aa", s"t$i w$i")) ++
+      (1 to 6).map(i => (100L + i, "bb", s"t$i w$i")) ++
+      (1 to 20).map(i => (200L + i, "cc", s"t$i w$i"))
+    ).toDF("doc_id", "lang", "text")
+    val got = graft.ops.LlmOps17.domainMixOptimize(docs)
+      .select("lang", "n_docs", "n_kept")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("aa", 4L, 4L), ("bb", 6L, 6L), ("cc", 20L, 11L)))
+  }
+
+  test("domainMixOptimize: kept docs are the stratum's top quality (doc_id tiebreak)") {
+    // One stratum, 4 docs, budget = 7*4 div 10 = 2 -> cap 2. Docs 1/2
+    // are high-quality (distinct tokens), 3/4 all-stopword junk; sum
+    // of kept ids pins exactly which two survived.
+    val docs = Seq(
+      (1L, "en", "alpha beta gamma delta"),
+      (2L, "en", "epsilon zeta eta theta"),
+      (3L, "en", "the the the the"),
+      (4L, "en", "a a a a")).toDF("doc_id", "lang", "text")
+    val got = graft.ops.LlmOps17.domainMixOptimize(docs)
+      .select("n_kept", "sum_kept_ids").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 3L)), s"expected docs 1+2 kept: $got")
+  }
+
   test("SignBucketsExact: wrong-dimension input yields null (filtered upstream)") {
     val emb = Seq((1L, Array.tabulate(32)(_.toFloat)),
         (2L, Array.tabulate(graft.ops.LlmOps2.AnnVerifiedDims)(_.toFloat)))
