@@ -66,7 +66,8 @@ object SparkEntry {
       (Composite28.queries, Composite28.oracle),
       (Composite29.queries, Composite29.oracle),
       (Composite30.queries, Composite30.oracle),
-      (LlmOps17.queries, LlmOps17.oracle)
+      (LlmOps17.queries, LlmOps17.oracle),
+      (Composite31.queries, Composite31.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

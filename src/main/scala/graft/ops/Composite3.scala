@@ -29,11 +29,11 @@ import graft.util.Tables._
 object Composite3 {
 
   // ---- shared exact-sum snippets -----------------------------------
-  private val xd = "CAST(l_quantity AS DECIMAL(12,2))"
-  private val x2 = s"CAST($xd * $xd AS DECIMAL(12,4))"
+  private[graft] val xd = "CAST(l_quantity AS DECIMAL(12,2))"
+  private[graft] val x2 = s"CAST($xd * $xd AS DECIMAL(12,4))"
   private val x3 = s"CAST($x2 * $xd AS DECIMAL(16,6))"
   private val x4 = s"CAST($x2 * $x2 AS DECIMAL(20,8))"
-  private val yd = "CAST(l_extendedprice AS DECIMAL(15,2))"
+  private[graft] val yd = "CAST(l_extendedprice AS DECIMAL(15,2))"
 
   // ---- win_ntile ----------------------------------------------------
   // Quartile assignment within each market segment (ntile) next to a
@@ -65,11 +65,11 @@ object Composite3 {
     * direct decimal→double cast double-rounds once the scaled integer
     * exceeds 2^53). Built structurally from the inner expression —
     * no post-hoc string rewriting of assembled SQL. */
-  private final case class StatAgg(alias: String, spark: String, oracle: String)
-  private def sumAgg(inner: String, alias: String) = StatAgg(alias,
+  private[graft] final case class StatAgg(alias: String, spark: String, oracle: String)
+  private[graft] def sumAgg(inner: String, alias: String) = StatAgg(alias,
     s"CAST(sum($inner) AS DOUBLE)",
     s"CAST(CAST(sum($inner) AS VARCHAR) AS DOUBLE)")
-  private def countAgg(alias: String) = {
+  private[graft] def countAgg(alias: String) = {
     val e = "CAST(count(*) AS DOUBLE)"
     StatAgg(alias, e, e)
   }
@@ -141,7 +141,7 @@ object Composite3 {
     "agg_regression" -> (regression _)
   )
 
-  private def statsOracle(aggs: Seq[StatAgg], out: Seq[String]) =
+  private[graft] def statsOracle(aggs: Seq[StatAgg], out: Seq[String]) =
     s"""WITH s AS (SELECT l_returnflag,
        |  ${aggs.map(a => s"${a.oracle} AS ${a.alias}").mkString(",\n  ")}
        |  FROM lineitem GROUP BY l_returnflag)
