@@ -5,13 +5,15 @@ import org.apache.spark.sql.functions._
 
 import graft.util.Tables._
 
-/** SURVEY.md §2.47 (round-21 batch) — three capability gaps a real
+/** SURVEY.md §2.47 (round-21 batch) — four capability gaps a real
   * user hits next: graph DISTANCES (every existing graph row is
   * structural — components, degrees, triangles — none answers "how
-  * far"), MULTIPLE regression (agg_regression is single-feature), and
-  * a sketch-calibration audit (the MinHash estimator's error profile
+  * far"), MULTIPLE regression (agg_regression is single-feature), a
+  * sketch-calibration audit (the MinHash estimator's error profile
   * measured against exact Jaccard on the same corpus — the number a
-  * dedup-threshold decision actually rests on).
+  * dedup-threshold decision actually rests on), and a k-anonymity
+  * audit (the quasi-identifier group-size distribution the PII
+  * masking family acts on).
   *
   * Scale shapes: shortest-path is K synchronized Bellman-Ford rounds
   * over the bounded co-purchase edge list (the connected_components
@@ -311,7 +313,41 @@ object Composite31 {
        |FROM scored GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  // ---- dq_k_anonymity --------------------------------------------------
+  // Anonymity-set size distribution over the customer quasi-identifier
+  // tuple (market segment, nation, 1000-unit balance band): for each
+  // group size s, how many QI groups and rows sit in groups of exactly
+  // that size. k-anonymity says rows in groups of size < k are
+  // re-identifiable — this is the governance audit the PII family
+  // (llm_pii_mask) acts on. Two chained map-side-combining aggregates
+  // (QI-group count, then size histogram); all exact integers. The
+  // balance band uses floor(x / 1e3): `1e3` not a bare decimal literal
+  // (SURVEY §1.5 — decimal literals drag Spark into decimal division),
+  // and exact-multiple boundaries divide exactly in IEEE, so the band
+  // is engine-agnostic.
+  private[graft] def kAnonymityOn(cust: DataFrame): DataFrame =
+    cust
+      .groupBy(col("c_mktsegment"), col("c_nationkey"),
+        expr("CAST(floor(c_acctbal / 1e3) AS BIGINT)").as("bal_band"))
+      .agg(count(lit(1)).as("s"))
+      .groupBy(col("s").as("group_size"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("s")).as("n_rows"))
+      .orderBy("group_size")
+
+  private val kAnonymityOracle =
+    """WITH g AS (
+      |  SELECT c_mktsegment, c_nationkey,
+      |    CAST(floor(c_acctbal / 1e3) AS BIGINT) AS bal_band,
+      |    count(*) AS s
+      |  FROM customer GROUP BY 1, 2, 3)
+      |SELECT s AS group_size, CAST(count(*) AS BIGINT) AS n_groups,
+      |  CAST(sum(s) AS BIGINT) AS n_rows
+      |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_k_anonymity" -> ((s: SparkSession, dir: String) =>
+      kAnonymityOn(load(s, dir, "customer"))),
     "graph_shortest_path" -> (shortestPath _),
     "agg_ols_multi" -> (olsMulti _),
     "llm_minhash_calibration" -> ((s: SparkSession, dir: String) =>
@@ -319,6 +355,7 @@ object Composite31 {
   )
 
   val oracle: Map[String, String] = Map(
+    "dq_k_anonymity" -> kAnonymityOracle,
     "graph_shortest_path" -> shortestPathOracle,
     "agg_ols_multi" -> Composite3.statsOracle(olsAggs, olsOut),
     "llm_minhash_calibration" -> minhashCalibrationOracle

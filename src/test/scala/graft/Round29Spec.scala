@@ -54,6 +54,20 @@ class Round29Spec extends AnyFunSuite {
     assert(got == Seq(("X", 6L, 2.0, -30.0, 5.0, 1.0)))
   }
 
+  // ---- dq_k_anonymity ------------------------------------------------
+
+  test("kAnonymityOn: QI group sizes histogram, negative balances band at -1") {
+    // Groups: (A,1,band 0) x2; (A,1,band -1) x1; (B,1,0) x1; (B,2,0) x2
+    // -> two singleton groups (2 rows at k<2 risk), two pair groups.
+    val cust = Seq(
+      ("A", 1, 500.00), ("A", 1, 999.99), ("A", 1, -1.00),
+      ("B", 1, 500.00), ("B", 2, 500.00), ("B", 2, 700.00))
+      .toDF("c_mktsegment", "c_nationkey", "c_acctbal")
+    val got = graft.ops.Composite31.kAnonymityOn(cust)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 2L), (2L, 2L, 4L)))
+  }
+
   // ---- llm_minhash_calibration ----------------------------------------
 
   /** Replica of LlmOps4.hashKeep's predicate for picking planted ids. */
