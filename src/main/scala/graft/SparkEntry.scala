@@ -67,7 +67,8 @@ object SparkEntry {
       (Composite29.queries, Composite29.oracle),
       (Composite30.queries, Composite30.oracle),
       (LlmOps17.queries, LlmOps17.oracle),
-      (Composite31.queries, Composite31.oracle)
+      (Composite31.queries, Composite31.oracle),
+      (Composite32.queries, Composite32.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

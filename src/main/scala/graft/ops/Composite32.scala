@@ -1,0 +1,192 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables._
+
+/** SURVEY.md §2.48 (round-21 batch 2) — weighted order statistics,
+  * count-rate shift testing, and bounded ego networks:
+  *
+  *  - [[weightedMedian]]: the weighted median (the robust center the
+  *    plain median family can't weight) — exact by construction:
+  *    integral weights, cumulative-weight threshold picks an actual
+  *    data value, no interpolation to drift.
+  *
+  *  - [[poissonRateShift]]: did each event type's COUNT RATE change
+  *    between the first and second half of the observed window? The
+  *    conditional-Poisson normal statistic z = (c1-c2)/sqrt(c1+c2) on
+  *    exact counts (agg_welch_t tests means of VALUES; this tests
+  *    arrival rates — the ops-monitoring primitive).
+  *
+  *  - [[egoSize2Hop]]: 1- and 2-hop ego-network sizes for the seed
+  *    set — per-seed reach (the feature-engineering number), where
+  *    graph_shortest_path gives only the global distance histogram.
+  *
+  * Scale shapes: weighted median is one window shuffle on the group
+  * key + a 3-row aggregate; rate-shift is one map-side-combining
+  * conditional aggregate with the 1-row global midpoint broadcast in
+  * (the pagerank `nn` discipline — no driver collect); ego sizes are
+  * two edge joins FILTERED TO THE SEED SET first (seed-bounded work,
+  * the seeds' frontier never rescans the full graph).
+  *
+  * Determinism: medians are picked data values (exact double compare);
+  * rate counts are exact integers with the z/ratio assembled ONCE in
+  * double from identical formula text; ego sizes are exact integers.
+  */
+object Composite32 {
+
+  // ---- agg_weighted_median -------------------------------------------
+  // Weighted median of extendedprice per return flag, weight =
+  // quantity (integral-valued; both engines cast the integral double
+  // to BIGINT losslessly): smallest price whose cumulative weight
+  // reaches half the total — 2*cumw >= total in exact integers, no
+  // halving division. The cumulative frame orders by the unique
+  // (price, orderkey, linenumber) tuple so ties accumulate
+  // identically in both engines.
+  private[graft] def weightedMedianOn(li: DataFrame): DataFrame = {
+    val wCum = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("l_returnflag"))
+    li.select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("long").as("w"))
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        sum(col("w")).over(wCum).as("cumw"),
+        sum(col("w")).over(wAll).as("total"))
+      .filter(col("cumw") * 2 >= col("total"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("l_extendedprice")).as("w_median_price"),
+        min(col("total")).as("total_weight"))
+      .orderBy("l_returnflag")
+  }
+
+  private def weightedMedian(s: SparkSession, dir: String): DataFrame =
+    weightedMedianOn(load(s, dir, "lineitem"))
+
+  private val weightedMedianOracle =
+    """WITH t AS (
+      |  SELECT l_returnflag, l_extendedprice,
+      |    sum(CAST(l_quantity AS BIGINT)) OVER (
+      |      PARTITION BY l_returnflag
+      |      ORDER BY l_extendedprice, l_orderkey, l_linenumber
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+      |    sum(CAST(l_quantity AS BIGINT)) OVER (
+      |      PARTITION BY l_returnflag) AS total
+      |  FROM lineitem)
+      |SELECT l_returnflag,
+      |  min(l_extendedprice) AS w_median_price,
+      |  CAST(min(total) AS BIGINT) AS total_weight
+      |FROM t WHERE cumw * 2 >= total
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---- evt_poisson_rate_shift -----------------------------------------
+  // Split the observed span at its midpoint DAY (exact integer-day
+  // arithmetic, inclusive left half) and test each event type's
+  // arrival-rate change: z = (c1 - c2) / sqrt(c1 + c2) — the
+  // conditional test (given n = c1 + c2 arrivals, c1 ~ Binomial(n, ½)
+  // under H0 of equal rates). Counts are exact integers; z and the
+  // rate ratio assemble once in double with identical formula text.
+  private[graft] def poissonRateShiftOn(events: DataFrame): DataFrame = {
+    val span = events.agg(min(to_date(col("ts"))).as("mind"),
+      max(to_date(col("ts"))).as("maxd"))
+    // 1-row span rides a broadcast cross join into the per-type
+    // aggregate (pagerank `nn` discipline — no standalone collect).
+    events.select(col("event_type"), to_date(col("ts")).as("d"))
+      .crossJoin(broadcast(span))
+      .select(col("event_type"),
+        (col("d") <= expr("date_add(mind, CAST(datediff(maxd, mind) DIV 2 AS INT))"))
+          .as("first_half"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("first_half"), 1L).otherwise(0L)).as("c1"),
+        sum(when(col("first_half"), 0L).otherwise(1L)).as("c2"))
+      .selectExpr("event_type", "c1", "c2",
+        "floor(((CAST(c1 AS DOUBLE) - CAST(c2 AS DOUBLE)) / sqrt(CAST(c1 + c2 AS DOUBLE)))*1e6 + 0.5)/1e6 AS z",
+        "CASE WHEN c2 = 0 THEN NULL ELSE floor((CAST(c1 AS DOUBLE) / CAST(c2 AS DOUBLE))*1e6 + 0.5)/1e6 END AS rate_ratio")
+      .orderBy("event_type")
+  }
+
+  private def poissonRateShift(s: SparkSession, dir: String): DataFrame =
+    poissonRateShiftOn(loadEvents(s, dir))
+
+  private val poissonRateShiftOracle =
+    """WITH e AS (
+      |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+      |  FROM events),
+      |span AS (SELECT min(d) AS mind, max(d) AS maxd FROM e),
+      |c AS (
+      |  SELECT event_type,
+      |    CAST(sum(CASE WHEN d <= mind + CAST((maxd - mind) // 2 AS INTEGER)
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+      |    CAST(sum(CASE WHEN d <= mind + CAST((maxd - mind) // 2 AS INTEGER)
+      |      THEN 0 ELSE 1 END) AS BIGINT) AS c2
+      |  FROM e CROSS JOIN span GROUP BY event_type)
+      |SELECT event_type, c1, c2,
+      |  floor(((CAST(c1 AS DOUBLE) - CAST(c2 AS DOUBLE)) / sqrt(CAST(c1 + c2 AS DOUBLE)))*1e6 + 0.5)/1e6 AS z,
+      |  CASE WHEN c2 = 0 THEN NULL ELSE floor((CAST(c1 AS DOUBLE) / CAST(c2 AS DOUBLE))*1e6 + 0.5)/1e6 END AS rate_ratio
+      |FROM c ORDER BY event_type""".stripMargin
+
+  // ---- graph_ego_size_2hop --------------------------------------------
+  // 1- and 2-hop ego-network sizes for the seed set (partkey % 100 ==
+  // 0) over the symmetric co-purchase graph. The frontier expansion
+  // is SEED-BOUNDED: the first join filters edges to seed sources
+  // (predicate pushes to the edge build), the second join expands
+  // only the seeds' 1-hop frontier — the full graph is scanned, never
+  // re-scanned per seed. Sizes exclude the seed itself; exact
+  // integers.
+  private[graft] def egoSize2HopOn(edges: DataFrame): DataFrame = {
+    val n1 = edges.filter(col("src") % 100 === 0)
+      .select(col("src").as("seed"), col("dst").as("n"))
+      .distinct()
+      .localCheckpoint()
+    val hop1 = n1.groupBy(col("seed")).agg(count(lit(1)).as("ego1_size"))
+    // Frontier × edges: the (seed, frontier-node) list is seed-
+    // bounded — at broadcast scale it pins a broadcast-hash join; on
+    // a bigger frontier it degrades to a dst-keyed shuffle unchanged.
+    val reach2 = n1.select(col("seed"), col("n").as("src"))
+      .join(edges, "src")
+      .select(col("seed"), col("dst").as("n"))
+      .union(n1)
+      .filter(col("n") =!= col("seed"))
+      .distinct()
+      .groupBy(col("seed")).agg(count(lit(1)).as("ego2_size"))
+    hop1.join(reach2, "seed").orderBy("seed")
+  }
+
+  private def egoSize2Hop(s: SparkSession, dir: String): DataFrame =
+    egoSize2HopOn(Composite4.coPurchaseEdges(s, dir).localCheckpoint())
+
+  private val egoSize2HopOracle =
+    """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+      |e AS MATERIALIZED (
+      |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      |  WHERE a.l_partkey <> b.l_partkey),
+      |n1 AS MATERIALIZED (
+      |  SELECT DISTINCT src AS seed, dst AS n FROM e WHERE src % 100 = 0),
+      |h1 AS (SELECT seed, CAST(count(*) AS BIGINT) AS ego1_size
+      |       FROM n1 GROUP BY seed),
+      |r2 AS (
+      |  SELECT seed, CAST(count(*) AS BIGINT) AS ego2_size FROM (
+      |    SELECT DISTINCT seed, n FROM (
+      |      SELECT n1.seed, e.dst AS n FROM n1 JOIN e ON n1.n = e.src
+      |      UNION ALL SELECT seed, n FROM n1))
+      |  WHERE n <> seed GROUP BY seed)
+      |SELECT h1.seed, h1.ego1_size, r2.ego2_size
+      |FROM h1 JOIN r2 ON h1.seed = r2.seed
+      |ORDER BY h1.seed""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_weighted_median" -> (weightedMedian _),
+    "evt_poisson_rate_shift" -> (poissonRateShift _),
+    "graph_ego_size_2hop" -> (egoSize2Hop _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "agg_weighted_median" -> weightedMedianOracle,
+    "evt_poisson_rate_shift" -> poissonRateShiftOracle,
+    "graph_ego_size_2hop" -> egoSize2HopOracle
+  )
+}

@@ -68,6 +68,52 @@ class Round29Spec extends AnyFunSuite {
     assert(got == Seq((1L, 2L, 2L), (2L, 2L, 4L)))
   }
 
+  // ---- agg_weighted_median ---------------------------------------------
+
+  test("weightedMedianOn: cumulative weight picks the value at the half-total; ties take the lower value") {
+    // Flag X: weights 1,1,10 over prices 1,2,3 -> total 12, first row
+    // with 2*cumw >= 12 is price 3. Flag Y: weights 1,1 -> the exact
+    // half lands ON price 1 (2*1 >= 2), the lower weighted median.
+    val li = Seq(
+      ("X", 1.0, 1L, 1, 1.0), ("X", 2.0, 2L, 1, 1.0), ("X", 3.0, 3L, 1, 10.0),
+      ("Y", 1.0, 4L, 1, 1.0), ("Y", 2.0, 5L, 1, 1.0))
+      .toDF("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber",
+        "l_quantity")
+    val got = graft.ops.Composite32.weightedMedianOn(li)
+      .as[(String, Double, Long)].collect().toSeq
+    assert(got == Seq(("X", 3.0, 12L), ("Y", 1.0, 2L)))
+  }
+
+  // ---- evt_poisson_rate_shift --------------------------------------------
+
+  test("poissonRateShiftOn: midpoint-day split counts, z and ratio; empty second half -> NULL ratio") {
+    // Span day1..day3, midpoint = day2 (inclusive left). Type A: 3
+    // events <= day2, 1 after -> z = (3-1)/2 = 1, ratio = 3. Type B:
+    // all 4 in the first half -> c2 = 0, ratio NULL, z = sqrt(4) = 2.
+    val events = Seq(
+      ("A", "2024-01-01 10:00:00"), ("A", "2024-01-01 11:00:00"),
+      ("A", "2024-01-02 10:00:00"), ("A", "2024-01-03 10:00:00"),
+      ("B", "2024-01-01 10:00:00"), ("B", "2024-01-01 12:00:00"),
+      ("B", "2024-01-02 09:00:00"), ("B", "2024-01-02 23:00:00"))
+      .toDF("event_type", "ts_s")
+      .select(col("event_type"), to_timestamp(col("ts_s")).as("ts"))
+    val got = graft.ops.Composite32.poissonRateShiftOn(events)
+      .as[(String, Long, Long, Double, Option[Double])].collect().toSeq
+    assert(got == Seq(("A", 3L, 1L, 1.0, Some(3.0)), ("B", 4L, 0L, 2.0, None)))
+  }
+
+  // ---- graph_ego_size_2hop -------------------------------------------------
+
+  test("egoSize2HopOn: chain graph bounds the ego at two hops") {
+    // 100-1-2-3 chain: ego1(100) = {1}, ego2(100) = {1,2} (node 3 is
+    // three hops out and must not count).
+    val half = Seq((100L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val edges = half.union(half.select(col("dst"), col("src")))
+    val got = graft.ops.Composite32.egoSize2HopOn(edges)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((100L, 1L, 2L)))
+  }
+
   // ---- llm_minhash_calibration ----------------------------------------
 
   /** Replica of LlmOps4.hashKeep's predicate for picking planted ids. */
