@@ -179,4 +179,55 @@ object PropertiesSpec extends Properties("graft-laws") {
           cs.init.forall(_.length > stride) && cs.last.length <= width
       }
     }
+
+  property("shortestPathOn == brute-force multi-source BFS histogram") =
+    forAll(Gen.listOf(Gen.zip(Gen.chooseNum(0L, 10L), Gen.chooseNum(0L, 10L)))) { es =>
+      import spark.implicits._
+      val half = es.filter { case (a, b) => a != b }.distinct
+      half.isEmpty || {
+        val adj = (half ++ half.map(_.swap)).groupBy(_._1)
+          .view.mapValues(_.map(_._2).toSet).toMap
+        val k = 3
+        // brute-force multi-source BFS, hop-capped at k
+        val dist = scala.collection.mutable.Map[Long, Long]()
+        adj.keys.filter(_ % 3 == 0).foreach(dist(_) = 0L)
+        var frontier = dist.keySet.toSet
+        for (step <- 1L to k) {
+          val next = frontier.flatMap(adj(_)).filterNot(dist.contains)
+          next.foreach(dist(_) = step)
+          frontier = next
+        }
+        val expected = adj.keys.toSeq
+          .map(n => dist.getOrElse(n, -1L))
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val edges = half.toDF("src", "dst")
+        val got = graft.ops.Composite31
+          .shortestPathOn(edges.union(edges.select($"dst", $"src")),
+            n => n % 3 === 0, k)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got == expected
+      }
+    }
+
+  property("weightedMedianOn == brute-force cumulative-weight scan") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.oneOf("A", "B"),
+      Gen.chooseNum(1, 9), Gen.chooseNum(1L, 5L)))) { xs =>
+      import spark.implicits._
+      val rows = xs.zipWithIndex.map { case ((f, p, w), i) =>
+        (f, p.toDouble, i.toLong, 1, w.toDouble)
+      }
+      val expected = rows.groupBy(_._1).map { case (f, rs) =>
+        val sorted = rs.sortBy(r => (r._2, r._3))
+        val total = sorted.map(_._5.toLong).sum
+        var cum = 0L
+        val med = sorted.find { r => cum += r._5.toLong; 2 * cum >= total }.get
+        f -> ((med._2, total))
+      }
+      val got = graft.ops.Composite32.weightedMedianOn(
+          rows.toDF("l_returnflag", "l_extendedprice", "l_orderkey",
+            "l_linenumber", "l_quantity"))
+        .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2))))
+        .toMap
+      got == expected
+    }
 }
