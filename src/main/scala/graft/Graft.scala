@@ -324,4 +324,21 @@ object Graft {
     */
   def kcore(edges: DataFrame, k: Int, rounds: Int = 5): DataFrame =
     graft.ops.Composite15.kcoreOn(edges, k, rounds)
+
+  /** Multi-source hop-bounded BFS distance histogram over a
+    * directed-symmetric (src, dst) edge list: `seed` marks the
+    * distance-0 nodes, `maxHops` synchronized Bellman-Ford rounds
+    * relax, unreached nodes bucket at -1. One broadcast-joined
+    * node-keyed min exchange per round (the connectedComponents
+    * discipline). */
+  def shortestPathHistogram(edges: DataFrame, seed: Column => Column,
+      maxHops: Int): DataFrame =
+    graft.ops.Composite31.shortestPathOn(edges, seed, maxHops)
+
+  /** 1- and 2-hop ego-network sizes (seed excluded) for the nodes
+    * `seed` selects, over a directed-symmetric (src, dst) edge list.
+    * Seed-bounded: the frontier expansion filters edges to seeds
+    * first and never rescans the graph per seed. */
+  def egoSizes(edges: DataFrame, seed: Column => Column): DataFrame =
+    graft.ops.Composite32.egoSize2HopOn(edges, seed)
 }

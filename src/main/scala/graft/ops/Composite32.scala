@@ -136,8 +136,10 @@ object Composite32 {
   // only the seeds' 1-hop frontier — the full graph is scanned, never
   // re-scanned per seed. Sizes exclude the seed itself; exact
   // integers.
-  private[graft] def egoSize2HopOn(edges: DataFrame): DataFrame = {
-    val n1 = edges.filter(col("src") % 100 === 0)
+  private[graft] def egoSize2HopOn(edges: DataFrame,
+      seed: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        _ % 100 === 0): DataFrame = {
+    val n1 = edges.filter(seed(col("src")))
       .select(col("src").as("seed"), col("dst").as("n"))
       .distinct()
       .localCheckpoint()

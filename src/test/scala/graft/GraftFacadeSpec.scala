@@ -246,4 +246,18 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(m.keySet == Set("x_y", "x_z", "y_z"), m.toString)
     assert(m("x_y") == 1.0 && m("x_z") == -1.0 && m("y_z") == -1.0, m.toString)
   }
+
+  test("facade: shortestPathHistogram and egoSizes are the library graph ops") {
+    import spark.implicits._
+    // 0-1-2-3 chain, seed node 0: distances 0,1,2 then -1 beyond 2
+    // hops; ego sizes for node 0 are |{1}| and |{1,2}|.
+    val half = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val edges = half.union(half.select(col("dst"), col("src")))
+    val hist = Graft.shortestPathHistogram(edges, n => n === 0, maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hist == Map(-1L -> 1L, 0L -> 1L, 1L -> 1L, 2L -> 1L), hist.toString)
+    val ego = Graft.egoSizes(edges, n => n === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(ego == Seq((0L, 1L, 2L)), ego.toString)
+  }
 }
