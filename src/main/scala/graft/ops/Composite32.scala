@@ -42,20 +42,40 @@ object Composite32 {
   // quantity (integral-valued; both engines cast the integral double
   // to BIGINT losslessly): smallest price whose cumulative weight
   // reaches half the total — 2*cumw >= total in exact integers, no
-  // halving division. The cumulative frame orders by the unique
-  // (price, orderkey, linenumber) tuple so ties accumulate
-  // identically in both engines.
+  // halving division.
+  //
+  // Scale shape (VERDICT r11 item 1): the cumulative window
+  // partitions by l_returnflag — a 3-value key — so its input must
+  // NEVER be the raw fact table (3 reducers would each sort and scan
+  // a third of lineitem). Pre-aggregate (flag, price) → sum(w) first:
+  // a parallel map-side-combining hash aggregate; the window then
+  // runs over the distinct-price relation, orders of magnitude
+  // smaller and shrinking relative to the fact table as SF grows.
+  // The picked value is provably identical: within a price group the
+  // raw cumulative weight crosses total/2 iff the group's END-of-
+  // group cumulative does, and min(price) over qualifying raw rows
+  // is exactly the first qualifying group's price — so the per-group
+  // cumulative picks the same price, and the old (orderkey,
+  // linenumber) tie-break keys become unnecessary (the grouped
+  // relation is unique on (flag, price)). The per-flag total is a
+  // 3-row groupBy().sum() broadcast back in, not a second whole-
+  // partition window pass over the fact table. If distinct prices
+  // themselves ever skewed, DistRank.globalNtile's range-partitioned
+  // cumulative sums are the escalation path — not needed while
+  // |distinct prices| per flag is window-sortable on one core.
   private[graft] def weightedMedianOn(li: DataFrame): DataFrame = {
+    val grouped = li
+      .groupBy(col("l_returnflag"), col("l_extendedprice"))
+      .agg(sum(col("l_quantity").cast("long")).as("w"))
+    val totals = grouped.groupBy(col("l_returnflag"))
+      .agg(sum(col("w")).as("total"))
     val wCum = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_extendedprice"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(col("l_returnflag"))
-    li.select(col("l_returnflag"), col("l_extendedprice"),
-        col("l_orderkey"), col("l_linenumber"),
-        col("l_quantity").cast("long").as("w"))
+    grouped
       .select(col("l_returnflag"), col("l_extendedprice"),
-        sum(col("w")).over(wCum).as("cumw"),
-        sum(col("w")).over(wAll).as("total"))
+        sum(col("w")).over(wCum).as("cumw"))
+      .join(broadcast(totals), "l_returnflag")
       .filter(col("cumw") * 2 >= col("total"))
       .groupBy(col("l_returnflag"))
       .agg(min(col("l_extendedprice")).as("w_median_price"),

@@ -205,4 +205,25 @@ class PlanSpec extends AnyFunSuite {
         s"scored RDD has ${r.rdd.getNumPartitions} partitions, expected $expected (AQE coalesce crept back)")
     }
   }
+
+  test("agg_weighted_median: cumulative window reads the distinct-price aggregate, not the fact table") {
+    // VERDICT r11 item 1: the window partitions by l_returnflag (3
+    // values) — its input must be the (flag, price) hash aggregate,
+    // never raw lineitem, or 3 reducers sort the whole fact table.
+    // The per-flag total must arrive via a broadcast join, not a
+    // second whole-partition window pass.
+    val plan = executed("agg_weighted_median")
+    val afterWindow = plan.split("Window", 2)
+    assert(afterWindow.length == 2, s"no Window in plan:\n$plan")
+    val windowSubtree = afterWindow(1).split("FileScan", 2)(0)
+    assert(windowSubtree.contains("HashAggregate"),
+      s"window input is not the pre-aggregated distinct-price relation:\n$plan")
+    assert(windowSubtree.contains("l_extendedprice"),
+      s"window-side aggregate lost the price grouping key:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-flag totals did not broadcast:\n$plan")
+    // exactly one Window operator: the old wAll whole-partition pass is gone
+    assert("Window\\b".r.findAllIn(plan).length == 1,
+      s"more than one window pass survived:\n$plan")
+  }
 }
