@@ -106,6 +106,7 @@ object Bench {
     // of vanishing into the min.
     val loadStart = loadavg1
     val (stealStart, totalStart) = cpuJiffies
+    val runStartNanos = System.nanoTime()
     // Per retimed query: cold timing + the cold window's own steal
     // delta + EVERY rerun attempt (secs, loadavg, per-attempt steal
     // window) — the judge adjudicates a cold-vs-rerun anomaly against
@@ -114,6 +115,12 @@ object Bench {
     case class Attempt(secs: Double, load: Double, steal: Option[Long])
     val retimed = scala.collection.mutable.LinkedHashMap
       .empty[String, (Double, Option[Long], List[Attempt])]
+    // Per-query storm verdict (VERDICT r11 item 4): a query is
+    // SUSPECT when the measurement that fed its reported time was
+    // itself taken inside a steal storm — the artifact then
+    // self-identifies contaminated entries instead of relying on a
+    // commit-message convention.
+    val suspects = scala.collection.mutable.ListBuffer.empty[String]
     val results = selected.map { case (name, fn) =>
       // Warm once per query (plan compilation + whole-stage codegen
       // class generation are one-time costs, ~2.5s for the widest
@@ -191,7 +198,12 @@ object Bench {
             val secs = (System.nanoTime() - t1) / 1e9
             val st = jiffyDelta(s0, cpuJiffies._1)
             attempts += Attempt(secs, loadavg1, st)
-            val anyClean = attempts.exists(a => !stealStorm(a.steal, a.secs))
+            // The cold window counts as a clean attempt too (ADVICE
+            // r11): when cold was storm-free but the first rerun is
+            // stormy, a clean timing already feeds the min — burning
+            // further reruns + sleeps is pure wasted wall-clock.
+            val anyClean = !stealStorm(coldSteal, elapsed) ||
+              attempts.exists(a => !stealStorm(a.steal, a.secs))
             continue = attempts.size < 3 && !anyClean &&
               (stealStorm(st, secs) || stealStorm(coldSteal, elapsed))
             if (continue) Thread.sleep(3000) // let the storm pass
@@ -199,9 +211,14 @@ object Bench {
         }
         if (attempts.nonEmpty) {
           retimed(name) = (elapsed, coldSteal, attempts.toList)
+          // Which measurement feeds the min decides the suspect flag:
+          // the reported time is contaminated only if ITS window was.
+          val all = Attempt(elapsed, -1.0, coldSteal) :: attempts.toList
+          val best = all.minBy(_.secs)
+          if (stealStorm(best.steal, best.secs)) suspects += name
           elapsed = math.min(elapsed, attempts.map(_.secs).min)
-        }
-      }
+        } else if (stealStorm(coldSteal, elapsed)) suspects += name
+      } else if (ok && stealStorm(coldSteal, elapsed)) suspects += name
       // Drop cached relations the query registered AFTER the timed
       // run: cache_reuse-style queries .cache() and never unpersist,
       // so over a 300-query run the storage pool otherwise fills with
@@ -256,12 +273,29 @@ object Bench {
       .mkString("{", ",", "}")
     val loadEnd = loadavg1
     val (stealEnd, totalEnd) = cpuJiffies
+    // Whole-run storm verdict (VERDICT r11 item 4): the per-query
+    // retry protocol defends individual retimed queries, but r10-r12
+    // showed storms spanning ENTIRE runs that inflate the headline
+    // total without tripping any single query's 2-core gate. The
+    // whole-run bar is tighter — average steal above HALF a core for
+    // the duration (clean runs measure 1-20 jiffies/s of wall; the
+    // observed whole-run storms measured ~170) marks the total
+    // untrustworthy. Unreadable steal => clean stays null, never a
+    // fabricated verdict.
+    val runSecs = (System.nanoTime() - runStartNanos) / 1e9
+    val runSteal = jiffyDelta(stealStart, stealEnd)
+    val cleanJson = runSteal match {
+      case Some(s) => (s < math.max((0.5 * runSecs * 100.0).toLong, 500L)).toString
+      case None => "null"
+    }
+    val suspectJson = suspects.map(s => s""""$s"""").mkString("[", ",", "]")
     val machine =
       s"""{"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},""" +
-      s""""steal_jiffies":${jl(jiffyDelta(stealStart, stealEnd))},""" +
-      s""""total_jiffies":${jl(jiffyDelta(totalStart, totalEnd))}}"""
+      s""""steal_jiffies":${jl(runSteal)},""" +
+      s""""total_jiffies":${jl(jiffyDelta(totalStart, totalEnd))},""" +
+      s""""run_secs":${fmt(runSecs)},"clean":$cleanJson}"""
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$fullQs,"retimed":$retimedQs,"machine":$machine,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$fullQs,"retimed":$retimedQs,"suspect":$suspectJson,"machine":$machine,"sf":"$sfDir"}"""
     val outFile = if (only.nonEmpty) "bench_only.json" else "bench_full.json"
     try {
       val w = new java.io.PrintWriter(outFile)
@@ -275,7 +309,7 @@ object Bench {
     val rest = results.toSeq.filterNot { case (k, _) => Anchors.contains(k) }
       .sortBy { case (_, v) => -v }
     val ordered = anchorEntries ++ rest
-    val prefix = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"detail":"$outFile","queries":{"""
+    val prefix = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","clean":$cleanJson,"n_queries":${results.size},"detail":"$outFile","queries":{"""
     val suffix = s"""},"sf":"$sfDir"}"""
     val budget = MaxLineChars - prefix.length - suffix.length
     val picked = scala.collection.mutable.ListBuffer.empty[String]

@@ -189,12 +189,18 @@ object Composite31 {
   // of ONE md5 per shingle (the llm_dedup_simhash_verified recipe:
   // md5-derived bits → the identical pipeline replicates in DuckDB).
   //
-  // Scale: the md5-threshold sample bounds the audit's pair budget at
-  // any corpus size (audits sample by design — the estimate's
-  // variance, not the corpus, sets the sample size); within the
-  // sample, background pairs block on (lang, band) and candidates on
-  // band keys — never all-pairs. Intersections come from the
-  // shared-shingle inverted-index join, linear in posting-list sizes.
+  // Scale: the 25% md5-threshold sample bounds the CONSTANT FACTOR,
+  // not the asymptotic pair count (ADVICE r11) — a fractional sample
+  // grows linearly with the corpus, and the background stratum is
+  // all-pairs within (lang, 64-char band) blocks whose sizes grow
+  // with SF, so background pairs grow roughly quadratically in block
+  // occupancy. The fixed tri-SF corpus keeps that inside budget here;
+  // sweeping materially larger SFs requires an SF-aware sample
+  // threshold (target a fixed absolute sample size) or a per-block
+  // pair cap. Within the sample, background pairs block on (lang,
+  // band) and candidates on band keys — never corpus-wide all-pairs.
+  // Intersections come from the shared-shingle inverted-index join,
+  // linear in posting-list sizes.
   private val CalLanes = 8
 
   private[graft] def minhashCalibration(docs: DataFrame): DataFrame = {

@@ -159,7 +159,12 @@ object Composite32 {
   private[graft] def egoSize2HopOn(edges: DataFrame,
       seed: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
         _ % 100 === 0): DataFrame = {
-    val n1 = edges.filter(seed(col("src")))
+    // dst =!= src guards the documented "seed excluded" contract for
+    // arbitrary edge lists: a self-loop (s,s) would otherwise count
+    // the seed into ego1 while the 2-hop set filters it out, letting
+    // ego2 < ego1 (ADVICE r11). coPurchaseEdges never emits
+    // self-loops, so the benchmark row and its oracle are unchanged.
+    val n1 = edges.filter(seed(col("src")) && col("dst") =!= col("src"))
       .select(col("src").as("seed"), col("dst").as("n"))
       .distinct()
       .localCheckpoint()

@@ -114,6 +114,17 @@ class Round29Spec extends AnyFunSuite {
     assert(got == Seq((100L, 1L, 2L)))
   }
 
+  test("egoSize2HopOn: a self-loop on the seed never counts the seed (ego1 <= ego2 holds)") {
+    // ADVICE r11: a self-loop (100,100) previously leaked the seed
+    // into ego1 (built before the n =!= seed filter) while ego2
+    // excluded it, yielding ego2 < ego1 on the public facade.
+    val half = Seq((100L, 100L), (100L, 1L), (1L, 2L)).toDF("src", "dst")
+    val edges = half.union(half.select(col("dst"), col("src")))
+    val got = graft.ops.Composite32.egoSize2HopOn(edges)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((100L, 1L, 2L)))
+  }
+
   // ---- llm_minhash_calibration ----------------------------------------
 
   /** Replica of LlmOps4.hashKeep's predicate for picking planted ids. */
