@@ -341,4 +341,30 @@ object Graft {
     * first and never rescans the graph per seed. */
   def egoSizes(edges: DataFrame, seed: Column => Column): DataFrame =
     graft.ops.Composite32.egoSize2HopOn(edges, seed)
+
+  /** Weighted multi-source shortest-path distance histogram over a
+    * directed-symmetric (src, dst, w) edge list: `maxHops`
+    * synchronized Bellman-Ford rounds relax min(d + w); unreached
+    * nodes bucket at -1. Note maxHops bounds the HOP count, not the
+    * accumulated weight. Same broadcast-loop discipline as
+    * [[shortestPathHistogram]]. */
+  def shortestPathWeightedHistogram(edges: DataFrame, seed: Column => Column,
+      maxHops: Int): DataFrame =
+    graft.ops.Composite33.shortestPathWeightedOn(edges, seed, maxHops)
+
+  /** Orphan-FK audit: one (edge, n_child, n_orphans) row per
+    * (name, child, fkCol, parent, pkCol) tuple. NULL fks count as
+    * child rows but never as orphans; parent keys are deduped before
+    * the join so non-unique parents cannot double-count. */
+  def referentialIntegrity(
+      edges: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame =
+    graft.ops.Composite33.referentialIntegrityOn(edges)
+
+  /** One-step-ahead truncated-EWMA backtest (alpha = 1/2, 16 lags) of
+    * daily counts per `event_type` over an (event_type, ts) event
+    * stream: MAE, bias, and the lag-1 naive baseline's MAE on the
+    * same scored rows. Exact-integer error numerators by
+    * construction (weights 2^(16-j)/65535). */
+  def ewmaBacktest(events: DataFrame): DataFrame =
+    graft.ops.Composite33.ewmaBacktestOn(events)
 }

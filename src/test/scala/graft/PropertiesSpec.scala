@@ -209,6 +209,39 @@ object PropertiesSpec extends Properties("graft-laws") {
       }
     }
 
+  property("shortestPathWeightedOn == brute-force k-round min(d+w) relaxation") =
+    forAll(Gen.listOf(Gen.zip(Gen.chooseNum(0L, 10L), Gen.chooseNum(0L, 10L),
+      Gen.chooseNum(1L, 5L)))) { es =>
+      import spark.implicits._
+      val half = es.filter { case (a, b, _) => a != b }.distinct
+      half.isEmpty || {
+        val sym = half ++ half.map { case (a, b, w) => (b, a, w) }
+        val nodes = sym.map(_._1).toSet
+        val k = 3
+        // brute-force synchronous Bellman-Ford: k rounds of
+        // d(v) <- min(d(v), min over edges (v,u,w) of d_prev(u) + w)
+        var dist: Map[Long, Option[Long]] = nodes.iterator
+          .map(n => n -> (if (n % 3 == 0) Some(0L) else None)).toMap
+        for (_ <- 1 to k) {
+          val relaxed = sym.flatMap { case (v, u, w) =>
+            dist(u).map(d => v -> (d + w))
+          }.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+          dist = dist.map { case (n, d) =>
+            n -> (d.toList ++ relaxed.get(n).toList)
+              .reduceOption((a: Long, b: Long) => math.min(a, b))
+          }
+        }
+        val expected = nodes.toSeq.map(n => dist(n).getOrElse(-1L))
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val edges = half.toDF("src", "dst", "w")
+        val got = graft.ops.Composite33.shortestPathWeightedOn(
+            edges.union(edges.select($"dst", $"src", $"w")),
+            n => n % 3 === 0, k)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got == expected
+      }
+    }
+
   property("weightedMedianOn == brute-force cumulative-weight scan") =
     forAll(Gen.nonEmptyListOf(Gen.zip(Gen.oneOf("A", "B"),
       Gen.chooseNum(1, 9), Gen.chooseNum(1L, 5L)))) { xs =>
