@@ -367,4 +367,24 @@ object Graft {
     * construction (weights 2^(16-j)/65535). */
   def ewmaBacktest(events: DataFrame): DataFrame =
     graft.ops.Composite33.ewmaBacktestOn(events)
+
+  /** One-sided CUSUM drift monitor of daily counts per `event_type`
+    * over an (event_type, ts) event stream: peak accumulated
+    * evidence vs the integer mean reference, its first attaining
+    * day, and the net deviation. All exact integers. */
+  def cusumDrift(events: DataFrame): DataFrame =
+    graft.ops.Composite34.cusumDriftOn(events)
+
+  /** B=32 deterministic Poisson(1) bootstrap replicates of
+    * mean(l_extendedprice) over a lineitem-shaped relation — md5-
+    * thresholded weights make both the draw and the replicate means
+    * reproducible run-to-run and engine-to-engine. */
+  def poissonBootstrap(li: DataFrame): DataFrame =
+    graft.ops.Composite34.poissonBootstrapOn(li)
+
+  /** Modularity decomposition of the c(n) = n % 50 assignment over a
+    * half-edge (src, dst) list: per community, node/within-edge/
+    * degree counts and the Q contribution e_c/m - (a_c/2m)^2. */
+  def modularity(halfEdges: DataFrame): DataFrame =
+    graft.ops.Composite34.modularityOn(halfEdges)
 }
