@@ -387,4 +387,22 @@ object Graft {
     * degree counts and the Q contribution e_c/m - (a_c/2m)^2. */
   def modularity(halfEdges: DataFrame): DataFrame =
     graft.ops.Composite34.modularityOn(halfEdges)
+
+  /** Per-community conductance cut/min(vol, 2m-vol) over a half-edge
+    * (src, dst) list under the c(n) = n % 50 assignment — the
+    * boundary-quality companion to [[modularity]]. */
+  def conductance(halfEdges: DataFrame): DataFrame =
+    graft.ops.Composite35.conductanceOn(halfEdges)
+
+  /** Tukey-fence outlier audit per return flag over a
+    * lineitem-shaped relation: picked quartiles, +-1.5 IQR fences in
+    * exact cents, and per-side outlier counts. */
+  def outlierFences(li: DataFrame): DataFrame =
+    graft.ops.Composite35.outlierFencesOn(li)
+
+  /** MAD anomaly days per `event_type` over an (event_type, ts)
+    * stream: picked median and MAD of daily counts, anomaly when
+    * |y - med| > 3*MAD. All exact integers. */
+  def anomalyMad(events: DataFrame): DataFrame =
+    graft.ops.Composite35.anomalyMadOn(events)
 }

@@ -70,7 +70,8 @@ object SparkEntry {
       (Composite31.queries, Composite31.oracle),
       (Composite32.queries, Composite32.oracle),
       (Composite33.queries, Composite33.oracle),
-      (Composite34.queries, Composite34.oracle)
+      (Composite34.queries, Composite34.oracle),
+      (Composite35.queries, Composite35.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
