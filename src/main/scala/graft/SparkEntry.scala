@@ -71,7 +71,8 @@ object SparkEntry {
       (Composite32.queries, Composite32.oracle),
       (Composite33.queries, Composite33.oracle),
       (Composite34.queries, Composite34.oracle),
-      (Composite35.queries, Composite35.oracle)
+      (Composite35.queries, Composite35.oracle),
+      (Composite36.queries, Composite36.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

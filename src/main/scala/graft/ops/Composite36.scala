@@ -1,0 +1,295 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.52 (round-23 batch 1) — link prediction and
+  * centrality structure over the co-purchase graph:
+  *
+  *  - [[jaccardLinkpred]]: Jaccard-coefficient link prediction — the
+  *    top-20 NON-adjacent part pairs by |N(u)∩N(v)| / |N(u)∪N(v)|,
+  *    scored on a deterministic candidate slice (both endpoints
+  *    n % 20 == 0). graph_common_neighbors counts shared neighbors
+  *    of EXISTING edges; this ranks the edges that do not exist yet,
+  *    the recommender/candidate-generation question.
+  *
+  *  - [[richClub]]: rich-club coefficient curve φ(k) for k = 1..8 —
+  *    do high-degree nodes preferentially connect to each other?
+  *    N_k nodes of degree > k, E_k edges with BOTH endpoints of
+  *    degree > k, φ(k) = 2E_k / (N_k(N_k−1)).
+  *
+  *  - [[harmonicCentrality]]: hop-bounded (≤3) harmonic closeness of
+  *    the 3 highest-degree hubs — Σ 1/d over nodes reached within 3
+  *    hops, the centrality leaderboard row (`graph_shortest_path`'s
+  *    multi-source histogram cannot rank individual seeds).
+  *
+  * Scale shapes: the wedge generation behind Jaccard is the sorted-
+  * set pair explosion of coPurchaseHalfEdges restricted to the
+  * candidate slice BEFORE pairing, so per-middle fan-out is
+  * (slice-degree choose 2) ≈ Σdeg²/400, not the full Σdeg² wedge
+  * blow-up (the llm_minhash_calibration sampling discipline: the
+  * slice bounds the constant factor; a hub-degree cap would bound
+  * the asymptote if ever needed). Rich-club reduces the edge list to
+  * two bounded histograms (distinct degrees) before the 8-row k
+  * table touches anything. Harmonic centrality is the
+  * graph_shortest_path broadcast-loop discipline keyed (seed, node)
+  * — one (seed, node)-keyed min exchange per round, 3 seeds × node
+  * table broadcast into the edge scan (degrades to a keyed shuffle
+  * unchanged past the broadcast threshold).
+  *
+  * Determinism: every count/degree/distance is an exact integer;
+  * harmonic sums are kept as Σ 6 DIV d (d ∈ 1..3 divides 6 exactly)
+  * and leave the integers once; Jaccard/φ assemble once in double,
+  * floor-form 6-dp (§1.5); top-20 and seed picks tie-break on full
+  * integer keys so LIMIT is engine-deterministic.
+  */
+object Composite36 {
+
+  /** Candidate slice modulus for link prediction: both pair endpoints
+    * must satisfy n % Slice == 0. */
+  private val Slice = 20
+  private val MaxK = 8
+
+  // ---- graph_jaccard_linkpred ------------------------------------------
+  // Wedges (a, z, b) with a < b and a, b in the slice, generated once
+  // per unordered pair per middle via the sorted-set posexplode
+  // discipline; cn(a,b) = wedge count; existing edges dropped by
+  // left_anti against the half-edge list; Jaccard = cn / (deg_a +
+  // deg_b − cn) on FULL degrees (the slice restricts which pairs are
+  // scored, never the neighborhoods they are scored on).
+  private[graft] def jaccardLinkpredOn(half: DataFrame): DataFrame = {
+    val sym = half.unionAll(
+      half.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = sym.groupBy(col("src").as("n")).agg(count(lit(1)).as("deg"))
+    val wedges = sym.filter(col("dst") % Slice === 0)
+      .groupBy(col("src"))
+      .agg(sort_array(collect_set(col("dst"))).as("ps"))
+      .select(col("ps"), posexplode(col("ps")))
+      .toDF("ps", "i", "a")
+      .select(col("a"),
+        explode(slice(col("ps"), col("i") + lit(2), size(col("ps"))))
+          .as("b"))
+    val cn = wedges.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common_neighbors"))
+    val nonAdj = cn.join(
+      half.select(col("src").as("a"), col("dst").as("b")),
+      Seq("a", "b"), "left_anti")
+    nonAdj
+      .join(deg.select(col("n").as("a"), col("deg").as("deg_src")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("deg_dst")), "b")
+      .selectExpr("a AS src", "b AS dst", "common_neighbors",
+        "deg_src", "deg_dst",
+        """floor((CAST(common_neighbors AS DOUBLE)
+          | / (deg_src + deg_dst - common_neighbors))*1e6 + 0.5)/1e6
+          | AS jaccard""".stripMargin)
+      .orderBy(col("jaccard").desc, col("src"), col("dst"))
+      .limit(20)
+  }
+
+  private def jaccardLinkpred(s: SparkSession, dir: String): DataFrame =
+    jaccardLinkpredOn(Composite4.coPurchaseHalfEdges(s, dir).localCheckpoint())
+
+  private val jaccardLinkpredOracle =
+    s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+       |h AS MATERIALIZED (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+       |  WHERE a.l_partkey < b.l_partkey),
+       |e AS MATERIALIZED (
+       |  SELECT src, dst FROM h UNION ALL SELECT dst, src FROM h),
+       |deg AS (SELECT src AS n, CAST(count(*) AS BIGINT) AS deg
+       |        FROM e GROUP BY 1),
+       |w AS (
+       |  SELECT a.dst AS src, b.dst AS dst,
+       |    CAST(count(*) AS BIGINT) AS common_neighbors
+       |  FROM e a JOIN e b ON a.src = b.src AND a.dst < b.dst
+       |  WHERE a.dst % $Slice = 0 AND b.dst % $Slice = 0
+       |  GROUP BY 1, 2),
+       |nw AS (SELECT w.* FROM w WHERE NOT EXISTS (
+       |  SELECT 1 FROM h WHERE h.src = w.src AND h.dst = w.dst))
+       |SELECT nw.src, nw.dst, common_neighbors,
+       |  da.deg AS deg_src, db.deg AS deg_dst,
+       |  floor((CAST(common_neighbors AS DOUBLE)
+       |   / (da.deg + db.deg - common_neighbors))*1e6 + 0.5)/1e6
+       |   AS jaccard
+       |FROM nw JOIN deg da ON nw.src = da.n JOIN deg db ON nw.dst = db.n
+       |ORDER BY jaccard DESC, nw.src, nw.dst LIMIT 20""".stripMargin
+
+  // ---- graph_rich_club -------------------------------------------------
+  // The edge list collapses to two small histograms — node count per
+  // degree and edge count per min-endpoint-degree — before the 8-row
+  // k table sees anything; E_k / N_k are conditional sums over those
+  // histograms (non-equi left joins on 8 × |distinct degrees| rows),
+  // so the curve costs two keyed aggregates regardless of scale.
+  private[graft] def richClubOn(half: DataFrame): DataFrame = {
+    val deg = half.select(col("src").as("n"))
+      .unionAll(half.select(col("dst").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val nodeH = deg.groupBy(col("deg")).agg(count(lit(1)).as("ncnt"))
+    val edgeH = half
+      .join(deg.select(col("n").as("src"), col("deg").as("dsrc")), "src")
+      .join(deg.select(col("n").as("dst"), col("deg").as("ddst")), "dst")
+      .select(least(col("dsrc"), col("ddst")).as("mindeg"))
+      .groupBy(col("mindeg")).agg(count(lit(1)).as("ecnt"))
+    val ks = half.agg(count(lit(1)).as("ign"))
+      .select(explode(array((1 to MaxK).map(i => lit(i.toLong)): _*)).as("k"))
+    val nk = ks.join(broadcast(nodeH), col("deg") > col("k"), "left")
+      .groupBy(col("k"))
+      .agg(coalesce(sum(col("ncnt")), lit(0L)).as("n_nodes"))
+    val ek = ks.join(broadcast(edgeH), col("mindeg") > col("k"), "left")
+      .groupBy(col("k"))
+      .agg(coalesce(sum(col("ecnt")), lit(0L)).as("n_edges"))
+    nk.join(ek, "k")
+      .selectExpr("k", "n_nodes", "n_edges",
+        """floor((2.0 * n_edges
+          | / nullif(CAST(n_nodes AS DOUBLE) * (n_nodes - 1), 0))*1e6
+          | + 0.5)/1e6 AS phi""".stripMargin)
+      .orderBy("k")
+  }
+
+  private def richClub(s: SparkSession, dir: String): DataFrame =
+    richClubOn(Composite4.coPurchaseHalfEdges(s, dir).localCheckpoint())
+
+  private val richClubOracle = {
+    val ks = (1 to MaxK).map(i => s"($i)").mkString(",")
+    s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+       |h AS MATERIALIZED (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+       |  WHERE a.l_partkey < b.l_partkey),
+       |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM
+       |  (SELECT src AS n FROM h UNION ALL SELECT dst FROM h)
+       |  GROUP BY 1),
+       |nh AS (SELECT deg, CAST(count(*) AS BIGINT) AS ncnt
+       |       FROM deg GROUP BY 1),
+       |eh AS (SELECT least(ds.deg, dd.deg) AS mindeg,
+       |         CAST(count(*) AS BIGINT) AS ecnt
+       |       FROM h JOIN deg ds ON h.src = ds.n
+       |              JOIN deg dd ON h.dst = dd.n
+       |       GROUP BY 1),
+       |ks AS (SELECT CAST(k AS BIGINT) AS k FROM (VALUES $ks) t(k)),
+       |nk AS (SELECT k, CAST(coalesce(sum(ncnt), 0) AS BIGINT) AS n_nodes
+       |       FROM ks LEFT JOIN nh ON deg > k GROUP BY 1),
+       |ek AS (SELECT k, CAST(coalesce(sum(ecnt), 0) AS BIGINT) AS n_edges
+       |       FROM ks LEFT JOIN eh ON mindeg > k GROUP BY 1)
+       |SELECT k, n_nodes, n_edges,
+       |  floor((2.0 * n_edges
+       |   / nullif(CAST(n_nodes AS DOUBLE) * (n_nodes - 1), 0))*1e6
+       |   + 0.5)/1e6 AS phi
+       |FROM nk JOIN ek USING (k) ORDER BY k""".stripMargin
+  }
+
+  // ---- graph_harmonic_centrality ---------------------------------------
+  // Seeds = the 3 highest-degree nodes (ties by node id — an exact
+  // integer TakeOrdered, never a sample); 3 Bellman-Ford rounds keyed
+  // (seed, node) with graph_shortest_path's loop discipline
+  // (broadcast distance table into the edge scan, one keyed min
+  // exchange per round, persist-per-round + final localCheckpoint,
+  // engine-agnostic NULL-min). Harmonic mass stays integral as
+  // Σ 6 DIV d until the single double assembly.
+  private[graft] def harmonicOn(edges: DataFrame, seeds: Int, k: Int): DataFrame = {
+    val deg = edges.groupBy(col("src").as("n")).agg(count(lit(1)).as("deg"))
+    val seedRows = deg.orderBy(col("deg").desc, col("n")).limit(seeds)
+      .select(col("n").as("seed"), col("deg").as("seed_degree"))
+      .localCheckpoint()
+    var dist = edges.select(col("src").as("node")).distinct()
+      .crossJoin(broadcast(seedRows.select(col("seed"))))
+      .select(col("seed"), col("node"),
+        when(col("node") === col("seed"), lit(0L)).as("d"))
+      .persist()
+    val rounds = scala.collection.mutable.ListBuffer(dist)
+    for (_ <- 1 to k) {
+      val nbr = edges
+        .join(broadcast(dist.filter(col("d").isNotNull)
+          .select(col("seed"), col("node").as("dst"), col("d").as("pd"))),
+          "dst")
+        .groupBy(col("seed"), col("src").as("node"))
+        .agg(min(col("pd") + lit(1L)).as("nd"))
+      dist = dist.join(broadcast(nbr), Seq("seed", "node"), "left")
+        .select(col("seed"), col("node"),
+          least(coalesce(col("d"), col("nd")),
+            coalesce(col("nd"), col("d"))).as("d"))
+        .persist()
+      rounds += dist
+    }
+    val fin = dist.localCheckpoint()
+    rounds.foreach(_.unpersist(false))
+    val reach = fin.filter(col("d") >= 1)
+      .groupBy(col("seed"))
+      .agg(sum(when(col("d") === 1, 1L).otherwise(0L)).as("n_d1"),
+        sum(when(col("d") === 2, 1L).otherwise(0L)).as("n_d2"),
+        sum(when(col("d") === 3, 1L).otherwise(0L)).as("n_d3"),
+        sum(expr("CAST(6 AS BIGINT) DIV d")).as("harmonic_x6"))
+    seedRows.join(reach, Seq("seed"), "left")
+      .selectExpr("seed", "seed_degree",
+        "coalesce(n_d1, CAST(0 AS BIGINT)) AS n_d1",
+        "coalesce(n_d2, CAST(0 AS BIGINT)) AS n_d2",
+        "coalesce(n_d3, CAST(0 AS BIGINT)) AS n_d3",
+        "coalesce(harmonic_x6, CAST(0 AS BIGINT)) AS harmonic_x6",
+        """floor((CAST(coalesce(harmonic_x6, 0) AS DOUBLE)/6)*1e6
+          | + 0.5)/1e6 AS harmonic""".stripMargin)
+      .orderBy("seed")
+  }
+
+  private def harmonicCentrality(s: SparkSession, dir: String): DataFrame =
+    harmonicOn(Composite4.coPurchaseEdges(s, dir).localCheckpoint(),
+      seeds = 3, k = 3)
+
+  private val harmonicOracle = {
+    val rounds = (1 to 3).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT p.seed, p.node,
+         |    least(coalesce(p.d, m.nd), coalesce(m.nd, p.d)) AS d
+         |  FROM d${i - 1} p LEFT JOIN (
+         |    SELECT q.seed, e.src AS node, min(q.d + 1) AS nd
+         |    FROM e JOIN d${i - 1} q ON e.dst = q.node
+         |    WHERE q.d IS NOT NULL
+         |    GROUP BY 1, 2) m ON p.seed = m.seed AND p.node = m.node)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+       |  WHERE a.l_partkey <> b.l_partkey),
+       |deg AS (SELECT src AS n, CAST(count(*) AS BIGINT) AS deg
+       |        FROM e GROUP BY 1),
+       |s AS MATERIALIZED (
+       |  SELECT n AS seed, deg AS seed_degree FROM deg
+       |  ORDER BY deg DESC, n LIMIT 3),
+       |d0 AS MATERIALIZED (
+       |  SELECT seed, node,
+       |    CASE WHEN node = seed THEN CAST(0 AS BIGINT) END AS d
+       |  FROM (SELECT DISTINCT src AS node FROM e) CROSS JOIN s),
+       |$rounds,
+       |r AS (
+       |  SELECT seed,
+       |    CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_d1,
+       |    CAST(sum(CASE WHEN d = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_d2,
+       |    CAST(sum(CASE WHEN d = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_d3,
+       |    CAST(sum(CASE WHEN d >= 1 THEN 6 // d ELSE 0 END) AS BIGINT)
+       |      AS harmonic_x6
+       |  FROM d3 GROUP BY 1)
+       |SELECT s.seed, s.seed_degree,
+       |  coalesce(n_d1, CAST(0 AS BIGINT)) AS n_d1,
+       |  coalesce(n_d2, CAST(0 AS BIGINT)) AS n_d2,
+       |  coalesce(n_d3, CAST(0 AS BIGINT)) AS n_d3,
+       |  coalesce(harmonic_x6, CAST(0 AS BIGINT)) AS harmonic_x6,
+       |  floor((CAST(coalesce(harmonic_x6, 0) AS DOUBLE)/6)*1e6
+       |   + 0.5)/1e6 AS harmonic
+       |FROM s LEFT JOIN r USING (seed) ORDER BY seed""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_jaccard_linkpred" -> (jaccardLinkpred _),
+    "graph_rich_club" -> (richClub _),
+    "graph_harmonic_centrality" -> (harmonicCentrality _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "graph_jaccard_linkpred" -> jaccardLinkpredOracle,
+    "graph_rich_club" -> richClubOracle,
+    "graph_harmonic_centrality" -> harmonicOracle
+  )
+}
