@@ -72,7 +72,8 @@ object SparkEntry {
       (Composite33.queries, Composite33.oracle),
       (Composite34.queries, Composite34.oracle),
       (Composite35.queries, Composite35.oracle),
-      (Composite36.queries, Composite36.oracle)
+      (Composite36.queries, Composite36.oracle),
+      (Composite37.queries, Composite37.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

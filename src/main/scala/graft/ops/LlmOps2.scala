@@ -40,6 +40,27 @@ object LlmOps2 {
       .select(col("doc_id"), col("lang"), col("text"),
         split(col("text"), " ").as("w"))
 
+  /** Marker-scored language guess per doc: (doc_id, lang, s_<lang>…,
+    * guessed). Factored from llm_lang_id so llm_langid_agreement
+    * (Composite37) scores the SAME detector it audits. */
+  private[graft] def langGuessed(s: SparkSession, dir: String): DataFrame = {
+    val scored = markers.foldLeft(tokenized(s, dir)) { case (df, (lang, ms)) =>
+      df.withColumn(s"s_$lang",
+        size(array_intersect(array_distinct(col("w")),
+          array(ms.map(lit): _*))))
+    }
+    val langs = markers.map(_._1)
+    val guess = langs.foldRight(lit("und"): org.apache.spark.sql.Column) {
+      case (lang, elseCol) =>
+        val best = langs.filter(_ != lang)
+          .map(o => col(s"s_$lang") >= col(s"s_$o"))
+          .reduce(_ && _) && col(s"s_$lang") > 0
+        when(best, lang).otherwise(elseCol)
+    }
+    scored.select(col("doc_id") +: col("lang") +:
+      langs.map(l => col(s"s_$l")) :+ guess.as("guessed"): _*)
+  }
+
   /** SORTED hashed word-bigram sets per doc (materialized token array
     * — see LlmOps.shingleSets on why split must not inline). Bigrams
     * are hashed to longs so the pairwise set ops compare 8-byte values
@@ -423,24 +444,8 @@ object LlmOps2 {
 
     // Deterministic marker-token language guess (argmax with fixed
     // tie-break order), mirrored formula in the oracle.
-    "llm_lang_id" -> ((s: SparkSession, dir: String) => {
-      val scored = markers.foldLeft(tokenized(s, dir)) { case (df, (lang, ms)) =>
-        df.withColumn(s"s_$lang",
-          size(array_intersect(array_distinct(col("w")),
-            array(ms.map(lit): _*))))
-      }
-      val langs = markers.map(_._1)
-      val guess = langs.foldRight(lit("und"): org.apache.spark.sql.Column) {
-        case (lang, elseCol) =>
-          val best = langs.filter(_ != lang)
-            .map(o => col(s"s_$lang") >= col(s"s_$o"))
-            .reduce(_ && _) && col(s"s_$lang") > 0
-          when(best, lang).otherwise(elseCol)
-      }
-      scored.select(col("doc_id") +: col("lang") +:
-          langs.map(l => col(s"s_$l")) :+ guess.as("guessed"): _*)
-        .orderBy("doc_id")
-    }),
+    "llm_lang_id" -> ((s: SparkSession, dir: String) =>
+      langGuessed(s, dir).orderBy("doc_id")),
 
     // Composite quality score from token statistics — one
     // deterministic double formula, identical in the oracle.
