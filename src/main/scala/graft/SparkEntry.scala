@@ -73,7 +73,8 @@ object SparkEntry {
       (Composite34.queries, Composite34.oracle),
       (Composite35.queries, Composite35.oracle),
       (Composite36.queries, Composite36.oracle),
-      (Composite37.queries, Composite37.oracle)
+      (Composite37.queries, Composite37.oracle),
+      (Composite38.queries, Composite38.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
