@@ -263,4 +263,73 @@ object PropertiesSpec extends Properties("graft-laws") {
         .toMap
       got == expected
     }
+
+  private def floor6(v: Double): Double = math.floor(v * 1e6 + 0.5) / 1e6
+
+  property("richClubOn == brute-force degree-threshold curve") =
+    forAll(Gen.listOf(Gen.zip(Gen.chooseNum(0L, 10L), Gen.chooseNum(0L, 10L)))) { es =>
+      import spark.implicits._
+      val half = es.filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      half.isEmpty || {
+        val deg = (half.map(_._1) ++ half.map(_._2))
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val expected = (1L to 8L).map { k =>
+          val n = deg.values.count(_ > k).toLong
+          val e = half.count { case (a, b) => deg(a) > k && deg(b) > k }.toLong
+          val phi = if (n >= 2) Some(floor6(2.0 * e / (n.toDouble * (n - 1))))
+            else None
+          k -> ((n, e, phi))
+        }.toMap
+        val got = graft.ops.Composite36.richClubOn(half.toDF("src", "dst"))
+          .collect().map(r => r.getLong(0) ->
+            ((r.getLong(1), r.getLong(2),
+              if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+        got == expected
+      }
+    }
+
+  property("jaccardLinkpredOn == brute-force slice-pair scan") =
+    forAll(Gen.listOf(Gen.zip(
+      Gen.oneOf(0L, 20L, 40L, 60L, 1L, 2L, 3L, 21L),
+      Gen.oneOf(0L, 20L, 40L, 60L, 1L, 2L, 3L, 21L)))) { es =>
+      import spark.implicits._
+      val half = es.filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      half.isEmpty || {
+        val adj = (half ++ half.map(_.swap)).groupBy(_._1)
+          .view.mapValues(_.map(_._2).toSet).toMap
+        val slice = adj.keySet.filter(_ % 20 == 0).toSeq.sorted
+        val expected = (for {
+          a <- slice; b <- slice if a < b
+          cn = (adj(a) & adj(b)).size.toLong if cn > 0
+          if !half.contains((a, b))
+        } yield {
+          val (da, db) = (adj(a).size.toLong, adj(b).size.toLong)
+          (a, b, cn, da, db, floor6(cn.toDouble / (da + db - cn)))
+        }).sortBy { case (a, b, _, _, _, j) => (-j, a, b) }.take(20)
+        val got = graft.ops.Composite36
+          .jaccardLinkpredOn(half.toDF("src", "dst"))
+          .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+        got == expected
+      }
+    }
+
+  property("kappaOn == brute-force confusion-marginal kappa") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.oneOf("A", "B", "C"),
+      Gen.oneOf("A", "B", "C")))) { xs =>
+      import spark.implicits._
+      val n = xs.size.toLong
+      val agree = xs.count { case (g, h) => g == h }.toLong
+      val gm = xs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val hm = xs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val s = gm.map { case (c, gc) => gc * hm.getOrElse(c, 0L) }.sum
+      val kappa = if (n.toDouble * n - s == 0) None
+        else Some(floor6((n.toDouble * agree - s) / (n.toDouble * n - s)))
+      val got = graft.ops.Composite37.kappaOn(xs.toDF("gold", "guessed"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)))).head
+      got == ((n, agree, s, floor6(agree.toDouble / n), kappa))
+    }
 }
