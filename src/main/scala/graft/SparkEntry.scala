@@ -74,7 +74,8 @@ object SparkEntry {
       (Composite35.queries, Composite35.oracle),
       (Composite36.queries, Composite36.oracle),
       (Composite37.queries, Composite37.oracle),
-      (Composite38.queries, Composite38.oracle)
+      (Composite38.queries, Composite38.oracle),
+      (Composite39.queries, Composite39.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
