@@ -76,7 +76,8 @@ object SparkEntry {
       (Composite37.queries, Composite37.oracle),
       (Composite38.queries, Composite38.oracle),
       (Composite39.queries, Composite39.oracle),
-      (Composite40.queries, Composite40.oracle)
+      (Composite40.queries, Composite40.oracle),
+      (Composite41.queries, Composite41.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

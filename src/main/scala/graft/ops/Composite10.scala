@@ -27,7 +27,7 @@ object Composite10 {
   /** Daily revenue per nation — the shared base grain for the
     * drawdown and rolling-median windows. DECIMAL(18,2) so cumulative
     * sums/maxes stay exact. */
-  private def nationDaily(s: SparkSession, dir: String): DataFrame =
+  private[graft] def nationDaily(s: SparkSession, dir: String): DataFrame =
     load(s, dir, "orders")
       .join(broadcast(load(s, dir, "customer")
         .select(col("c_custkey"), col("c_nationkey"))),
@@ -38,7 +38,7 @@ object Composite10 {
       .groupBy(col("n_name"), col("o_orderdate").cast("date").as("d"))
       .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
 
-  private val nationDailySql =
+  private[graft] val nationDailySql =
     """SELECT n_name, CAST(o_orderdate AS DATE) AS d,
       |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
       |  FROM orders
