@@ -77,7 +77,8 @@ object SparkEntry {
       (Composite38.queries, Composite38.oracle),
       (Composite39.queries, Composite39.oracle),
       (Composite40.queries, Composite40.oracle),
-      (Composite41.queries, Composite41.oracle)
+      (Composite41.queries, Composite41.oracle),
+      (Composite42.queries, Composite42.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
