@@ -68,14 +68,47 @@ object Bench {
   private def jl(o: Option[Long]): String =
     o.map(_.toString).getOrElse("null")
 
-  /** A timing window is steal-contaminated when the hypervisor took
-    * more than ~2x the window's own wall-clock in CPU-seconds
-    * (jiffies are 10 ms): an idle retime measures O(100) jiffies over
-    * several seconds, while r10's storm measured 39k jiffies over a
-    * 29 s window. Unreadable steal => not flagged (never retry on a
-    * signal that does not exist). */
-  private def stealStorm(steal: Option[Long], wallSecs: Double): Boolean =
-    steal.exists(_ > math.max((2.0 * wallSecs * 100.0).toLong, 200L))
+  /** Sustained-steal gate (VERDICT r12 item 1): a timing window is
+    * suspect when the hypervisor took more than HALF a CPU-equivalent
+    * for its duration (jiffies are 10 ms). The old 2-CPU bar let
+    * r12's graph_common_neighbors record slip through 6x inflated —
+    * 3,531 jiffies over 34.66 s is ~1 full CPU stolen the whole
+    * window, sustained but sub-threshold. Floor of 100 jiffies
+    * (1 CPU-second) keeps sub-second windows from flagging on
+    * scheduler noise. Unreadable steal => not flagged (never retry on
+    * a signal that does not exist). */
+  private def stealSuspect(steal: Option[Long], wallSecs: Double): Boolean =
+    steal.exists(_ > math.max((0.5 * wallSecs * 100.0).toLong, 100L))
+
+  /** Prior-record regression gate (VERDICT r12 item 1): the pinned
+    * bench_full.json is in git, and the same deterministic code on
+    * the same data does not legitimately triple — a timing >3x its
+    * prior record is the cheapest storm detector there is. The 1 s
+    * absolute floor keeps sub-second jitter from flapping it, and
+    * the 0.05 s prior floor ignores records too small to ratio. */
+  private def priorSuspect(prior: Option[Double], secs: Double): Boolean =
+    prior.exists(p => p >= 0.05 && secs > 3.0 * p && secs > 1.0)
+
+  /** Previous pinned per-query records, read from the git-pinned
+    * bench_full.json in cwd BEFORE this run overwrites it (override
+    * with SPARK_GRAFT_PRIOR for adjudicated re-pins). Only the flat
+    * top-level "queries" map is parsed — the nested "retimed" block
+    * repeats the same key:number shape, so the scan is bounded to the
+    * first brace pair after the queries key. Missing or unparsable
+    * file => empty map, and both priorSuspect gates go inert. */
+  private def priorRecords(path: String): Map[String, Double] =
+    try {
+      val src = scala.io.Source.fromFile(path)
+      val txt = try src.mkString finally src.close()
+      val key = "\"queries\":{"
+      val start = txt.indexOf(key)
+      if (start < 0) Map.empty
+      else {
+        val body = txt.substring(start + key.length, txt.indexOf('}', start))
+        """"([A-Za-z0-9_]+)":(-?[0-9.]+)""".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    } catch { case _: Throwable => Map.empty }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -98,6 +131,8 @@ object Bench {
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (k, _) => only(k) }
+    val prior =
+      priorRecords(sys.env.getOrElse("SPARK_GRAFT_PRIOR", "bench_full.json"))
     if (selected.isEmpty)
       System.err.println("[bench] no queries selected — emitting empty result")
     // Audit trail for the best-of-2 policy (ADVICE r8): every re-timed
@@ -171,20 +206,27 @@ object Bench {
       // DuckDB anchors in BASELINE.md are warm best-run numbers too).
       // The 2 s gate bounds the added wall-clock to the slow tail
       // (~15 queries), keeping the driver's total run time close.
-      // Steal-aware retry (VERDICT r10 item 1): the standard single
-      // rerun, EXTENDED — when an attempt's own steal window shows a
-      // hypervisor storm (stealStorm) and no storm-free attempt has
-      // landed yet, back off briefly and try again, bounded at 3
-      // attempts total. Every attempt is recorded, so bench_full.json
-      // carries the full adjudication trail instead of one min.
-      // min-of-all stays sound: steal only ever INFLATES a timing, so
-      // extra attempts can recover the code's fast mode but never
-      // fabricate one (r10: llm_dedup_cluster's 14.33 s driver record
-      // was a 39k-jiffy storm covering both cold run and rerun; the
-      // judge's idle retime of identical code measured 3.86 s).
-      if (ok && elapsed > 2.0) {
+      // Suspect-aware retry (VERDICT r12 item 1): the standard single
+      // rerun, EXTENDED — when an attempt's own window is suspect
+      // (sustained steal above half a CPU, OR >3x the git-pinned
+      // record for this query) and no criterion-clean attempt has
+      // landed yet, back off with doubling sleeps and try again,
+      // bounded at 5 reruns. Fast (≤2 s) queries whose cold window is
+      // suspect enter the same loop (ADVICE r12: they were previously
+      // flagged but never retried). Every attempt is recorded, so
+      // bench_full.json carries the full adjudication trail instead
+      // of one min. min-of-all stays sound: steal only ever INFLATES
+      // a timing, so extra attempts can recover the code's fast mode
+      // but never fabricate one (r10: llm_dedup_cluster's 14.33 s
+      // driver record was a 39k-jiffy storm covering both cold run
+      // and rerun; the judge's idle retime measured 3.86 s).
+      def windowSuspect(steal: Option[Long], secs: Double): Boolean =
+        stealSuspect(steal, secs) || priorSuspect(prior.get(name), secs)
+      val coldSuspect = windowSuspect(coldSteal, elapsed)
+      if (ok && (elapsed > 2.0 || coldSuspect)) {
         val attempts = scala.collection.mutable.ListBuffer.empty[Attempt]
         var continue = true
+        var backoffMs = 3000L
         while (continue) {
           spark.catalog.clearCache()
           spark.sparkContext.getPersistentRDDs.values
@@ -199,14 +241,16 @@ object Bench {
             val st = jiffyDelta(s0, cpuJiffies._1)
             attempts += Attempt(secs, loadavg1, st)
             // The cold window counts as a clean attempt too (ADVICE
-            // r11): when cold was storm-free but the first rerun is
+            // r11): when cold was clean but the first rerun is
             // stormy, a clean timing already feeds the min — burning
             // further reruns + sleeps is pure wasted wall-clock.
-            val anyClean = !stealStorm(coldSteal, elapsed) ||
-              attempts.exists(a => !stealStorm(a.steal, a.secs))
-            continue = attempts.size < 3 && !anyClean &&
-              (stealStorm(st, secs) || stealStorm(coldSteal, elapsed))
-            if (continue) Thread.sleep(3000) // let the storm pass
+            val anyClean = !coldSuspect ||
+              attempts.exists(a => !windowSuspect(a.steal, a.secs))
+            continue = attempts.size < 5 && !anyClean
+            if (continue) { // let the storm pass, doubling each time
+              Thread.sleep(backoffMs)
+              backoffMs = math.min(backoffMs * 2, 30000L)
+            }
           } else continue = false
         }
         if (attempts.nonEmpty) {
@@ -215,10 +259,10 @@ object Bench {
           // the reported time is contaminated only if ITS window was.
           val all = Attempt(elapsed, -1.0, coldSteal) :: attempts.toList
           val best = all.minBy(_.secs)
-          if (stealStorm(best.steal, best.secs)) suspects += name
+          if (windowSuspect(best.steal, best.secs)) suspects += name
           elapsed = math.min(elapsed, attempts.map(_.secs).min)
-        } else if (stealStorm(coldSteal, elapsed)) suspects += name
-      } else if (ok && stealStorm(coldSteal, elapsed)) suspects += name
+        } else if (coldSuspect) suspects += name
+      } else if (ok && coldSuspect) suspects += name
       // Drop cached relations the query registered AFTER the timed
       // run: cache_reuse-style queries .cache() and never unpersist,
       // so over a 300-query run the storage pool otherwise fills with
@@ -248,6 +292,12 @@ object Bench {
     // Failed queries carry the -1 sentinel in the per-query map but
     // must not subtract fictitious time from the headline total.
     val total = results.values.filter(_ >= 0).sum
+    // Suspect-aware total (VERDICT r12 item 7): the sum excluding
+    // suspect rows, reported alongside the raw total, so a single
+    // contaminated query can never move the headline number again.
+    val suspectSet = suspects.toSet
+    val totalExclSuspect = results.collect {
+      case (k, v) if v >= 0 && !suspectSet(k) => v }.sum
     val nFailed = results.values.count(_ < 0)
     if (nFailed > 0)
       System.err.println(s"[bench] $nFailed quer${if (nFailed == 1) "y" else "ies"} FAILED (reported as -1)")
@@ -273,29 +323,37 @@ object Bench {
       .mkString("{", ",", "}")
     val loadEnd = loadavg1
     val (stealEnd, totalEnd) = cpuJiffies
-    // Whole-run storm verdict (VERDICT r11 item 4): the per-query
-    // retry protocol defends individual retimed queries, but r10-r12
-    // showed storms spanning ENTIRE runs that inflate the headline
-    // total without tripping any single query's 2-core gate. The
-    // whole-run bar is tighter — average steal above HALF a core for
-    // the duration (clean runs measure 1-20 jiffies/s of wall; the
-    // observed whole-run storms measured ~170) marks the total
-    // untrustworthy. Unreadable steal => clean stays null, never a
+    // Whole-run storm verdict, r12-tightened (VERDICT r12 item 2):
+    // the old half-a-core-averaged bar returned clean:true for a run
+    // with 41,461 steal jiffies (190x the r11 clean run's 217) while
+    // one query carried a 6x artifact. The new bar sits near the
+    // empirical clean floor — r11's clean run measured 217 jiffies,
+    // the r13-session pristine pair 74/76 — so clean means steal
+    // below 2,000 absolute jiffies OR below 0.05% of total jiffies.
+    // steal_ratio is emitted so a contaminated total self-identifies
+    // in the artifact. Unreadable steal => clean stays null, never a
     // fabricated verdict.
     val runSecs = (System.nanoTime() - runStartNanos) / 1e9
     val runSteal = jiffyDelta(stealStart, stealEnd)
+    val runTotalJ = jiffyDelta(totalStart, totalEnd)
+    val stealRatio = for { s <- runSteal; t <- runTotalJ if t > 0 }
+      yield s.toDouble / t
     val cleanJson = runSteal match {
-      case Some(s) => (s < math.max((0.5 * runSecs * 100.0).toLong, 500L)).toString
+      case Some(s) => (s < 2000L || stealRatio.exists(_ < 0.0005)).toString
       case None => "null"
     }
+    val ratioJson = stealRatio
+      .map(r => String.format(java.util.Locale.ROOT, "%.6f", Double.box(r)))
+      .getOrElse("null")
     val suspectJson = suspects.map(s => s""""$s"""").mkString("[", ",", "]")
     val machine =
       s"""{"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},""" +
       s""""steal_jiffies":${jl(runSteal)},""" +
-      s""""total_jiffies":${jl(jiffyDelta(totalStart, totalEnd))},""" +
+      s""""total_jiffies":${jl(runTotalJ)},""" +
+      s""""steal_ratio":$ratioJson,""" +
       s""""run_secs":${fmt(runSecs)},"clean":$cleanJson}"""
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$fullQs,"retimed":$retimedQs,"suspect":$suspectJson,"machine":$machine,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_excl_suspect":${fmt(totalExclSuspect)},"n_queries":${results.size},"queries":$fullQs,"retimed":$retimedQs,"suspect":$suspectJson,"machine":$machine,"sf":"$sfDir"}"""
     val outFile = if (only.nonEmpty) "bench_only.json" else "bench_full.json"
     try {
       val w = new java.io.PrintWriter(outFile)
@@ -309,7 +367,7 @@ object Bench {
     val rest = results.toSeq.filterNot { case (k, _) => Anchors.contains(k) }
       .sortBy { case (_, v) => -v }
     val ordered = anchorEntries ++ rest
-    val prefix = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","clean":$cleanJson,"n_queries":${results.size},"detail":"$outFile","queries":{"""
+    val prefix = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","clean":$cleanJson,"n_suspect":${suspects.size},"n_queries":${results.size},"detail":"$outFile","queries":{"""
     val suffix = s"""},"sf":"$sfDir"}"""
     val budget = MaxLineChars - prefix.length - suffix.length
     val picked = scala.collection.mutable.ListBuffer.empty[String]

@@ -136,13 +136,17 @@ object Composite33 {
       col("w")))
   }
 
-  /** K weighted Bellman-Ford rounds over a symmetric (src, dst, w)
-    * edge list; `seed` marks distance-0 nodes. Returns the distance
-    * histogram (unreached = -1). Factored for the planted spec and
-    * the scalacheck law against brute k-round relaxation. */
+  /** K weighted Bellman-Ford rounds over a (src, dst, w) edge list;
+    * `seed` marks distance-0 nodes. Returns the distance histogram
+    * (unreached = -1). The node universe is src ∪ dst, so asymmetric
+    * (directed) edge lists keep their sink-only nodes in the
+    * histogram; relaxation itself follows edge direction. Factored
+    * for the planted spec and the scalacheck law against brute
+    * k-round relaxation. */
   private[graft] def shortestPathWeightedOn(edges: DataFrame,
       seed: Column => Column, k: Int): DataFrame = {
-    var dist = edges.select(col("src").as("node")).distinct()
+    var dist = edges.select(col("src").as("node"))
+      .unionAll(edges.select(col("dst").as("node"))).distinct()
       .select(col("node"),
         when(seed(col("node")), lit(0L)).as("d"))
       .persist()

@@ -132,9 +132,12 @@ object Composite40 {
         // sf0.001 caught this), so every division here is forced
         // into IEEE DOUBLE explicitly.
         "floor(((2*CAST(n_days - 2 AS DOUBLE))/3)*1e6 + 0.5)/1e6 AS expected_tp",
-        """floor(((n_turning_points - (2*CAST(n_days - 2 AS DOUBLE))/3)
+        // n_days == 1 makes 16n−29 negative: Spark's sqrt would emit
+        // NaN where DuckDB raises, so degenerate series yield NULL z.
+        """CASE WHEN n_days >= 2 THEN
+          | floor(((n_turning_points - (2*CAST(n_days - 2 AS DOUBLE))/3)
           | / sqrt((16*CAST(n_days AS DOUBLE) - 29)/90))*1e6 + 0.5)/1e6
-          | AS z""".stripMargin)
+          | END AS z""".stripMargin)
       .orderBy("event_type")
   }
 
@@ -159,9 +162,10 @@ object Composite40 {
       |SELECT event_type, n_days, n_turning_points,
       |  floor(((2*CAST(n_days - 2 AS DOUBLE))/3)*1e6 + 0.5)/1e6
       |    AS expected_tp,
-      |  floor(((n_turning_points - (2*CAST(n_days - 2 AS DOUBLE))/3)
+      |  CASE WHEN n_days >= 2 THEN
+      |   floor(((n_turning_points - (2*CAST(n_days - 2 AS DOUBLE))/3)
       |   / sqrt((16*CAST(n_days AS DOUBLE) - 29)/90))*1e6 + 0.5)/1e6
-      |   AS z
+      |   END AS z
       |FROM g ORDER BY event_type""".stripMargin
 
   // ---- llm_tokenizer_fertility -----------------------------------------

@@ -126,11 +126,15 @@ object Composite42 {
           .otherwise(0L)) + 1).as("n_runs"))
       .selectExpr("event_type", "median_daily", "n_scored", "n_above",
         "n_below", "n_runs",
+        // nullif on the n²(n−1) denominator: n_scored == 1 would
+        // otherwise divide by zero (NaN/Inf in Spark, error paths in
+        // the oracle) — degenerate series yield NULL z instead.
         """floor(((n_runs - (1 + (2*CAST(n_above AS DOUBLE)*n_below)
           |     / n_scored))
           | / nullif(sqrt((2*CAST(n_above AS DOUBLE)*n_below
           |     * (2*CAST(n_above AS DOUBLE)*n_below - n_scored))
-          |   / (CAST(n_scored AS DOUBLE)*n_scored*(n_scored - 1))), 0))
+          |   / nullif(CAST(n_scored AS DOUBLE)*n_scored*(n_scored - 1),
+          |       0)), 0))
           | *1e6 + 0.5)/1e6 AS z""".stripMargin)
       .orderBy("event_type")
   }
@@ -176,7 +180,8 @@ object Composite42 {
       |       / n_scored))
       |   / nullif(sqrt((2*CAST(n_above AS DOUBLE)*n_below
       |       * (2*CAST(n_above AS DOUBLE)*n_below - n_scored))
-      |     / (CAST(n_scored AS DOUBLE)*n_scored*(n_scored - 1))), 0))
+      |     / nullif(CAST(n_scored AS DOUBLE)*n_scored*(n_scored - 1),
+      |         0)), 0))
       |   *1e6 + 0.5)/1e6 AS z
       |FROM g ORDER BY event_type""".stripMargin
 
