@@ -53,9 +53,60 @@ object Typed {
       .orderBy("o_orderkey")
   }
 
+  case class OrdDay(o_custkey: Long, o_orderkey: Long, ed: Long)
+
+  case class EpisodeRow(c_custkey: Long, episode: Long, n_orders: Long,
+      first_day: Long, last_day: Long)
+
+  /** Typed `flatMapGroups` with a planted per-group fold — the most
+    * common typed escape hatch in real Spark code (VERDICT r12 next
+    * item 3): per-customer order "episodes", maximal runs of orders
+    * whose inter-order gap is ≤ 30 days, one output row per episode.
+    * The group iterator is drained to an array and sorted by
+    * (epoch_day, orderkey) — deterministic under ties — then folded
+    * imperatively; per-group memory is bounded by the per-customer
+    * order count (tens in this corpus; the same bound ANY
+    * mapGroups/flatMapGroups carries, which is why the relational
+    * twin below exists for unbounded keys). groupByKey shuffles on
+    * custkey exactly like a relational groupBy; the date → epoch-day
+    * projection happens in DataFrame algebra BEFORE the typed
+    * boundary so the shuffled rows are 3 longs, not timestamps.
+    * Customers are sliced to custkey % 10 == 0 to bound the output
+    * (the audit's sampling knob, not a correctness device). */
+  private[graft] def orderEpisodesOn(s: SparkSession, orders: DataFrame): DataFrame = {
+    import s.implicits._
+    val ds = orders
+      .filter(col("o_custkey") % 10 === 0)
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
+          .cast("long").as("ed"))
+      .as[OrdDay]
+    ds.groupByKey(_.o_custkey)
+      .flatMapGroups { (k: Long, it: Iterator[OrdDay]) =>
+        val sorted = it.toArray.sortBy(o => (o.ed, o.o_orderkey))
+        val out = scala.collection.mutable.ArrayBuffer.empty[EpisodeRow]
+        var episode = 0L; var n = 0L; var first = 0L; var last = 0L
+        for (o <- sorted) {
+          if (episode == 0L || o.ed - last > 30L) {
+            if (episode > 0L) out += EpisodeRow(k, episode, n, first, last)
+            episode += 1; n = 0L; first = o.ed
+          }
+          n += 1L; last = o.ed
+        }
+        if (episode > 0L) out += EpisodeRow(k, episode, n, first, last)
+        out
+      }
+      .toDF()
+      .orderBy("c_custkey", "episode")
+  }
+
+  def orderEpisodes(s: SparkSession, dir: String): DataFrame =
+    orderEpisodesOn(s, load(s, dir, "orders"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ds_reduce_groups" -> (richestPerSegment _),
-    "ds_join_with" -> (typedJoin _)
+    "ds_join_with" -> (typedJoin _),
+    "ds_flatmap_groups" -> (orderEpisodes _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -71,6 +122,34 @@ object Typed {
     "ds_join_with" ->
       """SELECT o_orderkey, c_name, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // Window/group twin of the typed episode fold: the episode id is
+    // a running sum of gap>30 break indicators over the same
+    // (epoch_day, orderkey) order the typed fold sorts by.
+    "ds_flatmap_groups" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      AS ed
+        |  FROM orders WHERE o_custkey % 10 = 0),
+        |lg AS (
+        |  SELECT o_custkey, o_orderkey, ed,
+        |    lag(ed) OVER (PARTITION BY o_custkey ORDER BY ed, o_orderkey)
+        |      AS ped
+        |  FROM o),
+        |ep AS (
+        |  SELECT o_custkey, ed,
+        |    sum(CASE WHEN ped IS NULL OR ed - ped > 30 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY o_custkey ORDER BY ed, o_orderkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS episode
+        |  FROM lg)
+        |SELECT o_custkey AS c_custkey, CAST(episode AS BIGINT) AS episode,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(min(ed) AS BIGINT) AS first_day,
+        |  CAST(max(ed) AS BIGINT) AS last_day
+        |FROM ep GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin
   )
 }

@@ -332,4 +332,37 @@ object PropertiesSpec extends Properties("graft-laws") {
           if (r.isNullAt(4)) None else Some(r.getDouble(4)))).head
       got == ((n, agree, s, floor6(agree.toDouble / n), kappa))
     }
+
+  property("holtBacktestOn == brute truncated-Brown fold") =
+    forAll(Gen.chooseNum(10, 30).flatMap(d =>
+      Gen.listOfN(d, Gen.chooseNum(1, 6)))) { ys =>
+      import spark.implicits._
+      val y = ys.toIndexedSeq.map(_.toLong)
+      val L = 8
+      // n1/n2 defined once their 8-lag window is full; indices mirror
+      // the engine's isNotNull filters (contiguous once defined).
+      def n1(t: Int): Long =
+        (0 until L).map(j => y(t - j) << (L - 1 - j)).sum
+      def n2(t: Int): Long =
+        (0 until L).map(i => n1(t - i) << (L - 1 - i)).sum
+      def fnum(t: Int): Long = 765L * n1(t) - 2L * n2(t)
+      val scored = (2 * (L - 1) + 1 until y.length).map { t =>
+        (y(t) * 65025L - fnum(t - 1), math.abs(y(t) - y(t - 1))) }
+      val expected =
+        if (scored.isEmpty) Seq.empty
+        else {
+          val n = scored.size.toLong
+          val sa = scored.map(e => math.abs(e._1)).sum
+          val se = scored.map(_._1).sum
+          val sn = scored.map(_._2).sum
+          Seq(("T", n, floor6(sa.toDouble / 65025 / n),
+            floor6(se.toDouble / 65025 / n), floor6(sn.toDouble / n)))
+        }
+      val ev = y.zipWithIndex.flatMap { case (c, d) =>
+        Seq.fill(c.toInt)(("T", java.time.LocalDate.of(2024, 1, 1)
+          .plusDays(d).toString)) }.toDF("event_type", "ts")
+      val got = graft.ops.Composite43.holtBacktestOn(ev)
+        .as[(String, Long, Double, Double, Double)].collect().toSeq
+      got == expected
+    }
 }
