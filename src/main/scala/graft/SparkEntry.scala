@@ -79,7 +79,8 @@ object SparkEntry {
       (Composite40.queries, Composite40.oracle),
       (Composite41.queries, Composite41.oracle),
       (Composite42.queries, Composite42.oracle),
-      (Composite43.queries, Composite43.oracle)
+      (Composite43.queries, Composite43.oracle),
+      (Composite44.queries, Composite44.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

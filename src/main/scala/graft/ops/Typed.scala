@@ -103,10 +103,50 @@ object Typed {
   def orderEpisodes(s: SparkSession, dir: String): DataFrame =
     orderEpisodesOn(s, load(s, dir, "orders"))
 
+  case class OrdVal(o_custkey: Long, o_orderkey: Long, ed: Long, v: Double)
+
+  /** Typed `mapGroups` with a planted order-dependent aggregation —
+    * the ONE-row-per-group sibling of [[orderEpisodesOn]]: per
+    * customer, the longest strictly-increasing streak of order
+    * totals in (epoch_day, orderkey) order. The streak is a
+    * sequential fold a relational aggregate cannot express directly
+    * (the SQL twin needs the full gaps-and-islands cascade), which
+    * is exactly when mapGroups earns its deserialization cost.
+    * Same %10 slice and same per-group memory bound as the
+    * flatMapGroups row. Totals are compared, never added, so DOUBLE
+    * order values stay exact on both engines. */
+  private[graft] def longestIncStreakOn(s: SparkSession, orders: DataFrame): DataFrame = {
+    import s.implicits._
+    val ds = orders
+      .filter(col("o_custkey") % 10 === 0)
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
+          .cast("long").as("ed"),
+        col("o_totalprice").as("v"))
+      .as[OrdVal]
+    ds.groupByKey(_.o_custkey)
+      .mapGroups { (k: Long, it: Iterator[OrdVal]) =>
+        val sorted = it.toArray.sortBy(o => (o.ed, o.o_orderkey))
+        var best = 1L; var cur = 1L
+        for (i <- 1 until sorted.length) {
+          if (sorted(i).v > sorted(i - 1).v) {
+            cur += 1L; if (cur > best) best = cur
+          } else cur = 1L
+        }
+        (k, sorted.length.toLong, best)
+      }
+      .toDF("c_custkey", "n_orders", "longest_inc_streak")
+      .orderBy("c_custkey")
+  }
+
+  def longestIncStreak(s: SparkSession, dir: String): DataFrame =
+    longestIncStreakOn(s, load(s, dir, "orders"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ds_reduce_groups" -> (richestPerSegment _),
     "ds_join_with" -> (typedJoin _),
-    "ds_flatmap_groups" -> (orderEpisodes _)
+    "ds_flatmap_groups" -> (orderEpisodes _),
+    "ds_map_groups" -> (longestIncStreak _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -150,6 +190,34 @@ object Typed {
         |  CAST(min(ed) AS BIGINT) AS first_day,
         |  CAST(max(ed) AS BIGINT) AS last_day
         |FROM ep GROUP BY 1, 2
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+
+    // Gaps-and-islands twin of the typed streak fold: non-increase
+    // breaks open a new island; the longest island is the streak.
+    "ds_map_groups" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      AS ed,
+        |    o_totalprice AS v
+        |  FROM orders WHERE o_custkey % 10 = 0),
+        |lg AS (
+        |  SELECT o_custkey, o_orderkey, ed, v,
+        |    lag(v) OVER (PARTITION BY o_custkey ORDER BY ed, o_orderkey)
+        |      AS pv
+        |  FROM o),
+        |grp AS (
+        |  SELECT o_custkey,
+        |    sum(CASE WHEN pv IS NULL OR v <= pv THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY o_custkey ORDER BY ed, o_orderkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+        |  FROM lg),
+        |runs AS (
+        |  SELECT o_custkey, g, CAST(count(*) AS BIGINT) AS run_len
+        |  FROM grp GROUP BY 1, 2)
+        |SELECT o_custkey AS c_custkey,
+        |  CAST(sum(run_len) AS BIGINT) AS n_orders,
+        |  CAST(max(run_len) AS BIGINT) AS longest_inc_streak
+        |FROM runs GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -365,4 +365,37 @@ object PropertiesSpec extends Properties("graft-laws") {
         .as[(String, Long, Double, Double, Double)].collect().toSeq
       got == expected
     }
+
+  property("hurstRsOn == brute rescaled-range block fold") =
+    forAll(Gen.chooseNum(8, 40).flatMap(d =>
+      Gen.listOfN(d, Gen.chooseNum(1, 5)))) { ys =>
+      import spark.implicits._
+      val y = ys.toIndexedSeq.map(_.toLong)
+      val expected = Seq(8L, 16L, 32L).flatMap { bn =>
+        val blocks = y.grouped(bn.toInt).filter(_.size == bn).toSeq
+        if (blocks.isEmpty) None
+        else {
+          val rss = blocks.map { b =>
+            val s = b.sum; val qq = b.map(v => v * v).sum
+            val q = bn * qq - s * s
+            val zs = b.scanLeft(0L)(_ + _).tail.zipWithIndex
+              .map { case (c, i) => bn * c - (i + 1) * s }
+            val r = math.max(zs.max, 0L) - math.min(zs.min, 0L)
+            if (q > 0) Some(r.toDouble / math.sqrt(q.toDouble)) else None
+          }
+          val scored = rss.flatten
+          val avg = if (scored.isEmpty) None
+            else Some(floor6(scored.sum / scored.size))
+          Some(("T", bn, blocks.size.toLong, scored.size.toLong, avg))
+        }
+      }
+      val ev = y.zipWithIndex.flatMap { case (c, d) =>
+        Seq.fill(c.toInt)(("T", java.time.LocalDate.of(2024, 1, 1)
+          .plusDays(d).toString)) }.toDF("event_type", "ts")
+      val got = graft.ops.Composite44.hurstRsOn(ev)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSeq
+      got == expected
+    }
 }
