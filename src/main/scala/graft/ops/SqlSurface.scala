@@ -131,7 +131,18 @@ object SqlSurface {
       |  SELECT c_custkey FROM customer WHERE c_acctbal < 0)
       |ORDER BY o_orderkey, o_custkey""".stripMargin
 
+  /** Star-projection subtraction (`SELECT * EXCEPT (...)`, Spark's
+    * wide-table idiom for "all but the heavy/volatile columns") —
+    * column pruning applies to the RESULT list, so the scan reads
+    * only the surviving columns exactly as an explicit projection
+    * would. The oracle spells DuckDB's `EXCLUDE` synonym. */
+  private[graft] val starExceptSql =
+    """SELECT * EXCEPT (o_orderstatus, o_orderpriority)
+      |FROM orders WHERE o_custkey % 1000 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_star_except" -> (q(starExceptSql) _),
     "sql_exists_subquery" -> (q(existsSql) _),
     "sql_not_in_null_aware" -> (q(notInSql) _),
     "sql_scalar_subquery" -> (q(scalarSubSql) _),
@@ -150,6 +161,10 @@ object SqlSurface {
   // oracled by ANSI rewrites — never paste Spark-only syntax into a
   // DuckDB oracle. count(*) returns BIGINT in both engines.
   val oracle: Map[String, String] = Map(
+    "sql_star_except" ->
+      """SELECT * EXCLUDE (o_orderstatus, o_orderpriority)
+        |FROM orders WHERE o_custkey % 1000 = 0
+        |ORDER BY o_orderkey""".stripMargin,
     "sql_exists_subquery" -> existsSql,
     "sql_scalar_subquery" -> scalarSubSql,
     "sql_cte_reuse" -> cteSql,

@@ -398,4 +398,43 @@ object PropertiesSpec extends Properties("graft-laws") {
           if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSeq
       got == expected
     }
+
+  property("ljungBoxOn == brute pooled-autocorrelation fold") =
+    forAll(Gen.chooseNum(3, 30).flatMap(d =>
+      Gen.listOfN(d, Gen.chooseNum(1, 5)))) { ys =>
+      import spark.implicits._
+      val y = ys.toIndexedSeq.map(_.toLong)
+      val nd = y.length.toLong
+      def rho(k: Int): Option[Double] = {
+        val pairs = (k until y.length).map(t => (y(t), y(t - k)))
+        val nk = pairs.length.toLong
+        if (nk == 0) None
+        else {
+          val sa = pairs.map(_._1).sum; val sb = pairs.map(_._2).sum
+          val saa = pairs.map(p => p._1 * p._1).sum
+          val sbb = pairs.map(p => p._2 * p._2).sum
+          val sab = pairs.map(p => p._1 * p._2).sum
+          val den = math.sqrt((nk * saa - sa * sa).toDouble *
+            (nk * sbb - sb * sb).toDouble)
+          if (den == 0) None
+          else Some((nk * sab - sa * sb).toDouble / den)
+        }
+      }
+      val rhos = (1 to 7).map(rho)
+      val q = if (rhos.exists(_.isEmpty)) None
+        else Some(floor6(nd.toDouble * (nd + 2) *
+          rhos.zipWithIndex.map { case (r, i) =>
+            (r.get * r.get) / (nd - (i + 1)) }.sum))
+      val expected = ("T", nd, rho(1).map(floor6), q,
+        q.map(_ > 14.067140))
+      val ev = y.zipWithIndex.flatMap { case (c, d) =>
+        Seq.fill(c.toInt)(("T", java.time.LocalDate.of(2024, 1, 1)
+          .plusDays(d).toString)) }.toDF("event_type", "ts")
+      val got = graft.ops.Composite45.ljungBoxOn(ev)
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          if (r.isNullAt(4)) None else Some(r.getBoolean(4)))).head
+      got == expected
+    }
 }
