@@ -437,4 +437,28 @@ object PropertiesSpec extends Properties("graft-laws") {
           if (r.isNullAt(4)) None else Some(r.getBoolean(4)))).head
       got == expected
     }
+
+  property("kpssLevelOn == brute partial-sum fold") =
+    forAll(Gen.chooseNum(2, 25).flatMap(d =>
+      Gen.listOfN(d, Gen.chooseNum(1, 6)))) { ys =>
+      import spark.implicits._
+      val y = ys.toIndexedSeq.map(_.toLong)
+      val n = y.length.toLong
+      val tt = y.sum
+      val cums = y.scanLeft(0L)(_ + _).tail
+      val ssq = cums.zipWithIndex
+        .map { case (c, i) => val ns = n * c - (i + 1) * tt; ns * ns }.sum
+      val nq = n * y.map(v => v * v).sum - tt * tt
+      val stat = if (nq == 0) None
+        else Some(floor6(ssq.toDouble / (n.toDouble * n * nq.toDouble)))
+      val expected = ("T", n, stat, stat.map(_ > 0.463))
+      val ev = y.zipWithIndex.flatMap { case (c, d) =>
+        Seq.fill(c.toInt)(("T", java.time.LocalDate.of(2024, 1, 1)
+          .plusDays(d).toString)) }.toDF("event_type", "ts")
+      val got = graft.ops.Composite46.kpssLevelOn(ev)
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          if (r.isNullAt(3)) None else Some(r.getBoolean(3)))).head
+      got == expected
+    }
 }
