@@ -226,4 +226,20 @@ class PlanSpec extends AnyFunSuite {
     assert("Window\\b".r.findAllIn(plan).length == 1,
       s"more than one window pass survived:\n$plan")
   }
+
+  test("win_holt_backtest: three window stages share one (type, d) sort") {
+    // The two smoothing stages and the scoring lag all partition by
+    // event_type and order by d over the daily COUNT aggregate —
+    // Catalyst must stack them on a single Exchange+Sort. A second
+    // sort/exchange between stages means a filter broke the
+    // partitioning contract and every stage re-shuffles.
+    val plan = executed("win_holt_backtest")
+    assert("Window\\b".r.findAllIn(plan).length == 3,
+      s"expected exactly 3 window stages:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 2, // one for the daily aggregate, one feeding the windows
+      s"window stages re-shuffle ($exchanges hash exchanges):\n$plan")
+    assert("Sort\\b".r.findAllIn(plan).length <= 2, // window sort + final orderBy
+      s"window stages re-sort:\n$plan")
+  }
 }
