@@ -86,6 +86,31 @@ object Scans {
         .agg(count(lit(1)).as("n_rows"))
         .orderBy("file_name")),
 
+    // Parquet bloom filters — the point-lookup accelerator for large
+    // lakes: an equality/IN probe skips row groups whose bloom filter
+    // excludes the key WITHOUT reading the column pages, which is
+    // the difference between a full-column scan and a handful of row
+    // groups on a needle-in-haystack probe at 100 TB. Written on
+    // l_partkey with an explicit expected-NDV, read back through an
+    // IN probe. Round44Spec asserts the footer actually carries
+    // bloom-filter offsets for l_partkey (a silently-ignored option
+    // would still pass the data compare); the oracle checks the data
+    // path against the original table.
+    "scan_parquet_bloom_filter" -> ((s, dir) => {
+      val p = tmp(s, dir, "bloomf")
+      load(s, dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+        .write
+        .option("parquet.bloom.filter.enabled#l_partkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#l_partkey", "200000")
+        .mode(SaveMode.Overwrite).parquet(p)
+      s.read.parquet(p)
+        .filter(col("l_partkey").isin(1L, 17L, 42L))
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_lines"),
+          asD(sum(money(col("l_quantity")))).as("sum_qty"))
+        .orderBy("l_partkey")
+    }),
+
     // Only 2 of 11 columns: the parquet reader prunes (ReadSchema shows
     // just these two). Ordering by the full projected tuple keeps the
     // output deterministic without extra columns.
@@ -393,6 +418,11 @@ object Scans {
       ("SELECT * FROM lineitem ORDER BY " + lineitemCols.mkString(", ")),
     "scan_parquet_pruned" ->
       "SELECT l_orderkey, l_quantity FROM lineitem ORDER BY l_orderkey, l_quantity",
+    "scan_parquet_bloom_filter" ->
+      """SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_partkey IN (1, 17, 42)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "scan_file_metadata" ->
       """SELECT 'orders.parquet' AS file_name,
         |  CAST(count(*) AS BIGINT) AS n_rows
