@@ -405,4 +405,62 @@ object Graft {
     * |y - med| > 3*MAD. All exact integers. */
   def anomalyMad(events: DataFrame): DataFrame =
     graft.ops.Composite35.anomalyMadOn(events)
+
+  /** One-step backtest of truncated Brown double exponential
+    * smoothing (level + trend, alpha = 1/2, 8 lags per stage) of
+    * daily counts per `event_type`: MAE, bias, and the lag-1 naive
+    * baseline's MAE. Exact-integer residuals by construction
+    * (forecast numerator 765*n1 - 2*n2 over /255^2 scaling). */
+  def holtBacktest(events: DataFrame): DataFrame =
+    graft.ops.Composite43.holtBacktestOn(events)
+
+  /** Rescaled-range (R/S) curve of daily counts per `event_type`:
+    * average R/S over full blocks of 8/16/32 days — the Hurst
+    * long-memory diagnostic. Block statistics exact-integer via
+    * Z_t = n*cum - t*S and n^2*Var = n*sum(y^2) - S^2. */
+  def hurstRs(events: DataFrame): DataFrame =
+    graft.ops.Composite44.hurstRsOn(events)
+
+  /** Ljung-Box Q(7) whiteness test of daily counts per
+    * `event_type`: rho_1, the pooled statistic, and the chi-sq(7)
+    * 5% verdict. All co-moments exact BIGINTs. */
+  def ljungBox(events: DataFrame): DataFrame =
+    graft.ops.Composite45.ljungBoxOn(events)
+
+  /** KPSS level-stationarity statistic (short-run variance form,
+    * l = 0) of daily counts per `event_type` with the 5% verdict.
+    * Partial sums exact via the same integral scaling as
+    * [[hurstRs]]; squares summed in DECIMAL(38,0). */
+  def kpssLevel(events: DataFrame): DataFrame =
+    graft.ops.Composite46.kpssLevelOn(events)
+
+  /** Jarque-Bera normality test per `o_orderpriority` over an
+    * orders-shaped relation: skewness, excess kurtosis, JB and the
+    * chi-sq(2) 5% verdict, from exact decimal power sums. */
+  def jarqueBera(orders: DataFrame): DataFrame =
+    graft.ops.Composite45.jarqueBeraOn(orders)
+
+  /** Grubbs' extreme-studentized-deviate statistic per
+    * `o_orderpriority`: G, the extreme side, and the suspect value
+    * itself. Exact decimal sums and extremes. */
+  def grubbsTest(orders: DataFrame): DataFrame =
+    graft.ops.Composite47.grubbsOn(orders)
+
+  /** Wilder True Range + 14-day ATR over the daily revenue candle
+    * of an orders-shaped relation — exact-cents integers, CASE-
+    * cascade max-of-three. */
+  def trueRangeAtr(orders: DataFrame): DataFrame =
+    graft.ops.Composite44.trueRangeAtrOn(orders)
+
+  /** 20-day Donchian channel breakouts (prior-window extremes,
+    * current day excluded) over the daily revenue candle of an
+    * orders-shaped relation. */
+  def donchianChannel(orders: DataFrame): DataFrame =
+    graft.ops.Composite46.donchianChannelOn(orders)
+
+  /** Per-generation observed-schema drift audit over a
+    * documents-shaped relation: presence + storage class per column,
+    * verdict absent/added/dropped/retyped/stable. One scan. */
+  def schemaDrift(docs: DataFrame): DataFrame =
+    graft.ops.Composite43.schemaDriftOn(docs)
 }
