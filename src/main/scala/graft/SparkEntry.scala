@@ -83,7 +83,8 @@ object SparkEntry {
       (Composite44.queries, Composite44.oracle),
       (Composite45.queries, Composite45.oracle),
       (Composite46.queries, Composite46.oracle),
-      (Composite47.queries, Composite47.oracle)
+      (Composite47.queries, Composite47.oracle),
+      (Composite48.queries, Composite48.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
