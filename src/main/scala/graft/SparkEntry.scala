@@ -84,7 +84,8 @@ object SparkEntry {
       (Composite45.queries, Composite45.oracle),
       (Composite46.queries, Composite46.oracle),
       (Composite47.queries, Composite47.oracle),
-      (Composite48.queries, Composite48.oracle)
+      (Composite48.queries, Composite48.oracle),
+      (Composite49.queries, Composite49.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
