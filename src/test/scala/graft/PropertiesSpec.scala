@@ -461,4 +461,69 @@ object PropertiesSpec extends Properties("graft-laws") {
           if (r.isNullAt(3)) None else Some(r.getBoolean(3)))).head
       got == expected
     }
+
+  // One 1-3 order day: (orderkey offsets, cent prices). Candle folds
+  // and window math are shared by the ATR and Donchian laws below.
+  private val candleDays: Gen[List[List[Long]]] =
+    Gen.chooseNum(15, 28).flatMap(d => Gen.listOfN(d,
+      Gen.chooseNum(1, 3).flatMap(k =>
+        Gen.listOfN(k, Gen.chooseNum(100L, 999L)))))
+
+  private def candleOrders(days: List[List[Long]]) =
+    days.zipWithIndex.flatMap { case (ps, d) =>
+      ps.zipWithIndex.map { case (c, i) =>
+        (d.toLong * 10 + i, java.time.LocalDate.of(2024, 1, 1)
+          .plusDays(d).toString, c / 100.0) }
+    }
+
+  private def candles(days: List[List[Long]]): IndexedSeq[(Long, Long, Long)] =
+    days.map(ps => (ps.max, ps.min, ps.last)).toIndexedSeq
+
+  property("trueRangeAtrOn == brute candle fold") =
+    forAll(candleDays) { days =>
+      import spark.implicits._
+      val cs = candles(days)
+      val trs = cs.indices.map { t =>
+        val (hi, lo, _) = cs(t)
+        if (t == 0) hi - lo
+        else {
+          val pc = cs(t - 1)._3
+          Seq(hi - lo, math.abs(hi - pc), math.abs(lo - pc)).max
+        }
+      }
+      val expected = (13 until cs.length).map { t =>
+        val s14 = (t - 13 to t).map(trs).sum
+        val (hi, lo, cl) = cs(t)
+        (java.time.LocalDate.of(2024, 1, 1).plusDays(t).toString,
+          hi, lo, cl, trs(t), floor6(s14.toDouble / 100 / 14))
+      }
+      val orders = candleOrders(days)
+        .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+      val got = graft.ops.Composite44.trueRangeAtrOn(orders)
+        .as[(java.sql.Date, Long, Long, Long, Long, Double)]
+        .collect().toSeq
+        .map { case (d, hi, lo, cl, tr, atr) =>
+          (d.toString, hi, lo, cl, tr, atr) }
+      got == expected
+    }
+
+  property("donchianChannelOn == brute rolling-extremes fold") =
+    forAll(candleDays.suchThat(_.length >= 21)) { days =>
+      import spark.implicits._
+      val cs = candles(days)
+      val expected = (20 until cs.length).map { t =>
+        val win = (t - 20 until t).map(cs)
+        val dhi = win.map(_._1).max; val dlo = win.map(_._2).min
+        val cl = cs(t)._3
+        (java.time.LocalDate.of(2024, 1, 1).plusDays(t).toString, cl,
+          dhi, dlo,
+          if (cl > dhi) "up" else if (cl < dlo) "down" else "none")
+      }
+      val orders = candleOrders(days)
+        .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+      val got = graft.ops.Composite46.donchianChannelOn(orders)
+        .as[(java.sql.Date, Long, Long, Long, String)].collect().toSeq
+        .map { case (d, cl, hi, lo, b) => (d.toString, cl, hi, lo, b) }
+      got == expected
+    }
 }
