@@ -47,4 +47,23 @@ class Round46Spec extends AnyFunSuite {
       .head
     assert(r2 == ((10L, expW, expW > 2.3719)))
   }
+
+  // ---- dq_out_of_order_audit --------------------------------------------
+
+  test("outOfOrderAuditOn: planted late event is counted with its worst jump") {
+    import java.sql.Timestamp
+    // A arrives (by event_id) at t=10s, 20s, 15s, 30s: one backward
+    // pair (20s -> 15s, 5,000,000 us), rate 1/3. B is in order.
+    def ts(s: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    val ev = Seq(
+      (1L, ts(10), "A"), (2L, ts(20), "A"), (3L, ts(15), "A"),
+      (4L, ts(30), "A"),
+      (5L, ts(1), "B"), (6L, ts(2), "B")
+    ).toDF("event_id", "ts", "event_type")
+    val got = graft.ops.Composite49.outOfOrderAuditOn(ev)
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("A", 3L, 1L, 5000000L, 0.333333),
+      ("B", 1L, 0L, 0L, 0.0)))
+  }
 }
