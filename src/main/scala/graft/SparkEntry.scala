@@ -85,7 +85,8 @@ object SparkEntry {
       (Composite46.queries, Composite46.oracle),
       (Composite47.queries, Composite47.oracle),
       (Composite48.queries, Composite48.oracle),
-      (Composite49.queries, Composite49.oracle)
+      (Composite49.queries, Composite49.oracle),
+      (Composite50.queries, Composite50.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

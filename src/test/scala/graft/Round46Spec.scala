@@ -66,4 +66,23 @@ class Round46Spec extends AnyFunSuite {
       ("A", 3L, 1L, 5000000L, 0.333333),
       ("B", 1L, 0L, 0L, 0.0)))
   }
+
+  // ---- evt_shewhart_individuals -----------------------------------------
+
+  test("shewhartOn: a planted spike breaches the UCL; single-day series drops") {
+    // A: nine days at 10 then a 30-spike. MR sum = 20 over 9 ranges,
+    // center 12, limits 12 ± 2.66·(20/9) = [6.088889, 17.911111] —
+    // the spike is the one above-UCL day. B has one day -> no MR,
+    // dropped.
+    val ev = ((1 to 9).map(d => ("A", d, 10)) ++ Seq(("A", 10, 30),
+      ("B", 1, 5))).flatMap { case (t, day, y) =>
+      Seq.fill(y)((t, java.time.LocalDate.of(2024, 1, 1)
+        .plusDays(day - 1).toString))
+    }.toDF("event_type", "ts")
+    val got = graft.ops.Composite50.shewhartOn(ev)
+      .as[(String, Long, Double, Double, Double, Double, Long, Long)]
+      .collect().toSeq
+    assert(got == Seq(
+      ("A", 10L, 12.0, 2.222222, 17.911111, 6.088889, 1L, 0L)))
+  }
 }
