@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.util.Tables._
+
+/** SURVEY.md §2.67 (round-24 batch 9) — nonparametric k-group
+  * testing:
+  *
+  *  - [[kruskalWallis]]: Kruskal-Wallis H across the five order
+  *    priorities on order totals, tie-corrected, with the χ²₄ 5%
+  *    verdict. `agg_mann_whitney` is the 2-group rank test and
+  *    `agg_anova_f` the parametric k-group test; Kruskal-Wallis is
+  *    the k-group rank test — the robust "do ANY of the k differ?"
+  *    when normality (checked by `agg_jarque_bera`) fails.
+  *
+  * Scale shape: ranks never materialize per row — the whole test
+  * reduces over the (value) and (group, value) COUNT relations:
+  * average ranks come from a cumulative window over the DISTINCT
+  * value axis (bounded by |distinct prices|, not |orders|), group
+  * rank sums from one join of the two count relations, and the five
+  * groups land in fixed-order columns for the final assembly (the
+  * agg_anova_f discipline).
+  *
+  * Determinism: DOUBLED average ranks are exact integers
+  * (2·r̄(v) = 2·cum_less(v) + cnt(v) + 1), so every rank sum is an
+  * exact BIGINT; the tie term Σ(t³−t) is exact BIGINT; H and its
+  * tie correction assemble once from identical formula text
+  * (squares cast to DOUBLE pre-multiply for overflow headroom), and
+  * the verdict compares after the 6-dp floor.
+  */
+object Composite51 {
+
+  private val KwGroups = Seq(
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  // H = (3·Σ_g (R2_g)²/n_g) / (n(n+1)) − 3(n+1), from DOUBLED rank
+  // sums R2_g (12/4 = 3); tie-corrected H' = H / (1 − Σ(t³−t)/(n³−n)).
+  private val kwN = (0 until 5).map(i => s"n$i").mkString(" + ")
+  private val kwH =
+    s"""((3*(${(0 until 5).map(i =>
+        s"CAST(r$i AS DOUBLE)*r$i/nullif(n$i, 0)").mkString(" + ")}))
+       | / ((($kwN))*(($kwN) + 1)) - 3*(($kwN) + 1))""".stripMargin
+  private val kwHc =
+    s"floor((($kwH / nullif(1 - CAST(tt AS DOUBLE)/((($kwN))*($kwN)*($kwN) - ($kwN)), 0)))*1e6 + 0.5)/1e6"
+
+  private[graft] def kruskalWallisOn(orders: DataFrame): DataFrame = {
+    val o = orders.select(col("o_orderpriority").as("g"),
+      (money(col("o_totalprice")) * 100).cast("bigint").as("c"))
+    // Distinct-value axis: per value, total count and the count of
+    // strictly-smaller rows (cumulative minus own), then the exact
+    // doubled average rank 2·cum_less + cnt + 1.
+    val vc = o.groupBy(col("c")).agg(count(lit(1)).as("cnt"))
+    val wc = org.apache.spark.sql.expressions.Window.orderBy(col("c"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val ranked = vc.select(col("c"), col("cnt"),
+        (sum(col("cnt")).over(wc) - col("cnt")).as("below"))
+      .select(col("c"), col("cnt"),
+        (lit(2L) * col("below") + col("cnt") + 1L).as("r2"))
+      .localCheckpoint()
+    val gc = o.groupBy(col("g"), col("c")).agg(count(lit(1)).as("gcnt"))
+    val joined = gc.join(ranked, "c")
+    val aggs =
+      KwGroups.zipWithIndex.flatMap { case (p, i) => Seq(
+        sum(when(col("g") === p, col("gcnt")).otherwise(0L)).as(s"n$i"),
+        sum(when(col("g") === p, col("gcnt") * col("r2")).otherwise(0L))
+          .as(s"r$i")) }
+    joined.groupBy().agg(aggs.head, aggs.tail: _*)
+      .crossJoin(broadcast(ranked.agg(
+        sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tt"))))
+      .selectExpr(
+        s"CAST($kwN AS BIGINT) AS n",
+        s"$kwHc AS h_stat",
+        s"($kwHc > 9.487729) AS reject_equal_dist_5pct")
+  }
+
+  private def kruskalWallis(s: SparkSession, dir: String): DataFrame =
+    kruskalWallisOn(load(s, dir, "orders"))
+
+  private def kruskalWallisOracle: String = {
+    val aggDefs = KwGroups.zipWithIndex.flatMap { case (p, i) => Seq(
+      s"CAST(sum(CASE WHEN g = '$p' THEN gcnt ELSE 0 END) AS BIGINT) AS n$i",
+      s"CAST(sum(CASE WHEN g = '$p' THEN gcnt * r2 ELSE 0 END) AS BIGINT) AS r$i")
+    }.mkString(",\n    ")
+    s"""WITH o AS (
+       |  SELECT o_orderpriority AS g,
+       |    CAST(CAST(o_totalprice AS DECIMAL(15,2))*100 AS BIGINT) AS c
+       |  FROM orders),
+       |vc AS (SELECT c, CAST(count(*) AS BIGINT) AS cnt FROM o GROUP BY 1),
+       |ranked AS (
+       |  SELECT c, cnt,
+       |    2*(CAST(sum(cnt) OVER (ORDER BY c
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      - cnt) + cnt + 1 AS r2
+       |  FROM vc),
+       |gc AS (SELECT g, c, CAST(count(*) AS BIGINT) AS gcnt
+       |  FROM o GROUP BY 1, 2),
+       |sums AS (
+       |  SELECT
+       |    $aggDefs
+       |  FROM gc JOIN ranked USING (c)),
+       |ties AS (
+       |  SELECT CAST(sum(cnt*cnt*cnt - cnt) AS BIGINT) AS tt FROM ranked),
+       |g AS (SELECT * FROM sums CROSS JOIN ties)
+       |SELECT
+       |  CAST($kwN AS BIGINT) AS n,
+       |  $kwHc AS h_stat,
+       |  ($kwHc > 9.487729) AS reject_equal_dist_5pct
+       |FROM g""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_kruskal_wallis" -> (kruskalWallis _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "agg_kruskal_wallis" -> kruskalWallisOracle
+  )
+}
