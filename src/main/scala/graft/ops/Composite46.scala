@@ -32,9 +32,11 @@ import graft.util.Tables._
   * broadcast-sized.
   *
   * Determinism: KPSS partial sums stay integral by the Hurst
-  * scaling (n·S_t = n·cum_t − t·T), their squares sum in exact
-  * DECIMAL(38,0) (Spark BIGINT sum would wrap; DuckDB's would widen
-  * to HUGEINT — the explicit decimal makes both engines exact), and
+  * scaling (n·S_t = n·cum_t − t·T), and both the SQUARING and the
+  * sum happen in exact decimal: each term is DECIMAL(19,0)² →
+  * DECIMAL(38,0) (a BIGINT ns·ns would wrap silently in Spark and
+  * raise in DuckDB once |ns| > ~3e9·√n), summed in DECIMAL(38,0)
+  * (Spark BIGINT sum would wrap; DuckDB's widens to HUGEINT), and
   * the oracle routes the >2^53 sum through VARCHAR (§1.5 r7); one
   * double assembly, verdict after the 6-dp floor. Donchian is
   * exact-cents integers and string verdicts end to end.
@@ -71,7 +73,8 @@ object Composite46 {
       .withColumn("ns", col("nd") * col("cum") - col("t") * col("tt"))
       .groupBy(col("event_type"))
       .agg(max(col("nd")).as("nd"),
-        sum(expr("CAST(ns*ns AS DECIMAL(38,0))")).cast("double").as("ssq"),
+        sum(expr("CAST(ns AS DECIMAL(19,0)) * CAST(ns AS DECIMAL(19,0))"))
+          .cast("double").as("ssq"),
         (max(col("nd")) * sum(col("y") * col("y")) -
           max(col("tt")) * max(col("tt"))).as("nq"))
       .selectExpr("event_type", "nd AS n_days",
@@ -102,7 +105,8 @@ object Composite46 {
        |  SELECT event_type, y, nd, tt, nd*cum - t*tt AS ns FROM ind),
        |g AS (
        |  SELECT event_type, CAST(max(nd) AS BIGINT) AS nd,
-       |    CAST(CAST(sum(CAST(ns*ns AS DECIMAL(38,0))) AS VARCHAR)
+       |    CAST(CAST(sum(CAST(ns AS DECIMAL(19,0))
+       |      * CAST(ns AS DECIMAL(19,0))) AS VARCHAR)
        |      AS DOUBLE) AS ssq,
        |    CAST(max(nd)*sum(y*y) - max(tt)*max(tt) AS BIGINT) AS nq
        |  FROM ns GROUP BY 1)

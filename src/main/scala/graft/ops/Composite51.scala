@@ -41,9 +41,12 @@ object Composite51 {
   private val kwH =
     s"""((3*(${(0 until 5).map(i =>
         s"CAST(r$i AS DOUBLE)*r$i/nullif(n$i, 0)").mkString(" + ")}))
-       | / ((($kwN))*(($kwN) + 1)) - 3*(($kwN) + 1))""".stripMargin
+       | / ((CAST(($kwN) AS DOUBLE))*(($kwN) + 1)) - 3*(($kwN) + 1))""".stripMargin
+  // n³ widens to DOUBLE before multiplying: a BIGINT cube wraps in
+  // Spark (ANSI off) but raises in DuckDB once n > ~2.09e6, so the
+  // engines would diverge at sf>=1; the ratio is double math anyway.
   private val kwHc =
-    s"floor((($kwH / nullif(1 - CAST(tt AS DOUBLE)/((($kwN))*($kwN)*($kwN) - ($kwN)), 0)))*1e6 + 0.5)/1e6"
+    s"floor((($kwH / nullif(1 - CAST(tt AS DOUBLE)/(CAST(($kwN) AS DOUBLE)*($kwN)*($kwN) - ($kwN)), 0)))*1e6 + 0.5)/1e6"
 
   private[graft] def kruskalWallisOn(orders: DataFrame): DataFrame = {
     val o = orders.select(col("o_orderpriority").as("g"),
