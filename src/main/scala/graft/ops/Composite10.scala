@@ -222,8 +222,10 @@ object Composite10 {
   // out-adjacency lists are ≤ √(2E) long and the per-edge
   // neighborhood intersection is bounded — the 148M-wedge naive
   // self-join never materializes. The oriented adjacency table is
-  // |nodes|-sized and broadcast here; above broadcast scale the same
-  // plan runs as two shuffle joins keyed on the edge endpoints.
+  // |nodes|-row but edge-cell-sized, so its broadcast hint is gated
+  // on the EDGE count (graft.util.Hints); above the cap the same
+  // plan runs un-hinted as two shuffle joins keyed on the edge
+  // endpoints rather than hard-failing at the broadcast limit.
   /** Generic triangle/clustering core over an undirected edge list
     * (one row per unordered pair) — the
     * [[graft.Graft.triangleCount]] facade surface. */
@@ -235,9 +237,13 @@ object Composite10 {
     val e = edges.select(col("src"), col("dst")).localCheckpoint()
     val deg = e.select(col("src").as("n")).union(e.select(col("dst").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg")).localCheckpoint()
+    // ONE cached-block count gates all hints: |o| == |e| row-for-row,
+    // adjacency cells total |o|, |nodes| ≤ 2|e|.
+    val eCnt = e.count()
+    val degHint = graft.util.Hints.maybeBroadcast(2L * eCnt)
     val o = e
-      .join(broadcast(deg.select(col("n").as("src"), col("deg").as("da"))), "src")
-      .join(broadcast(deg.select(col("n").as("dst"), col("deg").as("db"))), "dst")
+      .join(degHint(deg.select(col("n").as("src"), col("deg").as("da"))), "src")
+      .join(degHint(deg.select(col("n").as("dst"), col("deg").as("db"))), "dst")
       .select(
         when(col("da") < col("db") ||
           (col("da") === col("db") && col("src") < col("dst")), col("src"))
@@ -248,9 +254,10 @@ object Composite10 {
       .localCheckpoint()
     val adj = o.groupBy(col("u")).agg(sort_array(collect_list(col("v"))).as("nbrs"))
       .localCheckpoint()
+    val adjHint = graft.util.Hints.maybeBroadcast(eCnt)
     val tri = o
-      .join(broadcast(adj.select(col("u"), col("nbrs").as("nu"))), Seq("u"))
-      .join(broadcast(adj.select(col("u").as("v"), col("nbrs").as("nv"))),
+      .join(adjHint(adj.select(col("u"), col("nbrs").as("nu"))), Seq("u"))
+      .join(adjHint(adj.select(col("u").as("v"), col("nbrs").as("nv"))),
         Seq("v"), "left")
       .select(size(array_intersect(col("nu"),
         coalesce(col("nv"), expr("CAST(array() AS ARRAY<BIGINT>)"))))

@@ -77,9 +77,14 @@ object Composite15 {
         else {
           // filtering the ORIGINAL checkpointed list is equivalent to
           // filtering e_{i-1}: survivor sets shrink monotonically
+          // nSurv was just counted above — gate this round's hints on
+          // it (graft.util.Hints): past the cap the survivor filter
+          // runs as node-keyed shuffle semi-joins instead of
+          // hard-failing at the broadcast limit.
+          val survHint = graft.util.Hints.maybeBroadcast(nSurv)
           val e = edges
-            .join(broadcast(surv.withColumnRenamed("n", "src")), "src")
-            .join(broadcast(surv.withColumnRenamed("n", "dst")), "dst")
+            .join(survHint(surv.withColumnRenamed("n", "src")), "src")
+            .join(survHint(surv.withColumnRenamed("n", "dst")), "dst")
           deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
             .localCheckpoint()
           nCur = deg.count()

@@ -38,9 +38,10 @@ object Composite16 {
     val edges = Composite4.coPurchaseEdges(s, dir).localCheckpoint()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
       .localCheckpoint()
+    val degHint = graft.util.Hints.maybeBroadcast(deg.count())
     val paired = edges
-      .join(broadcast(deg.select(col("src"), col("d").as("da"))), "src")
-      .join(broadcast(deg.select(col("src").as("dst"), col("d").as("db"))),
+      .join(degHint(deg.select(col("src"), col("d").as("da"))), "src")
+      .join(degHint(deg.select(col("src").as("dst"), col("d").as("db"))),
         "dst")
     val rF =
       """round((sab / m - (sa / m) * (sb / m)) /

@@ -40,10 +40,14 @@ object Composite17 {
     val e = Composite4.coPurchaseHalfEdges(s, dir).localCheckpoint()
     val deg = e.select(col("src").as("n")).union(e.select(col("dst").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg")).localCheckpoint()
+    // ONE cached-block count gates all hints (graft.util.Hints):
+    // |o| == |e| row-for-row, adjacency cells total |o|, nodes ≤ 2|e|.
+    val eCnt = e.count()
+    val degHint = graft.util.Hints.maybeBroadcast(2L * eCnt)
     val o = e
-      .join(broadcast(deg.select(col("n").as("src"), col("deg").as("da"))),
+      .join(degHint(deg.select(col("n").as("src"), col("deg").as("da"))),
         "src")
-      .join(broadcast(deg.select(col("n").as("dst"), col("deg").as("db"))),
+      .join(degHint(deg.select(col("n").as("dst"), col("deg").as("db"))),
         "dst")
       .select(
         when(col("da") < col("db") ||
@@ -56,9 +60,10 @@ object Composite17 {
     val adj = o.groupBy(col("u"))
       .agg(sort_array(collect_list(col("v"))).as("nbrs"))
       .localCheckpoint()
+    val adjHint = graft.util.Hints.maybeBroadcast(eCnt)
     val corners = o
-      .join(broadcast(adj.select(col("u"), col("nbrs").as("nu"))), Seq("u"))
-      .join(broadcast(adj.select(col("u").as("v"), col("nbrs").as("nv"))),
+      .join(adjHint(adj.select(col("u"), col("nbrs").as("nu"))), Seq("u"))
+      .join(adjHint(adj.select(col("u").as("v"), col("nbrs").as("nv"))),
         Seq("v"), "left")
       .select(col("u"), col("v"), array_intersect(col("nu"),
         coalesce(col("nv"), expr("CAST(array() AS ARRAY<BIGINT>)"))).as("ws"))

@@ -113,13 +113,20 @@ object Composite19 {
       .groupBy(col("p.a").as("pa"), col("p.b").as("pb"))
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= 5)
+    // items is PART-keyed (unbounded with SF): checkpoint it once
+    // (both build sides read the cached blocks instead of re-running
+    // the aggregate) and size-gate its broadcast hint — past the cap
+    // the two joins shuffle on the part key rather than hard-failing
+    // at the broadcast limit (graft.util.Hints).
     val items = sets.select(explode(col("ps")).as("pk"))
       .groupBy(col("pk")).agg(count(lit(1)).as("n_i"))
+      .localCheckpoint()
+    val itemsHint = graft.util.Hints.maybeBroadcast(items.count())
     val tot = broadcast(sets.agg(count(lit(1)).as("n_orders")))
     val scored = pairs
-      .join(broadcast(items.select(col("pk").as("pa"), col("n_i").as("na"))),
+      .join(itemsHint(items.select(col("pk").as("pa"), col("n_i").as("na"))),
         "pa")
-      .join(broadcast(items.select(col("pk").as("pb"), col("n_i").as("nb"))),
+      .join(itemsHint(items.select(col("pk").as("pb"), col("n_i").as("nb"))),
         "pb")
       .crossJoin(tot)
       .select(col("pa"), col("pb"), col("n_ab"), col("na"), col("nb"),

@@ -54,13 +54,17 @@ object Composite20 {
       .agg(min(col("dst")).as("m"))
       .select(col("src").as("node"), least(col("src"), col("m")).as("l"))
       .persist()
+    // Size-gate the loop's hints ONCE on the round-invariant node
+    // count (the count materializes round 1's cache, which round 2
+    // was about to do anyway): under the gate the label table — node-
+    // sized, 150× smaller than the edge list — is hinted so the edges
+    // never shuffle and the only exchange per round is the node-keyed
+    // min; over it the joins run un-hinted and AQE/planner picks the
+    // node-keyed shuffle. A bare broadcast() hint would instead hard-
+    // fail past the 8 GB broadcast cap (graft.util.Hints).
+    val hint = graft.util.Hints.maybeBroadcast(lbl.count())
     val rounds = scala.collection.mutable.ListBuffer(lbl)
     for (_ <- 2 to 6) {
-      // The label table is node-sized — broadcast it so the 150×
-      // larger edge list never shuffles; the only exchange per round
-      // is the node-keyed min. (On a graph whose node table outgrows
-      // the broadcast threshold both joins degrade gracefully to
-      // node-keyed shuffles — the algebra is unchanged.)
       //
       // persist (not eager localCheckpoint): each round's broadcast
       // collect is an action that materializes the PREVIOUS round's
@@ -73,11 +77,11 @@ object Composite20 {
       // cache is dropped there, so a library caller invoking this op
       // repeatedly accumulates nothing (ADVICE r8).
       val nbrMin = edges
-        .join(broadcast(lbl.select(col("node").as("dst"), col("l").as("pl"))),
+        .join(hint(lbl.select(col("node").as("dst"), col("l").as("pl"))),
           "dst")
         .groupBy(col("src").as("node"))
         .agg(min(col("pl")).as("nl"))
-      lbl = lbl.join(broadcast(nbrMin), Seq("node"), "left")
+      lbl = lbl.join(hint(nbrMin), Seq("node"), "left")
         .select(col("node"),
           least(col("l"), coalesce(col("nl"), col("l"))).as("l"))
         .persist()
@@ -460,8 +464,10 @@ object Composite20 {
   // lists built with ONE node-keyed aggregate, then each unordered
   // edge intersects its endpoints' lists map-side — NOT the naive
   // wedge self-join, whose Σdeg² blow-up measured ~10× slower at
-  // sf0.1. Adjacency rides a broadcast here; at cluster scale the
-  // same two joins shuffle on the node key. Every node/edge-sized
+  // sf0.1. Adjacency rides a SIZE-GATED broadcast here (gated on the
+  // edge count — list rows are edge-wide, not node-wide); past the
+  // cap the same two joins run un-hinted and shuffle on the node
+  // key. Every node/edge-sized
   // intermediate (e, deg, o, adj) is localCheckpoint()'d because
   // each has 2-4 consumers downstream — without the checkpoints the
   // whole subtree re-executes per consumer (measured 17 s; with
@@ -477,10 +483,17 @@ object Composite20 {
     val e = Composite4.coPurchaseHalfEdges(s, dir).localCheckpoint()
     val deg = e.select(col("src").as("n")).union(e.select(col("dst").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d")).localCheckpoint()
+    // ONE cached-block count gates every hint below: |o| == |e|
+    // row-for-row (o is a projection of e), the adjacency's list
+    // cells total |o|, and |nodes| ≤ 2|e| — so eCnt bounds the
+    // adjacency builds exactly and the (n, d) builds conservatively
+    // (a second exact deg count would cost another job per run).
+    val eCnt = e.count()
+    val degHint = graft.util.Hints.maybeBroadcast(2L * eCnt)
     val o = e
-      .join(broadcast(deg.select(col("n").as("src"), col("d").as("da"))),
+      .join(degHint(deg.select(col("n").as("src"), col("d").as("da"))),
         "src")
-      .join(broadcast(deg.select(col("n").as("dst"), col("d").as("db"))),
+      .join(degHint(deg.select(col("n").as("dst"), col("d").as("db"))),
         "dst")
       .select(
         when(col("da") < col("db") ||
@@ -493,9 +506,10 @@ object Composite20 {
     val adj = o.groupBy(col("u"))
       .agg(sort_array(collect_list(col("v"))).as("nbrs"))
       .localCheckpoint()
+    val adjHint = graft.util.Hints.maybeBroadcast(eCnt)
     val cn = o
-      .join(broadcast(adj.select(col("u"), col("nbrs").as("nu"))), Seq("u"))
-      .join(broadcast(adj.select(col("u").as("v"), col("nbrs").as("nv"))),
+      .join(adjHint(adj.select(col("u"), col("nbrs").as("nu"))), Seq("u"))
+      .join(adjHint(adj.select(col("u").as("v"), col("nbrs").as("nv"))),
         Seq("v"), "left")
       .select(col("u"), col("v"), explode(array_intersect(col("nu"),
         coalesce(col("nv"), expr("CAST(array() AS ARRAY<BIGINT>)"))))
@@ -511,9 +525,9 @@ object Composite20 {
       .groupBy("a", "b").agg(count(lit(1)).as("cn"))
     e.select(col("src").as("a"), col("dst").as("b"))
       .join(cn, Seq("a", "b"), "left")
-      .join(broadcast(deg.select(col("n").as("a"), col("d").as("deg_a"))),
+      .join(degHint(deg.select(col("n").as("a"), col("d").as("deg_a"))),
         "a")
-      .join(broadcast(deg.select(col("n").as("b"), col("d").as("deg_b"))),
+      .join(degHint(deg.select(col("n").as("b"), col("d").as("deg_b"))),
         "b")
       .select(col("a"), col("b"),
         coalesce(col("cn"), lit(0L)).as("cn"), col("deg_a"), col("deg_b"))

@@ -67,22 +67,26 @@ object Composite31 {
     // storage footprint is K-PROPORTIONAL (K+1 node-sized tables).
     // Fine at K = 3; a K >> 3 caller should unpersist round r-2
     // after round r materializes instead (VERDICT r11 item 4 nit).
+    // Size-gate the loop's hints once on the round-invariant node
+    // count (a cached-block scan). Under the gate the node-sized
+    // distance table broadcasts into the edge scan —
+    // connected_components' plan shape, one node-keyed min exchange
+    // per round; over it the joins run un-hinted and plan node-keyed
+    // shuffles (a bare hint would hard-fail past the 8 GB broadcast
+    // cap instead — graft.util.Hints).
+    val hint = graft.util.Hints.maybeBroadcast(dist.count())
     val rounds = scala.collection.mutable.ListBuffer(dist)
     for (_ <- 1 to k) {
-      // Distance table is node-sized — broadcast it into the edge
-      // scan (connected_components' plan shape: the only exchange
-      // per round is the node-keyed min; on a node table past the
-      // broadcast threshold both joins degrade to node-keyed
-      // shuffles with the algebra unchanged). persist-not-checkpoint
-      // per round for the same reason as connectedComponents: each
-      // round's broadcast collect materializes the previous cache.
+      // persist-not-checkpoint per round for the same reason as
+      // connectedComponents: each round's broadcast collect
+      // materializes the previous cache.
       val nbr = edges
-        .join(broadcast(dist.filter(col("d").isNotNull)
+        .join(hint(dist.filter(col("d").isNotNull)
           .select(col("node").as("dst"), col("d").as("pd"))),
           "dst")
         .groupBy(col("src").as("node"))
         .agg(min(col("pd") + lit(1L)).as("nd"))
-      dist = dist.join(broadcast(nbr), Seq("node"), "left")
+      dist = dist.join(hint(nbr), Seq("node"), "left")
         .select(col("node"),
           least(coalesce(col("d"), col("nd")),
             coalesce(col("nd"), col("d"))).as("d"))

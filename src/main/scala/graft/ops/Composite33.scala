@@ -108,8 +108,8 @@ object Composite33 {
   // K=3 Bellman-Ford rounds with min(d + w) over the multiplicity-
   // weighted co-purchase graph: w(src, dst) = number of orders whose
   // baskets contain both parts. graph_shortest_path's loop discipline
-  // unchanged — node-sized distance table broadcast into the edge
-  // scan, one node-keyed min exchange per round, persist-per-round +
+  // unchanged — node-sized distance table size-gated-broadcast into
+  // the edge scan, one node-keyed min exchange per round, persist-per-round +
   // final eager localCheckpoint (each round's broadcast collect
   // materializes the previous cache; the rounds buffer keeps K
   // tables alive until then — K-proportional memory, fine at K = 3).
@@ -150,15 +150,19 @@ object Composite33 {
       .select(col("node"),
         when(seed(col("node")), lit(0L)).as("d"))
       .persist()
+    // Hints size-gated once on the round-invariant node count; over
+    // the cap the joins run un-hinted (node-keyed shuffles) instead
+    // of hard-failing at the broadcast limit (graft.util.Hints).
+    val hint = graft.util.Hints.maybeBroadcast(dist.count())
     val rounds = scala.collection.mutable.ListBuffer(dist)
     for (_ <- 1 to k) {
       val nbr = edges
-        .join(broadcast(dist.filter(col("d").isNotNull)
+        .join(hint(dist.filter(col("d").isNotNull)
           .select(col("node").as("dst"), col("d").as("pd"))),
           "dst")
         .groupBy(col("src").as("node"))
         .agg(min(col("pd") + col("w")).as("nd"))
-      dist = dist.join(broadcast(nbr), Seq("node"), "left")
+      dist = dist.join(hint(nbr), Seq("node"), "left")
         .select(col("node"),
           least(coalesce(col("d"), col("nd")),
             coalesce(col("nd"), col("d"))).as("d"))

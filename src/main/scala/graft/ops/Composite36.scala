@@ -34,8 +34,9 @@ import org.apache.spark.sql.functions._
   * table touches anything. Harmonic centrality is the
   * graph_shortest_path broadcast-loop discipline keyed (seed, node)
   * — one (seed, node)-keyed min exchange per round, 3 seeds × node
-  * table broadcast into the edge scan (degrades to a keyed shuffle
-  * unchanged past the broadcast threshold).
+  * table broadcast into the edge scan under a size gate
+  * (graft.util.Hints); past the cap the rounds run un-hinted as
+  * keyed shuffles instead of hard-failing at the broadcast limit.
   *
   * Determinism: every count/degree/distance is an exact integer;
   * harmonic sums are kept as Σ 6 DIV d (d ∈ 1..3 divides 6 exactly)
@@ -198,15 +199,18 @@ object Composite36 {
       .select(col("seed"), col("node"),
         when(col("node") === col("seed"), lit(0L)).as("d"))
       .persist()
+    // One gate for the whole loop: dist is (seeds × nodes)-sized and
+    // round-invariant in row count (graft.util.Hints).
+    val hint = graft.util.Hints.maybeBroadcast(dist.count())
     val rounds = scala.collection.mutable.ListBuffer(dist)
     for (_ <- 1 to k) {
       val nbr = edges
-        .join(broadcast(dist.filter(col("d").isNotNull)
+        .join(hint(dist.filter(col("d").isNotNull)
           .select(col("seed"), col("node").as("dst"), col("d").as("pd"))),
           "dst")
         .groupBy(col("seed"), col("src").as("node"))
         .agg(min(col("pd") + lit(1L)).as("nd"))
-      dist = dist.join(broadcast(nbr), Seq("seed", "node"), "left")
+      dist = dist.join(hint(nbr), Seq("seed", "node"), "left")
         .select(col("seed"), col("node"),
           least(coalesce(col("d"), col("nd")),
             coalesce(col("nd"), col("d"))).as("d"))

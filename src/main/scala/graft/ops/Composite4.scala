@@ -294,11 +294,11 @@ object Composite4 {
   // rank table is |parts|-sized — vocabulary-small next to the edge
   // table — so each iteration broadcasts it into a map-side-combined
   // contribution aggregate: NO per-iteration shuffle of the edges,
-  // and the 5 iterations chain lazily into one job. At a scale where
-  // ranks outgrow the broadcast budget, `broadcastRanks = false`
-  // re-plans the same algebra as co-partitioned shuffle joins (the
-  // llm_dedup_cluster shape) — no other change; Round7Spec asserts
-  // both the broadcast plan and the fallback. The co-purchase graph
+  // and the 5 iterations chain lazily into one job. The hint is
+  // size-gated on the node count (graft.util.Hints): past the cap —
+  // or with `broadcastRanks = false` — the same algebra re-plans as
+  // co-partitioned shuffle joins (the llm_dedup_cluster shape), no
+  // other change; Round7Spec asserts both plans. The co-purchase graph
   // is symmetric, so there are no dangling nodes and rank mass is
   // conserved (asserted in Round7Spec).
   //
@@ -323,15 +323,21 @@ object Composite4 {
     val edgesD = edgeList
       .withColumn("d", count(lit(1)).over(Window.partitionBy("src")))
       .localCheckpoint()
-    // nodes derive from the checkpointed edges (cheap union+distinct),
-    // and |nodes| is folded into the plan as a 1-row broadcast — no
-    // standalone count() action (the oracle's nn CTE, same algebra).
+    // nodes derive from the checkpointed edges (cheap union+distinct);
+    // the rank formula's |nodes| stays folded into the plan as a
+    // 1-row broadcast (the oracle's nn CTE, same algebra) — the
+    // count() below only feeds the hint gate, never the arithmetic.
     val nodes = edgesD.select(col("src").as("node"))
       .union(edgesD.select(col("dst").as("node")))
       .distinct().localCheckpoint()
     val nn = broadcast(nodes.agg(count(lit(1)).cast("double").as("n")))
+    // broadcastRanks = true means "hint IF the node count fits the
+    // broadcast gate" — a bare hint would hard-fail past the 8 GB
+    // broadcast cap rather than re-plan (graft.util.Hints). The gate
+    // count is a cached-block scan over the checkpointed node set.
     val hint: DataFrame => DataFrame =
-      if (broadcastRanks) broadcast else identity
+      if (broadcastRanks) graft.util.Hints.maybeBroadcast(nodes.count())
+      else identity
     var ranks = nodes.crossJoin(nn)
       .select(col("node"), (lit(1.0) / col("n")).as("r"))
     for (_ <- 1 to iterations) {

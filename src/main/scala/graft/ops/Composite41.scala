@@ -61,12 +61,15 @@ object Composite41 {
       .select(col("node"),
         when(seed(col("node")), lit(1.0) / col("ns"))
           .otherwise(lit(0.0)).as("r"))
+    // Rank/contrib tables are node-sized: hint only under the size
+    // gate (graft.util.Hints) — pageRankOn's discipline.
+    val hint = graft.util.Hints.maybeBroadcast(nodes.count())
     for (_ <- 1 to iterations) {
-      val contrib = edgesD.join(broadcast(ranks), col("src") === col("node"))
+      val contrib = edgesD.join(hint(ranks), col("src") === col("node"))
         .groupBy(col("dst"))
         .agg(sum(col("r") / col("d")).as("contrib"))
       ranks = nodes.crossJoin(ns)
-        .join(broadcast(contrib), col("node") === col("dst"), "left")
+        .join(hint(contrib), col("node") === col("dst"), "left")
         .select(col("node"),
           round(when(seed(col("node")), lit(1.0 - damping) / col("ns"))
               .otherwise(lit(0.0))

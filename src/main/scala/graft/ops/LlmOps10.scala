@@ -77,16 +77,26 @@ object LlmOps10 {
     // pair that cannot reach 0.5·min(|A|,|B|) even with every hot
     // shingle shared is dropped BEFORE the hot-correction join — the
     // expensive leg only sees near-threshold pairs. The bound uses a
-    // broadcast per-doc (size, hot-count) table; the exact ≥ 0.5
-    // filter still runs at the end, so semantics are unchanged.
+    // per-doc (size, hot-count) table whose broadcast hint is SIZE-
+    // GATED (graft.util.Hints): stats is doc-keyed, so on a
+    // corpus-scale run the two joins must fall back to doc-keyed
+    // shuffles rather than hard-fail at the broadcast limit. The gate
+    // bound is the documents row count (stats rows ≤ |docs|) — a
+    // column-less parquet count, chosen over checkpoint-and-count of
+    // stats itself, which serializes the two build-side jobs that
+    // otherwise prepare concurrently (measured +0.7 s at sf0.1). The
+    // exact ≥ 0.5 filter still runs at the end, so semantics are
+    // unchanged.
+    val statsHint = graft.util.Hints.maybeBroadcast(
+      load(s, dir, "documents").count())
     val stats = sizes
       .join(hotG.groupBy(col("doc_id")).agg(count(lit(1)).as("hc")),
         Seq("doc_id"), "left")
       .select(col("doc_id"), col("sz"), coalesce(col("hc"), lit(0L)).as("hc"))
     val pruned = rarePairs
-      .join(broadcast(stats.select(col("doc_id").as("doc_a"),
+      .join(statsHint(stats.select(col("doc_id").as("doc_a"),
         col("sz").as("sa"), col("hc").as("hca"))), "doc_a")
-      .join(broadcast(stats.select(col("doc_id").as("doc_b"),
+      .join(statsHint(stats.select(col("doc_id").as("doc_b"),
         col("sz").as("sb"), col("hc").as("hcb"))), "doc_b")
       .filter((col("n_rare") + least(col("hca"), col("hcb"))).cast("double") >=
         lit(0.5) * least(col("sa"), col("sb")).cast("double"))

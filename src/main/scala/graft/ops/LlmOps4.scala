@@ -92,6 +92,11 @@ object LlmOps4 {
       if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
     }
     var prev = labelSum(labels) // materializes the persisted round
+    // One size gate for every per-round hint: the label table's row
+    // count is the node count, invariant across rounds, and labels
+    // is already materialized — the count is a cached-block scan
+    // (graft.util.Hints).
+    val hint = graft.util.Hints.maybeBroadcast(labels.count())
     var iter = 1
     var converged = false
     while (!converged && iter < maxIter) {
@@ -107,16 +112,16 @@ object LlmOps4 {
       // round's broadcast build (no extra Spark job: it executes
       // inside the exchange that was already collecting the labels).
       val jumped = labels
-        .join(broadcast(labels.select(col("node").as("jn"),
+        .join(hint(labels.select(col("node").as("jn"),
           col("label").as("jl"))), col("label") === col("jn"))
         .select(col("node"), col("jl").as("label"))
-      // Broadcast the node-sized label table so the ~2E+N-row und
-      // side never shuffles: the only exchange per round is the
-      // map-side-combined min on `a` (the Composite20 CC discipline).
-      // On a graph whose node table outgrows the broadcast threshold
-      // the hint degrades gracefully to a node-keyed shuffle join —
-      // the algebra is unchanged.
-      val next = und.join(broadcast(jumped), col("b") === col("node"))
+      // Under the gate the node-sized label table broadcasts so the
+      // ~2E+N-row und side never shuffles: the only exchange per
+      // round is the map-side-combined min on `a` (the Composite20
+      // CC discipline). On a graph whose node table outgrows the
+      // gate the joins run UN-hinted and plan node-keyed shuffles —
+      // a bare hint would hard-fail at the broadcast limit instead.
+      val next = und.join(hint(jumped), col("b") === col("node"))
         .groupBy("a").agg(min("label").as("label"))
         .withColumnRenamed("a", "node")
         .persist()
@@ -287,22 +292,20 @@ object LlmOps4 {
       // once instead of per-broadcast-build.
       val exact = exactDupEdges(load(s, dir, "documents")).localCheckpoint()
       val rep = exact.select(col("b").as("doc"), col("a").as("rep"))
-      // Size-gate the broadcast hints (ADVICE r10): Spark honors an
-      // explicit broadcast() REGARDLESS of relation size (8 GB hard
-      // cap / driver OOM on a corpus-scale exact tier), so the
-      // earlier "degrades gracefully to a shuffle join" claim did not
-      // hold for hinted joins. Both build sides are localCheckpointed
+      // Size-gate the broadcast hints (ADVICE r10, now the shared
+      // graft.util.Hints discipline): Spark honors an explicit
+      // broadcast() REGARDLESS of relation size (8 GB hard cap /
+      // driver OOM on a corpus-scale exact tier), so the earlier
+      // "degrades gracefully to a shuffle join" claim did not hold
+      // for hinted joins. Both build sides are localCheckpointed
       // above, so counting them is a cheap cached-block scan; under
       // the gate the hint skips AQE's estimate round-trip, above it
       // the joins run un-hinted and AQE still broadcasts at runtime
       // if the actual bytes allow — now genuinely graceful.
-      val bcastGate = 4L * 1000 * 1000
-      val repHint: DataFrame => DataFrame =
-        if (exact.count() <= bcastGate) broadcast(_) else identity
+      val repHint = graft.util.Hints.maybeBroadcast(exact.count())
       // cc's node set is bounded by the contracted edge endpoints,
       // i.e. by 2x the near-pair count — gate its hint on that bound.
-      val ccHint: DataFrame => DataFrame =
-        if (near.count() <= bcastGate / 2) broadcast(_) else identity
+      val ccHint = graft.util.Hints.maybeBroadcast(2L * near.count())
       val contracted = near
         .join(repHint(rep.select(col("doc").as("a"), col("rep").as("ra"))),
           Seq("a"), "left")
