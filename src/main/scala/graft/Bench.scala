@@ -96,19 +96,31 @@ object Bench {
     * repeats the same key:number shape, so the scan is bounded to the
     * first brace pair after the queries key. Missing or unparsable
     * file => empty map, and both priorSuspect gates go inert. */
-  private def priorRecords(path: String): Map[String, Double] =
-    try {
-      val src = scala.io.Source.fromFile(path)
-      val txt = try src.mkString finally src.close()
-      val key = "\"queries\":{"
-      val start = txt.indexOf(key)
-      if (start < 0) Map.empty
-      else {
-        val body = txt.substring(start + key.length, txt.indexOf('}', start))
-        """"([A-Za-z0-9_]+)":(-?[0-9.]+)""".r.findAllMatchIn(body)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      }
-    } catch { case _: Throwable => Map.empty }
+  private def priorRecords(path: String): Map[String, Double] = {
+    val f = new java.io.File(path)
+    if (!f.exists()) Map.empty
+    else {
+      val parsed = try {
+        val src = scala.io.Source.fromFile(f)
+        val txt = try src.mkString finally src.close()
+        val key = "\"queries\":{"
+        val start = txt.indexOf(key)
+        if (start < 0) Map.empty[String, Double]
+        else {
+          val body = txt.substring(start + key.length, txt.indexOf('}', start))
+          """"([A-Za-z0-9_]+)":(-?[0-9.]+)""".r.findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      } catch { case _: Throwable => Map.empty[String, Double] }
+      // A present-but-unparsable pin means format drift, not a fresh
+      // checkout — without this line the >3x regression gate goes
+      // inert with no signal anywhere in the run output (ADVICE r13).
+      if (parsed.isEmpty)
+        System.err.println(s"[bench] $path exists but zero priors parsed" +
+          " — the >3x prior-record gate is INERT this run (format drift?)")
+      parsed
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -154,8 +166,19 @@ object Bench {
     // SUSPECT when the measurement that fed its reported time was
     // itself taken inside a steal storm — the artifact then
     // self-identifies contaminated entries instead of relying on a
-    // commit-message convention.
-    val suspects = scala.collection.mutable.ListBuffer.empty[String]
+    // commit-message convention. Each entry carries WHICH gate fired
+    // (ADVICE r13): "steal" is machine contamination, "prior" alone
+    // on a clean-steal window reads as a genuine >3x regression the
+    // retries could not shake — a real slowdown, not a storm.
+    val suspects =
+      scala.collection.mutable.ListBuffer.empty[(String, String)]
+    def suspectReason(steal: Option[Long], secs: Double,
+        p: Option[Double]): String =
+      (stealSuspect(steal, secs), priorSuspect(p, secs)) match {
+        case (true, true) => "steal+prior"
+        case (true, _)    => "steal"
+        case _            => "prior"
+      }
     val results = selected.map { case (name, fn) =>
       // Warm once per query (plan compilation + whole-stage codegen
       // class generation are one-time costs, ~2.5s for the widest
@@ -259,10 +282,16 @@ object Bench {
           // the reported time is contaminated only if ITS window was.
           val all = Attempt(elapsed, -1.0, coldSteal) :: attempts.toList
           val best = all.minBy(_.secs)
-          if (windowSuspect(best.steal, best.secs)) suspects += name
+          if (windowSuspect(best.steal, best.secs))
+            suspects += name -> suspectReason(best.steal, best.secs,
+              prior.get(name))
           elapsed = math.min(elapsed, attempts.map(_.secs).min)
-        } else if (coldSuspect) suspects += name
-      } else if (ok && coldSuspect) suspects += name
+        } else if (coldSuspect)
+          suspects += name -> suspectReason(coldSteal, elapsed,
+            prior.get(name))
+      } else if (ok && coldSuspect)
+        suspects += name -> suspectReason(coldSteal, elapsed,
+          prior.get(name))
       // Drop cached relations the query registered AFTER the timed
       // run: cache_reuse-style queries .cache() and never unpersist,
       // so over a 300-query run the storage pool otherwise fills with
@@ -295,7 +324,7 @@ object Bench {
     // Suspect-aware total (VERDICT r12 item 7): the sum excluding
     // suspect rows, reported alongside the raw total, so a single
     // contaminated query can never move the headline number again.
-    val suspectSet = suspects.toSet
+    val suspectSet = suspects.map(_._1).toSet
     val totalExclSuspect = results.collect {
       case (k, v) if v >= 0 && !suspectSet(k) => v }.sum
     val nFailed = results.values.count(_ < 0)
@@ -345,7 +374,9 @@ object Bench {
     val ratioJson = stealRatio
       .map(r => String.format(java.util.Locale.ROOT, "%.6f", Double.box(r)))
       .getOrElse("null")
-    val suspectJson = suspects.map(s => s""""$s"""").mkString("[", ",", "]")
+    val suspectJson = suspects
+      .map { case (q, why) => s"""{"q":"$q","reason":"$why"}""" }
+      .mkString("[", ",", "]")
     val machine =
       s"""{"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},""" +
       s""""steal_jiffies":${jl(runSteal)},""" +
