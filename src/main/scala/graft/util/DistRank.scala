@@ -89,4 +89,36 @@ object DistRank {
       .withColumn(as, bucket.cast("bigint"))
       .drop("__pid", "__off", "__n", "__rn")
   }
+
+  /** Append `as` = Σ `weight` over rows whose `key` sorts STRICTLY
+    * before this row's — the exclusive distributed prefix sum behind
+    * exact average ranks on a grouped value axis (2·r̄ = 2·below +
+    * cnt + 1). Same two-pass shape as [[globalNtile]]: range
+    * partitions on the key, per-partition weight totals prefix-sum
+    * into offsets over a `parts`-row (bounded) window, and the
+    * within-partition exclusive cumsum rides a partition-local
+    * window — no single-partition stage at any input width. `key`
+    * must be UNIQUE per row (a grouped/distinct axis), which is what
+    * makes the rowsBetween frame tie-safe. */
+  def globalPrefixSum(df: DataFrame, as: String, key: Column,
+      weight: Column, parts: Int = 32): DataFrame = {
+    val clash = df.columns.toSet.intersect(Set("__pid", "__off", as))
+    require(clash.isEmpty,
+      s"globalPrefixSum: input already has column(s) ${clash.mkString(", ")} " +
+        "— rename them (or the target column) before calling")
+    val ranged = df.repartitionByRange(parts, key)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false)
+    val offs = ranged.groupBy(col("__pid"))
+      .agg(sum(weight).as("__c"))
+      .withColumn("__off", coalesce(sum(col("__c")).over(
+        Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    ranged.join(broadcast(offs), "__pid")
+      .withColumn(as, col("__off") + coalesce(sum(weight).over(
+        Window.partitionBy(col("__pid")).orderBy(key)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__pid", "__off")
+  }
 }

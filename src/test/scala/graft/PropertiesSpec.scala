@@ -526,4 +526,75 @@ object PropertiesSpec extends Properties("graft-laws") {
         .map { case (d, cl, hi, lo, b) => (d.toString, cl, hi, lo, b) }
       got == expected
     }
+
+  property("wilcoxonOn == brute signed-rank fold") =
+    forAll(Gen.chooseNum(2, 20).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.chooseNum(100L, 120L), Gen.chooseNum(100L, 120L))))) { ps =>
+      import spark.implicits._
+      // one order per (customer, year): yearly sums == the pair values
+      val ds = ps.map { case (a, b) => b - a }.filter(_ != 0L)
+      val expected: (Option[Long], Option[Double], Option[Double],
+          Option[Double], Option[Boolean]) =
+        if (ds.isEmpty) (None, None, None, None, None) // empty global agg
+        else {
+          val n = ds.length.toLong
+          val byA = ds.groupBy(d => math.abs(d))
+          val r2m = byA.map { case (a, g) =>
+            val below = ds.count(d => math.abs(d) < a).toLong
+            a -> (2L * below + g.length + 1L)
+          }
+          val w2p = ds.filter(_ > 0).map(d => r2m(math.abs(d))).sum.toDouble
+          val tt = byA.values.map { g =>
+            val t = g.length.toLong; t * t * t - t }.sum
+          val z = (w2p - n.toDouble * (n + 1) / 2) /
+            math.sqrt(n.toDouble * (n + 1) * (2 * n + 1) / 6 - tt.toDouble / 12)
+          (Some(n), Some(w2p / 2),
+            Some(n.toDouble * (n + 1) / 2 - w2p / 2),
+            Some(floor6(z)), Some(math.abs(floor6(z)) > 1.959964))
+        }
+      val orders = ps.zipWithIndex.flatMap { case ((a, b), i) => Seq(
+          (i.toLong, "1996-03-05", a / 100.0),
+          (i.toLong, "1997-03-05", b / 100.0)) }
+        .toDF("o_custkey", "o_orderdate", "o_totalprice")
+      val r = graft.ops.Composite52.wilcoxonOn(orders).collect().head
+      def od(i: Int) = if (r.isNullAt(i)) None else Some(r.getDouble(i))
+      val got = (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        od(1), od(2), od(3),
+        if (r.isNullAt(4)) None else Some(r.getBoolean(4)))
+      got == expected
+    }
+
+  property("friedmanOn == brute in-block rank fold") =
+    forAll(Gen.chooseNum(2, 10).flatMap(nb => Gen.listOfN(nb,
+      Gen.listOfN(5, Gen.chooseNum(1L, 6L))))) { blocks =>
+      import spark.implicits._
+      val n = blocks.length.toLong
+      // doubled in-block average ranks; R2_j in priority order
+      val r2rows = blocks.map { vs =>
+        vs.map { v =>
+          val below = vs.count(_ < v).toLong
+          val t = vs.count(_ == v).toLong
+          (2L * below + t + 1L, t * t - 1L)
+        }
+      }
+      val rr = (0 until 5).map(j => r2rows.map(_(j)._1).sum)
+      val tt = r2rows.flatten.map(_._2).sum
+      val q = 3.0 * rr.map(r => r.toDouble * r).sum / (n.toDouble * 5 * 6) -
+        3.0 * n * 6
+      val c = 1.0 - tt.toDouble / (n.toDouble * 5 * 24)
+      val expected: (Long, Long, Option[Double], Option[Boolean]) =
+        if (c == 0) (n, 5L, None, None)
+        else (n, 5L, Some(floor6(q / c)), Some(floor6(q / c) > 9.487729))
+      val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+        "4-NOT SPECIFIED", "5-LOW")
+      val orders = blocks.zipWithIndex.flatMap { case (vs, j) =>
+        val ym = f"${1995 + j / 12}-${j % 12 + 1}%02d-03"
+        vs.zip(prios).map { case (v, p) => (0L, ym, p, v.toDouble) }
+      }.toDF("o_custkey", "o_orderdate", "o_orderpriority", "o_totalprice")
+      val r = graft.ops.Composite52.friedmanOn(orders).collect().head
+      val got = (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getBoolean(3)))
+      got == expected
+    }
 }
