@@ -51,10 +51,11 @@ object Composite45 {
   private val LbLags = 7
 
   /** ρ_k from the six exact co-moment BIGINTs of lag k (shared
-    * formula text for both engines). The products inside sqrt leave
-    * BIGINT range at full scale, so each factor casts to DOUBLE
-    * BEFORE the multiply (each is < 2^53, so the cast is exact). */
-  private def rhoF(k: Int): String =
+    * formula text for both engines; reused by Composite53's
+    * win_acf_table). The products inside sqrt leave BIGINT range at
+    * full scale, so each factor casts to DOUBLE BEFORE the multiply
+    * (each is < 2^53, so the cast is exact). */
+  private[graft] def rhoF(k: Int): String =
     s"""(CAST(n$k*sab$k - sa$k*sb$k AS DOUBLE)
        | / nullif(sqrt(CAST(n$k*saa$k - sa$k*sa$k AS DOUBLE)
        |   * CAST(n$k*sbb$k - sb$k*sb$k AS DOUBLE)), 0))""".stripMargin
@@ -64,12 +65,16 @@ object Composite45 {
         .map(k => s"(${rhoF(k)}*${rhoF(k)})/(nd - $k)")
         .mkString("\n + ")}))*1e6 + 0.5)/1e6""".stripMargin
 
-  private[graft] def ljungBoxOn(events: DataFrame): DataFrame = {
+  /** One (event_type)-keyed hash aggregate of the exact BIGINT
+    * co-moments for lags 1..`lags` over the daily-count series —
+    * the input both `evt_ljung_box` and `win_acf_table`
+    * (Composite53) assemble their ρ_k from. */
+  private[graft] def lagMoments(events: DataFrame, lags: Int): DataFrame = {
     val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
     val lagged = dailyCounts(events)
       .select(col("event_type") +: col("y") +:
-        (1 to LbLags).map(k => lag(col("y"), k).over(w).as(s"l$k")): _*)
-    val aggs = count(lit(1)).as("nd") +: (1 to LbLags).flatMap(k => Seq(
+        (1 to lags).map(k => lag(col("y"), k).over(w).as(s"l$k")): _*)
+    val aggs = count(lit(1)).as("nd") +: (1 to lags).flatMap(k => Seq(
       count(col(s"l$k")).as(s"n$k"),
       sum(when(col(s"l$k").isNotNull, col("y"))).as(s"sa$k"),
       sum(col(s"l$k")).as(s"sb$k"),
@@ -78,6 +83,10 @@ object Composite45 {
       sum(col("y") * col(s"l$k")).as(s"sab$k")))
     lagged.groupBy(col("event_type"))
       .agg(aggs.head, aggs.tail: _*)
+  }
+
+  private[graft] def ljungBoxOn(events: DataFrame): DataFrame = {
+    lagMoments(events, LbLags)
       .selectExpr("event_type", "nd AS n_days",
         s"floor((${rhoF(1)})*1e6 + 0.5)/1e6 AS rho1",
         s"$qF AS lb_q7",

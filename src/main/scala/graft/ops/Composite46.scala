@@ -86,7 +86,9 @@ object Composite46 {
   private def kpssLevel(s: SparkSession, dir: String): DataFrame =
     kpssLevelOn(loadEvents(s, dir))
 
-  private val kpssLevelOracle =
+  // private[graft]: Composite53's evt_adf_unit_root embeds this as a
+  // subquery to surface the KPSS verdict beside the ADF one.
+  private[graft] val kpssLevelOracle =
     s"""WITH daily AS (
        |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
        |    CAST(count(*) AS BIGINT) AS y

@@ -527,6 +527,69 @@ object PropertiesSpec extends Properties("graft-laws") {
       got == expected
     }
 
+  property("adfOn == brute Dickey-Fuller OLS fold") =
+    forAll(Gen.chooseNum(4, 25).flatMap(d =>
+      Gen.listOfN(d, Gen.chooseNum(1, 9)))) { ys =>
+      import spark.implicits._
+      val y = ys.toIndexedSeq.map(_.toLong)
+      val pairs = (1 until y.length).map(t => (y(t - 1), y(t) - y(t - 1)))
+      val m = pairs.length.toLong
+      val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+      val sxx = pairs.map(p => p._1 * p._1).sum.toDouble
+      val sxy = pairs.map(p => p._1 * p._2).sum.toDouble
+      val syy = pairs.map(p => p._2 * p._2).sum.toDouble
+      val cxx = sxx - sx.toDouble * sx / m
+      val cxy = sxy - sx.toDouble * sy / m
+      val cyy = syy - sy.toDouble * sy / m
+      val t: Option[Double] =
+        if (cxx == 0 || m <= 2) None
+        else {
+          val b = cxy / cxx
+          val den = math.sqrt(((cyy - b * cxy) / (m - 2)) / cxx)
+          if (den == 0 || den.isNaN) None else Some(floor6(b / den))
+        }
+      val expected = ("T", y.length.toLong, t, t.map(_ < -2.86))
+      val ev = y.zipWithIndex.flatMap { case (c, d) =>
+        Seq.fill(c.toInt)(("T", java.time.LocalDate.of(2024, 1, 1)
+          .plusDays(d).toString)) }.toDF("event_type", "ts")
+      val r = graft.ops.Composite53.adfOn(ev).collect().head
+      val got = (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getBoolean(3)))
+      got == expected
+    }
+
+  property("acfTableOn == brute per-lag autocorrelations") =
+    forAll(Gen.chooseNum(3, 30).flatMap(d =>
+      Gen.listOfN(d, Gen.chooseNum(1, 5)))) { ys =>
+      import spark.implicits._
+      val y = ys.toIndexedSeq.map(_.toLong)
+      def rho(k: Int): Option[Double] = {
+        val pairs = (k until y.length).map(t => (y(t), y(t - k)))
+        val nk = pairs.length.toLong
+        if (nk == 0) None
+        else {
+          val sa = pairs.map(_._1).sum; val sb = pairs.map(_._2).sum
+          val saa = pairs.map(p => p._1 * p._1).sum
+          val sbb = pairs.map(p => p._2 * p._2).sum
+          val sab = pairs.map(p => p._1 * p._2).sum
+          val den = math.sqrt((nk * saa - sa * sa).toDouble *
+            (nk * sbb - sb * sb).toDouble)
+          if (den == 0) None
+          else Some(floor6((nk * sab - sa * sb).toDouble / den))
+        }
+      }
+      val expected = (1 to 7).map(k => ("T", y.length.toLong, k.toLong,
+        rho(k)))
+      val ev = y.zipWithIndex.flatMap { case (c, d) =>
+        Seq.fill(c.toInt)(("T", java.time.LocalDate.of(2024, 1, 1)
+          .plusDays(d).toString)) }.toDF("event_type", "ts")
+      val got = graft.ops.Composite53.acfTableOn(ev).collect().toSeq
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      got == expected
+    }
+
   property("wilcoxonOn == brute signed-rank fold") =
     forAll(Gen.chooseNum(2, 20).flatMap(n => Gen.listOfN(n,
       Gen.zip(Gen.chooseNum(100L, 120L), Gen.chooseNum(100L, 120L))))) { ps =>
