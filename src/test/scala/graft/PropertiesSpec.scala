@@ -527,6 +527,60 @@ object PropertiesSpec extends Properties("graft-laws") {
       got == expected
     }
 
+  property("betweennessOn == brute seeded hop-bounded Brandes") =
+    forAll(Gen.nonEmptyListOf(
+      Gen.zip(Gen.chooseNum(1L, 8L), Gen.chooseNum(1L, 8L))
+        .suchThat(p => p._1 != p._2))) { raw =>
+      import spark.implicits._
+      val und = raw.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      val sym = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      val adj = sym.groupBy(_._1).map { case (n, es) =>
+        n -> es.map(_._2).toSet }
+      val nodes = adj.keys.toSeq
+      val seeds = nodes.sortBy(n => (-adj(n).size, n)).take(3)
+      // Spark's round(x, 12) is BigDecimal HALF_UP on the exact
+      // double — replicate it, not a float-multiply approximation.
+      def r12(x: Double) = BigDecimal(x)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val perSeed = seeds.map { s =>
+        // forward: depth -> Map(node -> sigma)
+        var lv = Vector(Map(s -> 1L))
+        for (_ <- 1 to 3) {
+          val seen = lv.flatMap(_.keys).toSet
+          val prev = lv.last
+          val next = prev.toSeq
+            .flatMap { case (u, sg) => adj(u).map(v => v -> sg) }
+            .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).sum }
+            .filter { case (v, _) => !seen.contains(v) }
+          lv = lv :+ next
+        }
+        // backward: delta at depth 3 = 0; d = 2, 1
+        var dl = Map.empty[Long, Double]
+        val out = scala.collection.mutable.Map.empty[Long, Double]
+        for (d <- 2 to 1 by -1) {
+          val down = lv(d + 1); val cur = lv(d)
+          dl = cur.map { case (v, sv) =>
+            val terms = adj(v).toSeq.filter(down.contains).map(w =>
+              sv.toDouble / down(w) * (1 + dl.getOrElse(w, 0.0)))
+            v -> r12(terms.sum)
+          }.filter(_._2 != 0.0) // nodes w/o successors: delta 0, no row
+          // one depth per (seed, node), so out never collides
+          dl.foreach { case (v, x) => out(v) = out.getOrElse(v, 0.0) + x }
+        }
+        out.toMap
+      }
+      val bc = perSeed.flatten.groupBy(_._1)
+        .map { case (n, xs) => n -> r12(xs.map(_._2).sum) }
+        .filter(_._2 > 0)
+      val expected = bc.toSeq.sortBy { case (n, b) => (-b, n) }.take(10)
+        .map { case (n, b) => (n, floor6(b)) }
+      val df = sym.toDF("src", "dst")
+      val got = graft.ops.Composite54.betweennessOn(df, 3, 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      got == expected
+    }
+
   property("adfOn == brute Dickey-Fuller OLS fold") =
     forAll(Gen.chooseNum(4, 25).flatMap(d =>
       Gen.listOfN(d, Gen.chooseNum(1, 9)))) { ys =>
