@@ -49,6 +49,20 @@ object Composite36 {
   /** Candidate slice modulus for link prediction: both pair endpoints
     * must satisfy n % Slice == 0. */
   private val Slice = 20
+
+  /** Per-middle candidate cap (ADVICE r12 item 3): the wedge
+    * explosion is O(slice-degree²) inside ONE task, and Slice only
+    * divides the constant — a hub whose slice-neighborhood grows
+    * with SF still produces an unbounded single-task blow-up. Each
+    * middle therefore scores only its `SliceCap` SMALLEST
+    * slice-neighbors (deterministic, mirrored in the oracle via
+    * row_number ≤ cap), bounding every task at SliceCap²/2 pairs.
+    * At the current corpus no slice-neighborhood comes near 256, so
+    * the cap is a pure guard (results unchanged, asserted by the
+    * tri-SF oracle runs); past it the row is explicitly a capped
+    * approximation, like every seed-sampled graph row. */
+  private val SliceCap = 256
+
   private val MaxK = 8
 
   // ---- graph_jaccard_linkpred ------------------------------------------
@@ -64,7 +78,8 @@ object Composite36 {
     val deg = sym.groupBy(col("src").as("n")).agg(count(lit(1)).as("deg"))
     val wedges = sym.filter(col("dst") % Slice === 0)
       .groupBy(col("src"))
-      .agg(sort_array(collect_set(col("dst"))).as("ps"))
+      .agg(sort_array(collect_set(col("dst"))).as("ps0"))
+      .select(slice(col("ps0"), 1, SliceCap).as("ps"))
       .select(col("ps"), posexplode(col("ps")))
       .toDF("ps", "i", "a")
       .select(col("a"),
@@ -100,11 +115,16 @@ object Composite36 {
        |  SELECT src, dst FROM h UNION ALL SELECT dst, src FROM h),
        |deg AS (SELECT src AS n, CAST(count(*) AS BIGINT) AS deg
        |        FROM e GROUP BY 1),
+       |sn AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst,
+       |      row_number() OVER (PARTITION BY src ORDER BY dst) AS rn
+       |    FROM e WHERE dst % $Slice = 0)
+       |  WHERE rn <= $SliceCap),
        |w AS (
        |  SELECT a.dst AS src, b.dst AS dst,
        |    CAST(count(*) AS BIGINT) AS common_neighbors
-       |  FROM e a JOIN e b ON a.src = b.src AND a.dst < b.dst
-       |  WHERE a.dst % $Slice = 0 AND b.dst % $Slice = 0
+       |  FROM sn a JOIN sn b ON a.src = b.src AND a.dst < b.dst
        |  GROUP BY 1, 2),
        |nw AS (SELECT w.* FROM w WHERE NOT EXISTS (
        |  SELECT 1 FROM h WHERE h.src = w.src AND h.dst = w.dst))
