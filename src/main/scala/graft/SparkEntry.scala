@@ -90,7 +90,8 @@ object SparkEntry {
       (Composite51.queries, Composite51.oracle),
       (Composite52.queries, Composite52.oracle),
       (Composite53.queries, Composite53.oracle),
-      (Composite54.queries, Composite54.oracle)
+      (Composite54.queries, Composite54.oracle),
+      (Composite55.queries, Composite55.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -527,6 +527,72 @@ object PropertiesSpec extends Properties("graft-laws") {
       got == expected
     }
 
+  property("spearmanOn == brute rank-Pearson fold") =
+    forAll(Gen.chooseNum(3, 15).flatMap(nc => Gen.listOfN(nc,
+      Gen.chooseNum(1, 3).flatMap(k =>
+        Gen.listOfN(k, Gen.chooseNum(100L, 130L)))))) { custs =>
+      import spark.implicits._
+      val xs = custs.map(_.length.toLong)
+      val ys = custs.map(_.sum) // cents (price = cents/100)
+      val n = custs.length.toLong
+      def r2(vs: Seq[Long]): Map[Long, Long] =
+        vs.distinct.map { v =>
+          v -> (2L * vs.count(_ < v) + vs.count(_ == v) + 1L) }.toMap
+      val rx = r2(xs); val ry = r2(ys)
+      val a = xs.map(rx); val b = ys.map(ry)
+      val sa = a.sum.toDouble; val sb = b.sum.toDouble
+      val saa = a.map(v => v * v).sum.toDouble
+      val sbb = b.map(v => v * v).sum.toDouble
+      val sab = a.zip(b).map { case (u, v) => u * v }.sum.toDouble
+      val den = math.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb))
+      val rho = if (den == 0) None else Some((n * sab - sa * sb) / den)
+      val expected = (n, rho.map(floor6),
+        rho.map(r => floor6(r * math.sqrt(n.toDouble - 1))),
+        rho.map(r => math.abs(floor6(r * math.sqrt(n.toDouble - 1))) > 1.959964))
+      val orders = custs.zipWithIndex.flatMap { case (ps, i) =>
+        ps.map(c => (i.toLong, c / 100.0)) }
+        .toDF("o_custkey", "o_totalprice")
+      val r = graft.ops.Composite55.spearmanOn(orders).collect().head
+      val got = (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getBoolean(3)))
+      got == expected
+    }
+
+  property("kendallOn == brute all-pairs concordance count") =
+    forAll(Gen.nonEmptyListOf(
+      Gen.zip(Gen.chooseNum(1L, 5L), Gen.chooseNum(0L, 3L)))) { rows =>
+      import spark.implicits._
+      val n = rows.length.toLong
+      val prs = for {
+        i <- rows.indices; j <- (i + 1) until rows.length
+      } yield (rows(i), rows(j))
+      val cc = prs.count { case ((q1, d1), (q2, d2)) =>
+        (q1 < q2 && d1 < d2) || (q2 < q1 && d2 < d1) }.toDouble
+      val dd = prs.count { case ((q1, d1), (q2, d2)) =>
+        (q1 < q2 && d1 > d2) || (q2 < q1 && d2 > d1) }.toDouble
+      def ties(vs: Seq[Long]): Double =
+        vs.groupBy(identity).values.map { g =>
+          g.length.toLong * (g.length - 1) }.sum.toDouble
+      val t1 = ties(rows.map(_._1)); val t2 = ties(rows.map(_._2))
+      val den = math.sqrt((n.toDouble * (n - 1) / 2 - t1 / 2) *
+        (n.toDouble * (n - 1) / 2 - t2 / 2))
+      val tau = if (den == 0) None else Some((cc - dd) / den)
+      val zden = math.sqrt(n.toDouble * (n - 1) * (2 * n + 5) / 2)
+      val z = if (zden == 0) None else Some(3 * (cc - dd) / zden)
+      val expected = (n, tau.map(floor6), z.map(floor6),
+        z.map(v => math.abs(floor6(v)) > 1.959964))
+      val li = rows.map { case (q, d) => (q.toDouble, d / 100.0) }
+        .toDF("l_quantity", "l_discount")
+      val r = graft.ops.Composite55.kendallOn(li).collect().head
+      val got = (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getBoolean(3)))
+      got == expected
+    }
+
   property("betweennessOn == brute seeded hop-bounded Brandes") =
     forAll(Gen.nonEmptyListOf(
       Gen.zip(Gen.chooseNum(1L, 8L), Gen.chooseNum(1L, 8L))
