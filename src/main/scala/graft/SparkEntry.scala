@@ -91,7 +91,8 @@ object SparkEntry {
       (Composite52.queries, Composite52.oracle),
       (Composite53.queries, Composite53.oracle),
       (Composite54.queries, Composite54.oracle),
-      (Composite55.queries, Composite55.oracle)
+      (Composite55.queries, Composite55.oracle),
+      (Composite56.queries, Composite56.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

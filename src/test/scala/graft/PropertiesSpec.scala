@@ -527,6 +527,77 @@ object PropertiesSpec extends Properties("graft-laws") {
       got == expected
     }
 
+  property("keltnerOn == brute candle fold") =
+    forAll(candleDays) { days =>
+      import spark.implicits._
+      val cs = candles(days) // (hi, lo, cl) per day
+      val trs = cs.indices.map { t =>
+        val (hi, lo, cl) = cs(t)
+        if (t == 0) hi - lo
+        else {
+          val pc = cs(t - 1)._3
+          math.max(hi - lo, math.max(math.abs(hi - pc), math.abs(lo - pc)))
+        }
+      }
+      val tp3 = cs.map { case (hi, lo, cl) => hi + lo + cl }
+      val expected = (9 until cs.length).map { t =>
+        val stp3 = (t - 9 to t).map(tp3).sum
+        val str = (t - 9 to t).map(trs).sum
+        val cl = cs(t)._3
+        (java.time.LocalDate.of(2024, 1, 1).plusDays(t).toString, cl,
+          floor6(stp3.toDouble / 3000), floor6((stp3 + 6 * str).toDouble / 3000),
+          floor6((stp3 - 6 * str).toDouble / 3000),
+          if (cl * 30 > stp3) "above_mid"
+          else if (cl * 30 < stp3) "below_mid" else "at_mid")
+      }
+      val orders = candleOrders(days)
+        .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+      val got = graft.ops.Composite56.keltnerOn(orders).collect().toSeq
+        .map(r => (r.getDate(0).toString, r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getString(5)))
+      got == expected
+    }
+
+  property("crossCorrOn == brute lagged-pair correlations") =
+    forAll(Gen.chooseNum(4, 25).flatMap(d => Gen.listOfN(d,
+      Gen.zip(Gen.chooseNum(0, 4), Gen.chooseNum(0, 4))))) { xys =>
+      import spark.implicits._
+      // days with zero clicks AND zero purchases never reach the
+      // daily pivot — the op's lag/lead run over PRESENT rows, so
+      // the brute drops them too before indexing.
+      val dense = xys.filter(p => p._1 + p._2 > 0)
+      val xs = dense.map(_._1.toLong); val ys = dense.map(_._2.toLong)
+      def ccf(l: Int): (Long, Option[Double]) = {
+        val pairs = xs.indices
+          .filter(t => t + l >= 0 && t + l < ys.length)
+          .map(t => (xs(t), ys(t + l)))
+        val nk = pairs.length.toLong
+        if (nk == 0) (0L, None)
+        else {
+          val sa = pairs.map(_._1).sum; val sb = pairs.map(_._2).sum
+          val saa = pairs.map(p => p._1 * p._1).sum
+          val sbb = pairs.map(p => p._2 * p._2).sum
+          val sab = pairs.map(p => p._1 * p._2).sum
+          val den = math.sqrt((nk * saa - sa * sa).toDouble *
+            (nk * sbb - sb * sb).toDouble)
+          (nk, if (den == 0) None
+            else Some(floor6((nk * sab - sa * sb).toDouble / den)))
+        }
+      }
+      val expected = (-3 to 3).map { l =>
+        val (nk, r) = ccf(l); (l.toLong, nk, r) }
+      // x clicks + y purchases per generated day (the (0,0) days
+      // produce no rows, matching the dense filter above)
+      val ev = xys.zipWithIndex.flatMap { case ((x, y), d) =>
+        val ds = java.time.LocalDate.of(2024, 1, 1).plusDays(d).toString
+        Seq.fill(x)(("click", ds)) ++ Seq.fill(y)(("purchase", ds))
+      }.toDF("event_type", "ts")
+      val got = graft.ops.Composite56.crossCorrOn(ev).collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      got == expected
+    }
+
   property("spearmanOn == brute rank-Pearson fold") =
     forAll(Gen.chooseNum(3, 15).flatMap(nc => Gen.listOfN(nc,
       Gen.chooseNum(1, 3).flatMap(k =>
