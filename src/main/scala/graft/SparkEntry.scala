@@ -92,7 +92,8 @@ object SparkEntry {
       (Composite53.queries, Composite53.oracle),
       (Composite54.queries, Composite54.oracle),
       (Composite55.queries, Composite55.oracle),
-      (Composite56.queries, Composite56.oracle)
+      (Composite56.queries, Composite56.oracle),
+      (Composite57.queries, Composite57.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -60,9 +60,12 @@ object Composite52 {
       |   - CAST(tt AS DOUBLE)/12), 0))""".stripMargin
   private val wxZF = s"floor(($wxZ)*1e6 + 0.5)/1e6"
 
-  private[graft] def wilcoxonOn(orders: DataFrame): DataFrame = {
+  /** Per-customer nonzero spend differences across the paired years
+    * — shared by the signed-rank test here and Composite57's sign
+    * test (identical pairing, so the two verdicts are comparable). */
+  private[graft] def pairedDiffs(orders: DataFrame): DataFrame = {
     val yr = year(col("o_orderdate").cast("date"))
-    val pairs = orders
+    orders
       .filter(yr.isin(WxY1, WxY2))
       .select(col("o_custkey").as("c"), yr.as("y"),
         (money(col("o_totalprice")) * 100).cast("bigint").as("v"))
@@ -74,6 +77,29 @@ object Composite52 {
       .filter(col("c1") > 0 && col("c2") > 0)
       .select((col("s2") - col("s1")).as("d"))
       .filter(col("d") =!= 0L)
+  }
+
+  /** The shared paired-diffs CTE prefix (oracle twin of
+    * [[pairedDiffs]]) — ends with a `d(d)` relation. */
+  private[graft] val pairedDiffsSql =
+    s"""WITH o AS (
+       |  SELECT o_custkey AS c, year(CAST(o_orderdate AS DATE)) AS y,
+       |    CAST(CAST(o_totalprice AS DECIMAL(15,2))*100 AS BIGINT) AS v
+       |  FROM orders
+       |  WHERE year(CAST(o_orderdate AS DATE)) IN ($WxY1, $WxY2)),
+       |p AS (
+       |  SELECT c,
+       |    CAST(sum(CASE WHEN y = $WxY1 THEN v ELSE 0 END) AS BIGINT) AS s1,
+       |    CAST(sum(CASE WHEN y = $WxY1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+       |    CAST(sum(CASE WHEN y = $WxY2 THEN v ELSE 0 END) AS BIGINT) AS s2,
+       |    CAST(sum(CASE WHEN y = $WxY2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+       |  FROM o GROUP BY 1),
+       |d AS (
+       |  SELECT s2 - s1 AS d FROM p
+       |  WHERE c1 > 0 AND c2 > 0 AND s2 - s1 <> 0)""".stripMargin
+
+  private[graft] def wilcoxonOn(orders: DataFrame): DataFrame = {
+    val pairs = pairedDiffs(orders)
     val vc = pairs.groupBy(abs(col("d")).as("a"))
       .agg(count(lit(1)).as("cnt"),
         sum(when(col("d") > 0, 1L).otherwise(0L)).as("pcnt"))
@@ -97,21 +123,7 @@ object Composite52 {
     wilcoxonOn(load(s, dir, "orders"))
 
   private val wilcoxonOracle =
-    s"""WITH o AS (
-       |  SELECT o_custkey AS c, year(CAST(o_orderdate AS DATE)) AS y,
-       |    CAST(CAST(o_totalprice AS DECIMAL(15,2))*100 AS BIGINT) AS v
-       |  FROM orders
-       |  WHERE year(CAST(o_orderdate AS DATE)) IN ($WxY1, $WxY2)),
-       |p AS (
-       |  SELECT c,
-       |    CAST(sum(CASE WHEN y = $WxY1 THEN v ELSE 0 END) AS BIGINT) AS s1,
-       |    CAST(sum(CASE WHEN y = $WxY1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
-       |    CAST(sum(CASE WHEN y = $WxY2 THEN v ELSE 0 END) AS BIGINT) AS s2,
-       |    CAST(sum(CASE WHEN y = $WxY2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
-       |  FROM o GROUP BY 1),
-       |d AS (
-       |  SELECT s2 - s1 AS d FROM p
-       |  WHERE c1 > 0 AND c2 > 0 AND s2 - s1 <> 0),
+    s"""$pairedDiffsSql,
        |vc AS (
        |  SELECT abs(d) AS a, CAST(count(*) AS BIGINT) AS cnt,
        |    CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pcnt

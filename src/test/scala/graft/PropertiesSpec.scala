@@ -527,6 +527,70 @@ object PropertiesSpec extends Properties("graft-laws") {
       got == expected
     }
 
+  property("signTestOn == brute sign count") =
+    forAll(Gen.chooseNum(2, 20).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.chooseNum(100L, 120L), Gen.chooseNum(100L, 120L))))) { ps =>
+      import spark.implicits._
+      val ds = ps.map { case (a, b) => b - a }.filter(_ != 0L)
+      val expected: (Option[Long], Option[Long], Option[Double],
+          Option[Boolean]) =
+        // empty: count() = 0 (not null), the sums null, z nulls via
+        // nullif(sqrt(0), 0)
+        if (ds.isEmpty) (Some(0L), None, None, None)
+        else {
+          val n = ds.length.toLong; val k = ds.count(_ > 0).toLong
+          val z = (2 * k.toDouble - n) / math.sqrt(n.toDouble)
+          (Some(n), Some(k), Some(floor6(z)),
+            Some(math.abs(floor6(z)) > 1.959964))
+        }
+      val orders = ps.zipWithIndex.flatMap { case ((a, b), i) => Seq(
+          (i.toLong, "1996-03-05", a / 100.0),
+          (i.toLong, "1997-03-05", b / 100.0)) }
+        .toDF("o_custkey", "o_orderdate", "o_totalprice")
+      val r = graft.ops.Composite57.signTestOn(orders).collect().head
+      val got = (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getBoolean(3)))
+      got == expected
+    }
+
+  property("moodMedianOn == brute 2xk median split") =
+    forAll(Gen.chooseNum(5, 40).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.chooseNum(0, 4), Gen.chooseNum(100L, 140L))))) { rows =>
+      import spark.implicits._
+      val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+        "4-NOT SPECIFIED", "5-LOW")
+      val cs = rows.map(_._2).sorted
+      val n = cs.length
+      val med = cs((n + 1) / 2 - 1) // lower median
+      val a = (0 until 5).map(i =>
+        rows.count(r => r._1 == i && r._2 > med).toLong)
+      val b = (0 until 5).map(i =>
+        rows.count(r => r._1 == i && r._2 <= med).toLong)
+      val ca = a.sum.toDouble; val cb = b.sum.toDouble
+      // nullif(E, 0) in the shared formula: ANY zero expected count
+      // (absent priority, or an empty above/below row) nulls the χ²
+      // in BOTH engines — the brute must propagate the same None.
+      val terms = (0 until 5).flatMap { i =>
+        val ni = (a(i) + b(i)).toDouble
+        Seq((a(i), ca), (b(i), cb)).map { case (o, c) =>
+          val e = c * ni / n
+          if (e == 0) None else Some(math.pow(o - e, 2) / e)
+        }
+      }
+      val chi = if (terms.exists(_.isEmpty)) None
+        else Some(floor6(terms.flatten.sum))
+      val expected = (med, n.toLong, chi, chi.map(_ > 9.487729))
+      val orders = rows.map { case (g, c) => (prios(g), c / 100.0) }
+        .toDF("o_orderpriority", "o_totalprice")
+      val r = graft.ops.Composite57.moodMedianOn(orders).collect().head
+      val got = (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getBoolean(3)))
+      got == expected
+    }
+
   property("keltnerOn == brute candle fold") =
     forAll(candleDays) { days =>
       import spark.implicits._
