@@ -93,7 +93,8 @@ object SparkEntry {
       (Composite54.queries, Composite54.oracle),
       (Composite55.queries, Composite55.oracle),
       (Composite56.queries, Composite56.oracle),
-      (Composite57.queries, Composite57.oracle)
+      (Composite57.queries, Composite57.oracle),
+      (Composite58.queries, Composite58.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

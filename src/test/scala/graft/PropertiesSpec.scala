@@ -527,6 +527,65 @@ object PropertiesSpec extends Properties("graft-laws") {
       got == expected
     }
 
+  property("cohensDOn == brute pooled-sd effect size") =
+    forAll(Gen.zip(
+      Gen.listOfN(4, Gen.chooseNum(100L, 160L)),
+      Gen.listOfN(4, Gen.chooseNum(100L, 160L)))) { case (as, bs) =>
+      import spark.implicits._
+      def m(vs: Seq[Long]) = vs.sum.toDouble / vs.length
+      def v(vs: Seq[Long]) = {
+        val n = vs.length.toLong
+        (n.toDouble * vs.map(x => x * x).sum - vs.sum.toDouble * vs.sum) /
+          (n.toDouble * (n - 1))
+      }
+      val n0 = as.length.toLong; val n1 = bs.length.toLong
+      val sp = math.sqrt(((n0 - 1) * v(as) + (n1 - 1) * v(bs)) /
+        (n0.toDouble + n1 - 2))
+      val d = (m(as) - m(bs)) / sp
+      val g = d * (1 - 3 / (4 * (n0.toDouble + n1) - 9))
+      val mag = if (math.abs(floor6(d)) < 0.2) "negligible"
+        else if (math.abs(floor6(d)) < 0.5) "small"
+        else if (math.abs(floor6(d)) < 0.8) "medium" else "large"
+      val expected = (n0, n1, floor6(d), floor6(g), mag)
+      val orders = (as.map(("1-URGENT", _)) ++ bs.map(("5-LOW", _)))
+        .map { case (p, c) => (p, c / 100.0) }
+        .toDF("o_orderpriority", "o_totalprice")
+      val r = graft.ops.Composite58.cohensDOn(orders).collect().head
+      val got = (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getString(4))
+      got == expected
+    }
+
+  property("bartlettOn == brute log-variance fold") =
+    forAll(Gen.listOfN(5, Gen.listOfN(4, Gen.chooseNum(100L, 160L)))) { gs =>
+      import spark.implicits._
+      def v(vs: Seq[Long]) = {
+        val n = vs.length.toLong
+        (n.toDouble * vs.map(x => x * x).sum - vs.sum.toDouble * vs.sum) /
+          (n.toDouble * (n - 1))
+      }
+      val k = 5; val nn = gs.map(_.length.toLong).sum
+      val sp = gs.map(g => (g.length - 1) * v(g)).sum / (nn.toDouble - k)
+      val chi0 = (nn.toDouble - k) * math.log(sp) -
+        gs.map(g => (g.length - 1) * math.log(v(g))).sum
+      val c = 1 + (gs.map(g => 1.0 / (g.length - 1)).sum -
+        1.0 / (nn.toDouble - k)) / (3 * (k - 1))
+      val chi = chi0 / c
+      // any constant group: v = 0, ln(0) = -Inf → floor(-Inf) stays
+      // -Inf in both engines; skip those cases via the generator's
+      // value spread (4 draws from 61 values collide rarely; when
+      // they do, both sides produce the same -Inf and still match)
+      val expected = (nn, k.toLong, floor6(chi), floor6(chi) > 9.487729)
+      val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+        "4-NOT SPECIFIED", "5-LOW")
+      val orders = gs.zipWithIndex.flatMap { case (g, i) =>
+        g.map(c => (prios(i), c / 100.0)) }
+        .toDF("o_orderpriority", "o_totalprice")
+      val r = graft.ops.Composite58.bartlettOn(orders).collect().head
+      val got = (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))
+      got == expected
+    }
+
   property("signTestOn == brute sign count") =
     forAll(Gen.chooseNum(2, 20).flatMap(n => Gen.listOfN(n,
       Gen.zip(Gen.chooseNum(100L, 120L), Gen.chooseNum(100L, 120L))))) { ps =>
