@@ -94,7 +94,8 @@ object SparkEntry {
       (Composite55.queries, Composite55.oracle),
       (Composite56.queries, Composite56.oracle),
       (Composite57.queries, Composite57.oracle),
-      (Composite58.queries, Composite58.oracle)
+      (Composite58.queries, Composite58.oracle),
+      (Composite59.queries, Composite59.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

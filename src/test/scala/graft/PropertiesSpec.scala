@@ -527,6 +527,113 @@ object PropertiesSpec extends Properties("graft-laws") {
       got == expected
     }
 
+  property("grangerOn == brute restricted-vs-unrestricted OLS F") =
+    forAll(Gen.chooseNum(6, 25).flatMap(d => Gen.listOfN(d,
+      Gen.zip(Gen.chooseNum(1, 6), Gen.chooseNum(1, 6))))) { xys =>
+      import spark.implicits._
+      val xs = xys.map(_._1.toLong); val ys = xys.map(_._2.toLong)
+      // (w = target, u = own lag, v = cross lag) observations t>=1
+      def leg(w: Seq[Long], o: Seq[Long], c: Seq[Long]) = {
+        val obs = (1 until w.length).map(t => (w(t), o(t - 1), c(t - 1)))
+        val m = obs.length.toLong
+        val su = obs.map(_._2).sum.toDouble
+        val sv = obs.map(_._3).sum.toDouble
+        val sw = obs.map(_._1).sum.toDouble
+        val suu = obs.map(p => p._2 * p._2).sum.toDouble
+        val svv = obs.map(p => p._3 * p._3).sum.toDouble
+        val sww = obs.map(p => p._1 * p._1).sum.toDouble
+        val suv = obs.map(p => p._2 * p._3).sum.toDouble
+        val suw = obs.map(p => p._2 * p._1).sum.toDouble
+        val svw = obs.map(p => p._3 * p._1).sum.toDouble
+        val cuu = suu - su * su / m; val cvv = svv - sv * sv / m
+        val cww = sww - sw * sw / m; val cuv = suv - su * sv / m
+        val cuw = suw - su * sw / m; val cvw = svw - sv * sw / m
+        val det = cuu * cvv - cuv * cuv
+        if (det == 0 || cuu == 0) (m, None, None)
+        else {
+          val bu = (cvv * cuw - cuv * cvw) / det
+          val bv = (cuu * cvw - cuv * cuw) / det
+          val sseU = cww - bu * cuw - bv * cvw
+          val sseR = cww - cuw * cuw / cuu
+          if (sseU == 0) (m, None, None)
+          else {
+            val f = floor6((sseR - sseU) * (m - 3) / sseU)
+            (m, Some(f), Some(f > 3.841459))
+          }
+        }
+      }
+      val expected = Seq(
+        ("click->purchase", leg(ys, ys, xs)),
+        ("purchase->click", leg(xs, xs, ys)))
+        .map { case (d, (m, f, rej)) => (d, m, f, rej) }
+      // x clicks + y purchases per day, all >= 1 so the calendar is
+      // dense and row-order lags equal calendar lags
+      val ev = xys.zipWithIndex.flatMap { case ((x, y), d) =>
+        val ds = java.time.LocalDate.of(2024, 1, 1).plusDays(d).toString
+        Seq.fill(x)(("click", ds)) ++ Seq.fill(y)(("purchase", ds))
+      }.toDF("event_type", "ts")
+      val got = graft.ops.Composite59.grangerOn(ev).collect().toSeq
+        .map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          if (r.isNullAt(3)) None else Some(r.getBoolean(3))))
+      got == expected
+    }
+
+  property("pacfOn == brute Durbin-Levinson recursion") =
+    forAll(Gen.chooseNum(10, 30).flatMap(d =>
+      Gen.listOfN(d, Gen.chooseNum(1, 5)))) { ys =>
+      import spark.implicits._
+      val y = ys.toIndexedSeq.map(_.toLong)
+      def rho(k: Int): Option[Double] = {
+        val pairs = (k until y.length).map(t => (y(t), y(t - k)))
+        val nk = pairs.length.toLong
+        if (nk == 0) None
+        else {
+          val sa = pairs.map(_._1).sum; val sb = pairs.map(_._2).sum
+          val saa = pairs.map(p => p._1 * p._1).sum
+          val sbb = pairs.map(p => p._2 * p._2).sum
+          val sab = pairs.map(p => p._1 * p._2).sum
+          val den = math.sqrt((nk * saa - sa * sa).toDouble *
+            (nk * sbb - sb * sb).toDouble)
+          if (den == 0) None
+          else Some((nk * sab - sa * sb).toDouble / den)
+        }
+      }
+      val rs = (1 to 7).map(rho)
+      val expected: Seq[(String, Long, Long, Option[Double])] =
+        if (rs.exists(_.isEmpty))
+          // short series: a null rho poisons every later stage in
+          // both engines — brute mirrors by emitting all-None
+          (1 to 7).map(k => ("T", y.length.toLong, k.toLong, None))
+        else {
+          val r = rs.map(_.get)
+          var phi = Map.empty[Int, Double] // previous row φ_{k-1,j}
+          val out = (1 to 7).map { k =>
+            val pkk =
+              if (k == 1) r(0)
+              else {
+                val num = r(k - 1) -
+                  (1 until k).map(j => phi(j) * r(k - j - 1)).sum
+                val den = 1 -
+                  (1 until k).map(j => phi(j) * r(j - 1)).sum
+                num / den
+              }
+            val next = (1 until k).map(j =>
+              j -> (phi(j) - pkk * phi(k - j))).toMap + (k -> pkk)
+            phi = next
+            ("T", y.length.toLong, k.toLong, Some(floor6(pkk)))
+          }
+          out
+        }
+      val ev = y.zipWithIndex.flatMap { case (c, d) =>
+        Seq.fill(c.toInt)(("T", java.time.LocalDate.of(2024, 1, 1)
+          .plusDays(d).toString)) }.toDF("event_type", "ts")
+      val got = graft.ops.Composite59.pacfOn(ev).collect().toSeq
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      got == expected
+    }
+
   property("cohensDOn == brute pooled-sd effect size") =
     forAll(Gen.zip(
       Gen.listOfN(4, Gen.chooseNum(100L, 160L)),
