@@ -527,6 +527,40 @@ object PropertiesSpec extends Properties("graft-laws") {
       got == expected
     }
 
+  property("tukeyOn == brute studentized-range pairs") =
+    forAll(Gen.listOfN(5, Gen.chooseNum(2, 5).flatMap(k =>
+      Gen.listOfN(k, Gen.chooseNum(100L, 160L))))) { gs =>
+      import spark.implicits._
+      val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+        "4-NOT SPECIFIED", "5-LOW")
+      val k = 5
+      val nTot = gs.map(_.length).sum
+      val sse = gs.map { g =>
+        val n = g.length.toDouble
+        g.map(x => (x * x).toDouble).sum - g.sum.toDouble * g.sum / n
+      }.sum
+      val mse = sse / (nTot - k)
+      val expected = (for {
+        i <- 0 until k; j <- (i + 1) until k
+      } yield {
+        val mi = gs(i).sum.toDouble / gs(i).length
+        val mj = gs(j).sum.toDouble / gs(j).length
+        val se = math.sqrt((mse / 2) *
+          (1.0 / gs(i).length + 1.0 / gs(j).length))
+        val q = if (se == 0) None else Some(floor6(math.abs(mi - mj) / se))
+        (prios(i), prios(j), floor6((mi - mj) / 100),
+          q, q.map(_ > 3.858))
+      }).sortBy(t => (t._1, t._2))
+      val orders = gs.zipWithIndex.flatMap { case (g, i) =>
+        g.map(c => (prios(i), c / 100.0)) }
+        .toDF("o_orderpriority", "o_totalprice")
+      val got = graft.ops.Composite60.tukeyOn(orders).collect().toSeq
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          if (r.isNullAt(4)) None else Some(r.getBoolean(4))))
+      got == expected
+    }
+
   property("grangerOn == brute restricted-vs-unrestricted OLS F") =
     forAll(Gen.chooseNum(6, 25).flatMap(d => Gen.listOfN(d,
       Gen.zip(Gen.chooseNum(1, 6), Gen.chooseNum(1, 6))))) { xys =>
