@@ -96,7 +96,8 @@ object SparkEntry {
       (Composite57.queries, Composite57.oracle),
       (Composite58.queries, Composite58.oracle),
       (Composite59.queries, Composite59.oracle),
-      (Composite60.queries, Composite60.oracle)
+      (Composite60.queries, Composite60.oracle),
+      (Composite61.queries, Composite61.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -527,6 +527,77 @@ object PropertiesSpec extends Properties("graft-laws") {
       got == expected
     }
 
+  property("segmentedTrendOn == brute two-segment OLS") =
+    forAll(Gen.chooseNum(6, 25).flatMap(d =>
+      Gen.listOfN(d, Gen.chooseNum(1, 6)))) { ys =>
+      import spark.implicits._
+      val y = ys.toIndexedSeq.map(_.toLong)
+      val nd = y.length
+      val t0 = (nd + 1) / 2
+      def fit(seg: Seq[(Long, Long)]): (Option[Double], Option[Double]) = {
+        val m = seg.length.toLong
+        val st = seg.map(_._1).sum; val sy = seg.map(_._2).sum
+        val stt = seg.map(p => p._1 * p._1).sum.toDouble
+        val sty = seg.map(p => p._1 * p._2).sum.toDouble
+        val den = m.toDouble * stt - st.toDouble * st
+        if (den == 0 || m == 0) (None, None)
+        else {
+          val b = (m.toDouble * sty - st.toDouble * sy) / den
+          (Some(b), Some((sy - b * st) / m.toDouble))
+        }
+      }
+      val rows = y.zipWithIndex.map { case (v, i) => ((i + 1).toLong, v) }
+      val (b1, a1) = fit(rows.take(t0))
+      val (b2, a2) = fit(rows.drop(t0))
+      val x = (t0 + 1).toDouble
+      val jump = for (p1 <- a1; q1 <- b1; p2 <- a2; q2 <- b2)
+        yield floor6((p2 + q2 * x) - (p1 + q1 * x))
+      val expected = ("T", nd.toLong, t0.toLong, b1.map(floor6),
+        b2.map(floor6),
+        for (q1 <- b1; q2 <- b2) yield floor6(q2 - q1), jump)
+      val ev = y.zipWithIndex.flatMap { case (c, d) =>
+        Seq.fill(c.toInt)(("T", java.time.LocalDate.of(2024, 1, 1)
+          .plusDays(d).toString)) }.toDF("event_type", "ts")
+      val r = graft.ops.Composite61.segmentedTrendOn(ev).collect().head
+      def od(i: Int) = if (r.isNullAt(i)) None else Some(r.getDouble(i))
+      val got = (r.getString(0), r.getLong(1), r.getLong(2),
+        od(3), od(4), od(5), od(6))
+      got == expected
+    }
+
+  property("oddsRatioOn == brute 2x2 Woolf interval") =
+    forAll(Gen.chooseNum(8, 40).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.oneOf(true, false), Gen.chooseNum(100L, 400L))))) { rows =>
+      import spark.implicits._
+      // threshold $250k = 25000000 cents; generated cents c*100000
+      // straddle it (values 100..400 -> $100k..$400k)
+      val cells = rows.map { case (u, c) => (u, c * 100000L > 25000000L) }
+      val a = cells.count(p => p._1 && p._2).toLong
+      val b = cells.count(p => p._1 && !p._2).toLong
+      val c = cells.count(p => !p._1 && p._2).toLong
+      val d = cells.count(p => !p._1 && !p._2).toLong
+      val res: (Option[Double], Option[Double], Option[Double]) =
+        if (b * c == 0 || a == 0 || d == 0) (None, None, None)
+        else {
+          val lnOr = math.log(a.toDouble * d / (b.toDouble * c))
+          val se = math.sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)
+          (Some(floor6(math.exp(lnOr))),
+            Some(floor6(math.exp(lnOr - 1.959964 * se))),
+            Some(floor6(math.exp(lnOr + 1.959964 * se))))
+        }
+      val expected = (a, b, c, d, res._1, res._2, res._3,
+        for (lo <- res._2; hi <- res._3) yield lo > 1.0 || hi < 1.0)
+      val orders = rows.map { case (u, cents) =>
+        (if (u) "1-URGENT" else "5-LOW", cents * 1000.0) }
+        .toDF("o_orderpriority", "o_totalprice")
+      val r = graft.ops.Composite61.oddsRatioOn(orders).collect().head
+      def od(i: Int) = if (r.isNullAt(i)) None else Some(r.getDouble(i))
+      val got = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        od(4), od(5), od(6),
+        if (r.isNullAt(7)) None else Some(r.getBoolean(7)))
+      got == expected
+    }
+
   property("tukeyOn == brute studentized-range pairs") =
     forAll(Gen.listOfN(5, Gen.chooseNum(2, 5).flatMap(k =>
       Gen.listOfN(k, Gen.chooseNum(100L, 160L))))) { gs =>
