@@ -97,7 +97,8 @@ object SparkEntry {
       (Composite58.queries, Composite58.oracle),
       (Composite59.queries, Composite59.oracle),
       (Composite60.queries, Composite60.oracle),
-      (Composite61.queries, Composite61.oracle)
+      (Composite61.queries, Composite61.oracle),
+      (Composite62.queries, Composite62.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

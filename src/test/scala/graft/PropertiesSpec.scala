@@ -527,6 +527,30 @@ object PropertiesSpec extends Properties("graft-laws") {
       got == expected
     }
 
+  property("mcnemarOn == brute discordant-pair count") =
+    forAll(Gen.chooseNum(2, 25).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.chooseNum(300L, 700L), Gen.chooseNum(300L, 700L))))) { ps =>
+      import spark.implicits._
+      // year spend = v * 1000 dollars -> flag is v*100000 cents
+      // > 50000000 <=> v > 500
+      val flags = ps.map { case (a, b) => (a > 500, b > 500) }
+      val n = flags.length.toLong
+      val b = flags.count(p => p._1 && !p._2).toLong
+      val c = flags.count(p => !p._1 && p._2).toLong
+      val chi = if (b + c == 0) None
+        else Some(floor6((b.toDouble - c) * (b.toDouble - c) / (b + c)))
+      val expected = (n, b, c, chi, chi.map(_ > 3.841459))
+      val orders = ps.zipWithIndex.flatMap { case ((a, bb), i) => Seq(
+          (i.toLong, "1996-03-05", a * 1000.0),
+          (i.toLong, "1997-03-05", bb * 1000.0)) }
+        .toDF("o_custkey", "o_orderdate", "o_totalprice")
+      val r = graft.ops.Composite62.mcnemarOn(orders).collect().head
+      val got = (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getBoolean(4)))
+      got == expected
+    }
+
   property("segmentedTrendOn == brute two-segment OLS") =
     forAll(Gen.chooseNum(6, 25).flatMap(d =>
       Gen.listOfN(d, Gen.chooseNum(1, 6)))) { ys =>
