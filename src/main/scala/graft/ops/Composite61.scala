@@ -142,9 +142,12 @@ object Composite61 {
   // -inf) — the guard makes both NULL identically.
   private val orLn =
     """ln(nullif((CAST(a AS DOUBLE)*d) / nullif(CAST(b AS DOUBLE)*c, 0), 0))"""
+  // every reciprocal nullif-guarded: an empty cell must yield NULL,
+  // not a divide-by-zero (Spark ANSI throws; DuckDB returns inf)
   private val orSe =
-    """sqrt(1/CAST(a AS DOUBLE) + 1/CAST(b AS DOUBLE)
-      | + 1/CAST(c AS DOUBLE) + 1/CAST(d AS DOUBLE))""".stripMargin
+    """sqrt(1/nullif(CAST(a AS DOUBLE), 0) + 1/nullif(CAST(b AS DOUBLE), 0)
+      | + 1/nullif(CAST(c AS DOUBLE), 0)
+      | + 1/nullif(CAST(d AS DOUBLE), 0))""".stripMargin
   private val orF =
     s"floor((exp($orLn))*1e6 + 0.5)/1e6"
   private val orLoF = s"floor((exp($orLn - 1.959964*$orSe))*1e6 + 0.5)/1e6"
