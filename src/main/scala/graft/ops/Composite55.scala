@@ -148,16 +148,22 @@ object Composite55 {
       .localCheckpoint()
     // cell×cell: ≤ (|quantities|·|discounts|)² comparisons — value-
     // domain-bounded, so the forced broadcast is safe at any SF.
+    // coalesce-to-0: with no cross-q pairs at all (degenerate single-
+    // quantity input) the join is empty and a bare sum would NULL
+    // cc/dd — but zero concordant/discordant pairs IS the honest
+    // value (z = 0), so both engines coalesce (scalacheck-found).
     val pairs = cells.as("a")
       .join(broadcast(cells.as("b")), col("a.q") < col("b.q"))
       .groupBy()
       .agg(
-        sum(when(col("a.d") < col("b.d"),
+        coalesce(sum(when(col("a.d") < col("b.d"),
           expr("CAST(a.cnt AS DECIMAL(19,0)) * CAST(b.cnt AS DECIMAL(19,0))"))
-          .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).cast("double").as("cc"),
-        sum(when(col("a.d") > col("b.d"),
+          .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).cast("double"),
+          lit(0.0)).as("cc"),
+        coalesce(sum(when(col("a.d") > col("b.d"),
           expr("CAST(a.cnt AS DECIMAL(19,0)) * CAST(b.cnt AS DECIMAL(19,0))"))
-          .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).cast("double").as("dd"))
+          .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).cast("double"),
+          lit(0.0)).as("dd"))
     // tie sums over the two marginals (t1 = x, t2 = y)
     val tq = cells.groupBy(col("q")).agg(sum(col("cnt")).as("tq"))
       .agg(sum(expr("CAST(tq AS DECIMAL(19,0)) * (tq - 1)"))
@@ -185,12 +191,14 @@ object Composite55 {
        |  FROM lineitem GROUP BY 1, 2),
        |p AS (
        |  SELECT
-       |    CAST(CAST(sum(CASE WHEN a.d < b.d THEN
+       |    coalesce(CAST(CAST(sum(CASE WHEN a.d < b.d THEN
        |      CAST(a.cnt AS DECIMAL(19,0)) * CAST(b.cnt AS DECIMAL(19,0))
-       |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS VARCHAR) AS DOUBLE) AS cc,
-       |    CAST(CAST(sum(CASE WHEN a.d > b.d THEN
+       |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS VARCHAR) AS DOUBLE), 0)
+       |      AS cc,
+       |    coalesce(CAST(CAST(sum(CASE WHEN a.d > b.d THEN
        |      CAST(a.cnt AS DECIMAL(19,0)) * CAST(b.cnt AS DECIMAL(19,0))
-       |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS VARCHAR) AS DOUBLE) AS dd
+       |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS VARCHAR) AS DOUBLE), 0)
+       |      AS dd
        |  FROM cells a JOIN cells b ON a.q < b.q),
        |tqx AS (
        |  SELECT CAST(CAST(sum(CAST(tq AS DECIMAL(19,0)) * (tq - 1))

@@ -729,30 +729,38 @@ object PropertiesSpec extends Properties("graft-laws") {
         }
       }
       val rs = (1 to 7).map(rho)
+      // Stage-faithful null propagation (scalacheck-found): stage k
+      // reads ρ_1..ρ_k, so φ_kk survives exactly while the leading ρ
+      // prefix is defined; the FIRST null ρ (or a zero DL
+      // denominator) nulls that stage and, through the null φ row,
+      // every later one — earlier stages stay live.
+      val m = rs.takeWhile(_.isDefined).length
+      val r = rs.map(_.getOrElse(Double.NaN))
+      var phi = Map.empty[Int, Double] // previous row φ_{k-1,j}
+      var dead = false
       val expected: Seq[(String, Long, Long, Option[Double])] =
-        if (rs.exists(_.isEmpty))
-          // short series: a null rho poisons every later stage in
-          // both engines — brute mirrors by emitting all-None
-          (1 to 7).map(k => ("T", y.length.toLong, k.toLong, None))
-        else {
-          val r = rs.map(_.get)
-          var phi = Map.empty[Int, Double] // previous row φ_{k-1,j}
-          val out = (1 to 7).map { k =>
-            val pkk =
-              if (k == 1) r(0)
+        (1 to 7).map { k =>
+          if (k > m || dead) ("T", y.length.toLong, k.toLong, None)
+          else {
+            val pkkOpt =
+              if (k == 1) Some(r(0))
               else {
                 val num = r(k - 1) -
                   (1 until k).map(j => phi(j) * r(k - j - 1)).sum
                 val den = 1 -
                   (1 until k).map(j => phi(j) * r(j - 1)).sum
-                num / den
+                if (den == 0) None else Some(num / den)
               }
-            val next = (1 until k).map(j =>
-              j -> (phi(j) - pkk * phi(k - j))).toMap + (k -> pkk)
-            phi = next
-            ("T", y.length.toLong, k.toLong, Some(floor6(pkk)))
+            pkkOpt match {
+              case None =>
+                dead = true
+                ("T", y.length.toLong, k.toLong, None)
+              case Some(pkk) =>
+                phi = (1 until k).map(j =>
+                  j -> (phi(j) - pkk * phi(k - j))).toMap + (k -> pkk)
+                ("T", y.length.toLong, k.toLong, Some(floor6(pkk)))
+            }
           }
-          out
         }
       val ev = y.zipWithIndex.flatMap { case (c, d) =>
         Seq.fill(c.toInt)(("T", java.time.LocalDate.of(2024, 1, 1)
