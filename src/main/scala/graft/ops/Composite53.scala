@@ -51,11 +51,17 @@ object Composite53 {
   // ---- evt_adf_unit_root -------------------------------------------------
   // Centered second moments (m = #lag-pairs): cxx = Σx² − (Σx)²/m,
   // cxy = Σx·Δy − Σx·ΣΔy/m, cyy = Σ(Δy)² − (ΣΔy)²/m; γ̂ = cxy/cxx,
-  // SSE = cyy − γ̂·cxy, t = γ̂ / sqrt(SSE/(m−2)/cxx).
+  // SSE = cyy − γ̂·cxy, t = γ̂ / sqrt(SSE/(m−2)/cxx). The variance
+  // ratio is gated > 0 BEFORE the sqrt: a PERFECT fit leaves SSE a
+  // few ulp either side of zero, and sqrt of the tiny-negative side
+  // is NaN — which Spark surfaces as NaN while the brute/oracle
+  // contract wants NULL (scalacheck-found on alternating series).
   private val adfT =
     """((cxy / nullif(cxx, 0))
-      | / nullif(sqrt(((cyy - (cxy / nullif(cxx, 0))*cxy)
-      |   / nullif(m - 2, 0)) / nullif(cxx, 0)), 0))""".stripMargin
+      | / nullif(sqrt(CASE WHEN ((cyy - (cxy / nullif(cxx, 0))*cxy)
+      |   / nullif(m - 2, 0)) / nullif(cxx, 0) > 0
+      |   THEN ((cyy - (cxy / nullif(cxx, 0))*cxy)
+      |   / nullif(m - 2, 0)) / nullif(cxx, 0) END), 0))""".stripMargin
   private val adfTF = s"floor(($adfT)*1e6 + 0.5)/1e6"
 
   private[graft] def adfOn(events: DataFrame): DataFrame = {

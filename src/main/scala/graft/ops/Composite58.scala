@@ -72,7 +72,10 @@ object Composite58 {
       .selectExpr("n0 AS n_urgent", "n1 AS n_low",
         s"$cdDF AS cohens_d",
         s"$cdGF AS hedges_g",
-        s"""CASE WHEN abs($cdDF) < 0.2 THEN 'negligible'
+        // the NULL arm first: without it a null d (zero pooled sd)
+        // falls through every comparison into ELSE 'large'
+        s"""CASE WHEN $cdDF IS NULL THEN CAST(NULL AS STRING)
+           | WHEN abs($cdDF) < 0.2 THEN 'negligible'
            | WHEN abs($cdDF) < 0.5 THEN 'small'
            | WHEN abs($cdDF) < 0.8 THEN 'medium'
            | ELSE 'large' END AS magnitude""".stripMargin)
@@ -103,7 +106,8 @@ object Composite58 {
        |SELECT n0 AS n_urgent, n1 AS n_low,
        |  $cdDF AS cohens_d,
        |  $cdGF AS hedges_g,
-       |  CASE WHEN abs($cdDF) < 0.2 THEN 'negligible'
+       |  CASE WHEN $cdDF IS NULL THEN CAST(NULL AS VARCHAR)
+       |   WHEN abs($cdDF) < 0.2 THEN 'negligible'
        |   WHEN abs($cdDF) < 0.5 THEN 'small'
        |   WHEN abs($cdDF) < 0.8 THEN 'medium'
        |   ELSE 'large' END AS magnitude
@@ -122,10 +126,14 @@ object Composite58 {
     s"""((${(0 until BtK).map(i =>
         s"(CAST(n$i AS DOUBLE) - 1)*(${varF(i)})").mkString(" + ")})
        | / nullif(CAST(($btNk) AS DOUBLE) - $BtK, 0))""".stripMargin
+  // ln(nullif(·, 0)): a zero variance (constant group) must yield
+  // NULL identically — Spark's ln(0) is already NULL but DuckDB's is
+  // -inf, and the law's brute fold needs one contract (scalacheck-
+  // found via chooseNum's endpoint bias producing constant groups).
   private val btChi =
-    s"""(((CAST(($btNk) AS DOUBLE) - $BtK)*ln($btSp)
+    s"""(((CAST(($btNk) AS DOUBLE) - $BtK)*ln(nullif($btSp, 0))
        | - (${(0 until BtK).map(i =>
-          s"(CAST(n$i AS DOUBLE) - 1)*ln(${varF(i)})").mkString(" + ")}))
+          s"(CAST(n$i AS DOUBLE) - 1)*ln(nullif(${varF(i)}, 0))").mkString(" + ")}))
        | / (1 + ((${(0 until BtK).map(i =>
           s"1/nullif(CAST(n$i AS DOUBLE) - 1, 0)").mkString(" + ")})
        |   - 1/nullif(CAST(($btNk) AS DOUBLE) - $BtK, 0))

@@ -785,18 +785,27 @@ object PropertiesSpec extends Properties("graft-laws") {
       val n0 = as.length.toLong; val n1 = bs.length.toLong
       val sp = math.sqrt(((n0 - 1) * v(as) + (n1 - 1) * v(bs)) /
         (n0.toDouble + n1 - 2))
-      val d = (m(as) - m(bs)) / sp
-      val g = d * (1 - 3 / (4 * (n0.toDouble + n1) - 9))
-      val mag = if (math.abs(floor6(d)) < 0.2) "negligible"
-        else if (math.abs(floor6(d)) < 0.5) "small"
-        else if (math.abs(floor6(d)) < 0.8) "medium" else "large"
-      val expected = (n0, n1, floor6(d), floor6(g), mag)
+      // constant BOTH groups (chooseNum's endpoint bias makes this
+      // real): zero pooled sd nulls d/g/magnitude in the op
+      val expected: (Long, Long, Option[Double], Option[Double],
+          Option[String]) =
+        if (sp == 0) (n0, n1, None, None, None)
+        else {
+          val d = (m(as) - m(bs)) / sp
+          val g = d * (1 - 3 / (4 * (n0.toDouble + n1) - 9))
+          val mag = if (math.abs(floor6(d)) < 0.2) "negligible"
+            else if (math.abs(floor6(d)) < 0.5) "small"
+            else if (math.abs(floor6(d)) < 0.8) "medium" else "large"
+          (n0, n1, Some(floor6(d)), Some(floor6(g)), Some(mag))
+        }
       val orders = (as.map(("1-URGENT", _)) ++ bs.map(("5-LOW", _)))
         .map { case (p, c) => (p, c / 100.0) }
         .toDF("o_orderpriority", "o_totalprice")
       val r = graft.ops.Composite58.cohensDOn(orders).collect().head
-      val got = (r.getLong(0), r.getLong(1), r.getDouble(2),
-        r.getDouble(3), r.getString(4))
+      val got = (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getString(4)))
       got == expected
     }
 
@@ -809,24 +818,29 @@ object PropertiesSpec extends Properties("graft-laws") {
           (n.toDouble * (n - 1))
       }
       val k = 5; val nn = gs.map(_.length.toLong).sum
-      val sp = gs.map(g => (g.length - 1) * v(g)).sum / (nn.toDouble - k)
-      val chi0 = (nn.toDouble - k) * math.log(sp) -
-        gs.map(g => (g.length - 1) * math.log(v(g))).sum
-      val c = 1 + (gs.map(g => 1.0 / (g.length - 1)).sum -
-        1.0 / (nn.toDouble - k)) / (3 * (k - 1))
-      val chi = chi0 / c
-      // any constant group: v = 0, ln(0) = -Inf → floor(-Inf) stays
-      // -Inf in both engines; skip those cases via the generator's
-      // value spread (4 draws from 61 values collide rarely; when
-      // they do, both sides produce the same -Inf and still match)
-      val expected = (nn, k.toLong, floor6(chi), floor6(chi) > 9.487729)
+      // a constant group (chooseNum's endpoint bias): zero variance →
+      // ln(nullif(·, 0)) nulls the statistic in the op
+      val expected: (Long, Long, Option[Double], Option[Boolean]) =
+        if (gs.exists(g => g.length < 2 || v(g) == 0) || nn == k)
+          (nn, k.toLong, None, None)
+        else {
+          val sp = gs.map(g => (g.length - 1) * v(g)).sum / (nn.toDouble - k)
+          val chi0 = (nn.toDouble - k) * math.log(sp) -
+            gs.map(g => (g.length - 1) * math.log(v(g))).sum
+          val c = 1 + (gs.map(g => 1.0 / (g.length - 1)).sum -
+            1.0 / (nn.toDouble - k)) / (3 * (k - 1))
+          val chi = chi0 / c
+          (nn, k.toLong, Some(floor6(chi)), Some(floor6(chi) > 9.487729))
+        }
       val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
         "4-NOT SPECIFIED", "5-LOW")
       val orders = gs.zipWithIndex.flatMap { case (g, i) =>
         g.map(c => (prios(i), c / 100.0)) }
         .toDF("o_orderpriority", "o_totalprice")
       val r = graft.ops.Composite58.bartlettOn(orders).collect().head
-      val got = (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))
+      val got = (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getBoolean(3)))
       got == expected
     }
 
@@ -1103,8 +1117,11 @@ object PropertiesSpec extends Properties("graft-laws") {
         if (cxx == 0 || m <= 2) None
         else {
           val b = cxy / cxx
-          val den = math.sqrt(((cyy - b * cxy) / (m - 2)) / cxx)
-          if (den == 0 || den.isNaN) None else Some(floor6(b / den))
+          // the op gates the variance ratio > 0 before sqrt (perfect
+          // fits land a few ulp either side of zero)
+          val ratio = ((cyy - b * cxy) / (m - 2)) / cxx
+          if (!(ratio > 0)) None
+          else Some(floor6(b / math.sqrt(ratio)))
         }
       val expected = ("T", y.length.toLong, t, t.map(_ < -2.86))
       val ev = y.zipWithIndex.flatMap { case (c, d) =>
