@@ -100,6 +100,11 @@ object Bench {
     val f = new java.io.File(path)
     if (!f.exists()) Map.empty
     else {
+      // keyFound distinguishes a legitimately empty "queries":{}
+      // (a pin from a run where every query failed — fine, gate
+      // inert by construction) from a missing/garbled key, which is
+      // the format drift the warning exists for (ADVICE r13 + r14).
+      var keyFound = false
       val parsed = try {
         val src = scala.io.Source.fromFile(f)
         val txt = try src.mkString finally src.close()
@@ -107,6 +112,7 @@ object Bench {
         val start = txt.indexOf(key)
         if (start < 0) Map.empty[String, Double]
         else {
+          keyFound = true
           val body = txt.substring(start + key.length, txt.indexOf('}', start))
           """"([A-Za-z0-9_]+)":(-?[0-9.]+)""".r.findAllMatchIn(body)
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
@@ -115,7 +121,7 @@ object Bench {
       // A present-but-unparsable pin means format drift, not a fresh
       // checkout — without this line the >3x regression gate goes
       // inert with no signal anywhere in the run output (ADVICE r13).
-      if (parsed.isEmpty)
+      if (parsed.isEmpty && !keyFound)
         System.err.println(s"[bench] $path exists but zero priors parsed" +
           " — the >3x prior-record gate is INERT this run (format drift?)")
       parsed

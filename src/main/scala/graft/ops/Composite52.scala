@@ -111,7 +111,12 @@ object Composite52 {
       .agg(sum(col("cnt")).as("n"),
         sum(expr("CAST(pcnt AS DECIMAL(19,0)) * CAST(r2 AS DECIMAL(19,0))"))
           .cast("double").as("w2p"),
-        sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tt"))
+        // Cube in DECIMAL before multiplying: a BIGINT cnt³ wraps
+        // silently in Spark (ANSI off) but raises in DuckDB once a
+        // tie group exceeds ~2.09e6 rows — the 0f2c042 divergence
+        // class. DECIMAL(19,0)·cnt·cnt stays exact through the
+        // capped DECIMAL(38,0); the z formula casts once to DOUBLE.
+        sum(expr("CAST(cnt AS DECIMAL(19,0)) * cnt * cnt - cnt")).as("tt"))
       .selectExpr("n AS n_pairs",
         "w2p/2 AS w_plus",
         "CAST(n AS DOUBLE)*(n + 1)/2 - w2p/2 AS w_minus",
@@ -138,7 +143,8 @@ object Composite52 {
        |  SELECT CAST(sum(cnt) AS BIGINT) AS n,
        |    CAST(CAST(sum(CAST(pcnt AS DECIMAL(19,0))
        |      * CAST(r2 AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE) AS w2p,
-       |    CAST(sum(cnt*cnt*cnt - cnt) AS BIGINT) AS tt
+       |    CAST(CAST(sum(CAST(cnt AS DECIMAL(19,0))*cnt*cnt - cnt)
+       |      AS VARCHAR) AS DOUBLE) AS tt
        |  FROM r)
        |SELECT n AS n_pairs,
        |  w2p/2 AS w_plus,

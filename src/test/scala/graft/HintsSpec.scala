@@ -20,25 +20,31 @@ class HintsSpec extends AnyFunSuite {
     (1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 4L), (4L, 3L),
     (1L, 4L), (4L, 1L), (10L, 11L), (11L, 10L)).toDF("src", "dst")
 
-  private def withRowCap[A](cap: String)(body: => A): A = {
-    val prev = sys.props.get("graft.broadcast.rowCap")
-    sys.props("graft.broadcast.rowCap") = cap
-    try body
-    finally prev match {
-      case Some(v) => sys.props("graft.broadcast.rowCap") = v
-      case None    => sys.props -= "graft.broadcast.rowCap"
+  // Both helpers mutate JVM-global state (sys.props / the shared
+  // session's conf); serialize the whole override window behind
+  // TestSpark.globalConfLock so concurrently running suites never
+  // observe rowCap=0 or autoBroadcast=-1 mid-test (ADVICE r14).
+  private def withRowCap[A](cap: String)(body: => A): A =
+    TestSpark.globalConfLock.synchronized {
+      val prev = sys.props.get("graft.broadcast.rowCap")
+      sys.props("graft.broadcast.rowCap") = cap
+      try body
+      finally prev match {
+        case Some(v) => sys.props("graft.broadcast.rowCap") = v
+        case None    => sys.props -= "graft.broadcast.rowCap"
+      }
     }
-  }
 
   /** Run body with AQE's size-based broadcast promotion off, so an
     * un-hinted join shows its honest shuffle shape (Round7Spec's
     * fallback discipline). */
-  private def withoutAutoBroadcast[A](body: => A): A = {
-    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try body
-    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-  }
+  private def withoutAutoBroadcast[A](body: => A): A =
+    TestSpark.globalConfLock.synchronized {
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try body
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
 
   test("maybeBroadcast: under the cap the hint survives to a broadcast join") {
     val dim = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
