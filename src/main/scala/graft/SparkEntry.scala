@@ -98,7 +98,10 @@ object SparkEntry {
       (Composite59.queries, Composite59.oracle),
       (Composite60.queries, Composite60.oracle),
       (Composite61.queries, Composite61.oracle),
-      (Composite62.queries, Composite62.oracle)
+      (Composite62.queries, Composite62.oracle),
+      (Composite63.queries, Composite63.oracle),
+      (Composite64.queries, Composite64.oracle),
+      (Composite65.queries, Composite65.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1235,4 +1235,153 @@ object PropertiesSpec extends Properties("graft-laws") {
         if (r.isNullAt(3)) None else Some(r.getBoolean(3)))
       got == expected
     }
+
+  property("cramersVOn == brute fixed-order 5x5 table fold") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(
+      Gen.oneOf("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+        "MACHINERY"),
+      Gen.oneOf("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+        "5-LOW")))) { pairs =>
+      import spark.implicits._
+      val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+        "MACHINERY")
+      val pris = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+        "5-LOW")
+      val n = Array.tabulate(5, 5)((i, j) =>
+        pairs.count(p => p._1 == segs(i) && p._2 == pris(j)).toLong)
+      val r = (0 until 5).map(i => n(i).sum)
+      val c = (0 until 5).map(j => (0 until 5).map(n(_)(j)).sum)
+      val g = r.sum
+      // Same left-assoc term order as the shared SQL text: i-major.
+      var chi2 = 0.0
+      for (i <- 0 until 5; j <- 0 until 5)
+        chi2 += (if (r(i) == 0 || c(j) == 0) 0.0
+          else { val z = n(i)(j).toDouble * g - r(i).toDouble * c(j)
+            z * z / (g.toDouble * r(i) * c(j)) })
+      val rr = r.count(_ > 0).toLong
+      val cc = c.count(_ > 0).toLong
+      val gd = g.toDouble
+      val v = if (math.min(rr, cc) <= 1) None
+        else Some(floor6(math.sqrt(chi2 / (gd * (math.min(rr, cc) - 1)))))
+      val vc = {
+        val den = g - 1
+        if (den == 0) None
+        else {
+          val p2 = math.max(0.0, chi2 / g - (rr.toDouble - 1) * (cc - 1) / (gd - 1))
+          val rk = rr - (rr.toDouble - 1) * (rr - 1) / (gd - 1)
+          val ck = cc - (cc.toDouble - 1) * (cc - 1) / (gd - 1)
+          if (math.min(rk, ck) - 1 == 0) None
+          else Some(floor6(math.sqrt(p2 / (math.min(rk, ck) - 1))))
+        }
+      }
+      val row = graft.ops.Composite63.cramersVOn(
+        pairs.toDF("c_mktsegment", "o_orderpriority")).collect().head
+      val got = (row.getLong(0), row.getLong(1), row.getLong(2),
+        row.getDouble(3),
+        if (row.isNullAt(4)) None else Some(row.getDouble(4)),
+        if (row.isNullAt(5)) None else Some(row.getDouble(5)))
+      got == ((g, rr, cc, floor6(chi2), v, vc))
+    }
+
+  property("fisherExactOn == brute hypergeometric tail fold") =
+    forAll(Gen.zip(Gen.chooseNum(0, 10), Gen.chooseNum(0, 10),
+      Gen.chooseNum(0, 10), Gen.chooseNum(0, 10))
+      .suchThat(t => t._1 + t._2 + t._3 + t._4 > 0)) { case (a, b, c, d) =>
+      import spark.implicits._
+      // Same strict-left lfact fold as the engine expression.
+      def lf(x: Long): Double =
+        (2L to x).foldLeft(0.0)((acc, i) => acc + math.log(i.toDouble))
+      val (r1, r2, c1, n) = (a + b.toLong, c + d.toLong, a + c.toLong,
+        (a + b + c + d).toLong)
+      def lp(k: Long): Double =
+        lf(r1) + lf(r2) + lf(c1) + lf(n - c1) - lf(n) -
+          lf(k) - lf(r1 - k) - lf(c1 - k) - lf(r2 - c1 + k)
+      val lpo = lp(a)
+      val p = (math.max(0L, c1 - r2) to math.min(r1, c1))
+        .map(lp).filter(_ <= lpo + 1e-7).map(math.exp).sum
+      val expected = (a.toLong, b.toLong, c.toLong, d.toLong,
+        floor6(math.min(1.0, p)), floor6(math.min(1.0, p)) < 0.05)
+      val flags = Seq.fill(a)((true, true)) ++ Seq.fill(b)((true, false)) ++
+        Seq.fill(c)((false, true)) ++ Seq.fill(d)((false, false))
+      val got = graft.ops.Composite63.fisherExactOn(flags.toDF("grp", "hit"))
+        .as[(Long, Long, Long, Long, Double, Boolean)].collect().head
+      got == expected
+    }
+
+  property("chowOn == brute two-regime SSR fold") =
+    forAll(Gen.chooseNum(6, 30).flatMap(dd =>
+      Gen.listOfN(dd, Gen.chooseNum(1, 6)))) { ys =>
+      import spark.implicits._
+      val y = ys.toIndexedSeq.map(_.toLong)
+      val m = y.length.toLong
+      val t0 = (m + 1) / 2
+      def mom(ts: Seq[Long]) = {
+        val sm = ts.length.toLong
+        val st = ts.map(t => t).sum
+        val sy = ts.map(t => y(t.toInt - 1)).sum
+        val stt = ts.map(t => t * t).sum
+        val sty = ts.map(t => t * y(t.toInt - 1)).sum
+        val syy = ts.map(t => y(t.toInt - 1) * y(t.toInt - 1)).sum
+        (sm, st, sy, stt, sty, syy)
+      }
+      def cent(v: (Long, Long, Long, Long, Long, Long)) = {
+        val (sm, st, sy, stt, sty, syy) = v
+        (stt.toDouble - st.toDouble * st / sm,
+          sty.toDouble - st.toDouble * sy / sm,
+          syy.toDouble - sy.toDouble * sy / sm)
+      }
+      def ssr(c: (Double, Double, Double)): Option[Double] =
+        if (c._1 == 0) None else Some(c._3 - c._2 * c._2 / c._1)
+      val ts = (1L to m)
+      val s1 = ssr(cent(mom(ts.filter(_ <= t0))))
+      val s2 = ssr(cent(mom(ts.filter(_ > t0))))
+      val sp = ssr(cent(mom(ts)))
+      val f = for { a <- s1; b <- s2; p <- sp
+        q = (a + b) / (m.toDouble - 4) if q > 0
+      } yield floor6(((p - a - b) / 2) / ((a + b) / (m.toDouble - 4)))
+      val expected = ("T", m, t0, f, f.map(_ > 2.995732))
+      val ev = y.zipWithIndex.flatMap { case (cnt, dd) =>
+        Seq.fill(cnt.toInt)(("T", java.time.LocalDate.of(2024, 1, 1)
+          .plusDays(dd).toString)) }.toDF("event_type", "ts")
+      val r = graft.ops.Composite64.chowOn(ev).collect().head
+      val got = (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getBoolean(4)))
+      got == expected
+    }
+
+  property("holtWintersOn == brute truncated seasonal fold") =
+    forAll(Gen.chooseNum(15, 32).flatMap(dd =>
+      Gen.listOfN(dd, Gen.chooseNum(1, 6)))) { ys =>
+      import spark.implicits._
+      val y = ys.toIndexedSeq.map(_.toLong)
+      val L = 4
+      // 0-based stage indices mirroring the nested isNotNull filters
+      // (each stage's rows are contiguous once defined).
+      def n1(t: Int): Long = (0 until L).map(j => y(t - j) << (L - 1 - j)).sum
+      def n2(t: Int): Long = (0 until L).map(i => n1(t - i) << (L - 1 - i)).sum
+      def brown(t: Int): Long = 45L * n1(t) - 2L * n2(t)
+      def dev(t: Int): Long = 15L * y(t) - n1(t)
+      def sea(t: Int): Long = 2L * dev(t) + dev(t - 7)
+      // s1 from t=3, s2 from t=6, s3 from t=13; scoring needs
+      // brown(t−1) (t−1 ≥ 13) and sea/y at t−7 (t−7 ≥ 13) → t ≥ 20.
+      val scored = (20 until y.length).map { t =>
+        (225L * y(t) - brown(t - 1) - 5L * sea(t - 7),
+          math.abs(y(t) - y(t - 7))) }
+      val expected =
+        if (scored.isEmpty) Seq.empty
+        else {
+          val n = scored.size.toLong
+          Seq(("T", n,
+            floor6(scored.map(e => math.abs(e._1)).sum.toDouble / 225 / n),
+            floor6(scored.map(_._1).sum.toDouble / 225 / n),
+            floor6(scored.map(_._2).sum.toDouble / n)))
+        }
+      val ev = y.zipWithIndex.flatMap { case (cnt, dd) =>
+        Seq.fill(cnt.toInt)(("T", java.time.LocalDate.of(2024, 1, 1)
+          .plusDays(dd).toString)) }.toDF("event_type", "ts")
+      val got = graft.ops.Composite64.holtWintersOn(ev)
+        .as[(String, Long, Double, Double, Double)].collect().toSeq
+      got == expected
+    }
 }
