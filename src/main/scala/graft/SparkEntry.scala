@@ -101,7 +101,9 @@ object SparkEntry {
       (Composite62.queries, Composite62.oracle),
       (Composite63.queries, Composite63.oracle),
       (Composite64.queries, Composite64.oracle),
-      (Composite65.queries, Composite65.oracle)
+      (Composite65.queries, Composite65.oracle),
+      (Composite66.queries, Composite66.oracle),
+      (LlmOps18.queries, LlmOps18.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1384,4 +1384,106 @@ object PropertiesSpec extends Properties("graft-laws") {
         .as[(String, Long, Double, Double, Double)].collect().toSeq
       got == expected
     }
+
+  property("cochranQOn == brute complete-block fold") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(
+      Gen.chooseNum(1L, 8L),                       // customer
+      Gen.listOfN(3, Gen.oneOf(None, Some(true), Some(false)))))) { cs =>
+      import spark.implicits._
+      // One synthetic (cust, year, price) order per present year;
+      // later duplicates for the same customer override via toMap.
+      val years = Seq(1995, 1996, 1997)
+      val byCust = cs.toMap
+      val rows = byCust.toSeq.flatMap { case (c, flags) =>
+        years.zip(flags).collect { case (y, Some(hi)) =>
+          (c, f"$y-03-07", if (hi) 400000.0 else 50000.0) }
+      }
+      val blocks = byCust.valuesIterator
+        .filter(_.forall(_.isDefined)).map(_.map(f => if (f.get) 1L else 0L))
+        .toSeq
+      val expected: (Long, Option[Long], Option[Long], Option[Long],
+          Option[Double], Option[Boolean]) =
+        if (blocks.isEmpty) (0L, None, None, None, None, None)
+        else {
+          val n = blocks.size.toLong
+          val Seq(c1, c2, c3) =
+            (0 to 2).map(j => blocks.map(_(j)).sum)
+          val rs = blocks.map(_.sum)
+          val t = rs.sum
+          val rr = rs.map(r => r * r).sum
+          val den = 3 * t.toDouble - rr
+          val q = if (den == 0) None
+            else Some(floor6(
+              2 * (3 * (c1.toDouble * c1 + c2.toDouble * c2 + c3.toDouble * c3)
+                - t.toDouble * t) / den))
+          (n, Some(c1), Some(c2), Some(c3), q, q.map(_ > 5.991465))
+        }
+      val df = (rows :+ ((99L, "1992-01-01", 1.0)))  // out-of-window noise
+        .toDF("o_custkey", "o_orderdate", "o_totalprice")
+      val r = graft.ops.Composite66.cochranQOn(df).collect().head
+      def ol(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+      val got = (r.getLong(0), ol(1), ol(2), ol(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+        if (r.isNullAt(5)) None else Some(r.getBoolean(5)))
+      got == expected
+    }
+
+  property("periodogramOn == brute DFT within one 6-dp grid step") =
+    forAll(Gen.chooseNum(4, 25).flatMap(d =>
+      Gen.listOfN(d, Gen.chooseNum(1, 6)))) { ys =>
+      import spark.implicits._
+      val y = ys.toIndexedSeq.map(_.toLong)
+      val nd = y.length.toLong
+      val t = y.sum
+      // Unordered engine sums vs this ordered fold differ by libm +
+      // association ulps — assert within one floor-6 grid step, not
+      // bit equality (the only tolerance law in this file; every
+      // exact-integer op above stays ==).
+      def power(p: Long): Double = {
+        val terms = y.zipWithIndex.map { case (v, i) =>
+          val dev = (nd * v - t).toDouble
+          val ang = 2 * math.Pi * ((i + 1) % p).toDouble / p
+          (dev * math.cos(ang), dev * math.sin(ang))
+        }
+        val sc = terms.map(_._1).sum
+        val ss = terms.map(_._2).sum
+        (sc * sc + ss * ss) / (nd.toDouble * nd * nd)
+      }
+      val ev = y.zipWithIndex.flatMap { case (c, d) =>
+        Seq.fill(c.toInt)(("T", java.time.LocalDate.of(2024, 1, 1)
+          .plusDays(d).toString)) }.toDF("event_type", "ts")
+      val got = graft.ops.Composite66.periodogramOn(ev)
+        .as[(String, Long, Long, Double)].collect().toSeq
+      got.size == 9 && got.forall { case (_, p, n, pw) =>
+        n == nd && math.abs(pw - floor6(power(p))) <= 1.000001e-6 }
+    }
+
+  property("zipfFitOn == brute rank-frequency OLS within one grid step") =
+    forAll(Gen.nonEmptyListOf(Gen.oneOf(
+      "aa", "bb", "cc", "dd", "ee", "ff", "gg"))) { toks =>
+      import spark.implicits._
+      val freq = toks.groupBy(identity).map { case (w, g) =>
+        (w, g.size.toLong) }.toSeq
+      val ranked = freq.sortBy { case (w, f) => (-f, w) }.zipWithIndex
+      val pts = ranked.map { case ((_, f), i) =>
+        (math.log((i + 1).toDouble), math.log(f.toDouble)) }
+      val m = pts.size.toDouble
+      val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sx2 = pts.map(p => p._1 * p._1).sum
+      val den = m * sx2 - sx * sx
+      val r = graft.ops.LlmOps18.zipfFitOn(
+        Seq((1L, toks.mkString(" "))).toDF("doc_id", "text"))
+        .collect().head
+      val shapeOk =
+        r.getLong(0) == freq.size.toLong && r.getLong(1) == pts.size.toLong
+      if (den == 0)
+        shapeOk && r.isNullAt(2) && r.isNullAt(3) // single-rank fit: NULL
+      else {
+        val b = (m * sxy - sx * sy) / den
+        shapeOk && !r.isNullAt(2) &&
+          math.abs(r.getDouble(2) - floor6(-b)) <= 1.000001e-6 &&
+          math.abs(r.getDouble(3) - floor6((sy - b * sx) / m)) <= 1.000001e-6
+      }
+    }
 }
