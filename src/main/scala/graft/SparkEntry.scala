@@ -103,7 +103,8 @@ object SparkEntry {
       (Composite64.queries, Composite64.oracle),
       (Composite65.queries, Composite65.oracle),
       (Composite66.queries, Composite66.oracle),
-      (LlmOps18.queries, LlmOps18.oracle)
+      (LlmOps18.queries, LlmOps18.oracle),
+      (LlmOps19.queries, LlmOps19.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

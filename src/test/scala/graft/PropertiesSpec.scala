@@ -1486,4 +1486,61 @@ object PropertiesSpec extends Properties("graft-laws") {
           math.abs(r.getDouble(3) - floor6((sy - b * sx) / m)) <= 1.000001e-6
       }
     }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  property("lshBucketAuditOn == brute md5 minhash replica") =
+    forAll(Gen.chooseNum(1, 6).flatMap(nd => Gen.listOfN(nd,
+      Gen.chooseNum(3, 12).flatMap(len => Gen.listOfN(len,
+        Gen.oneOf("aa", "bb", "cc", "dd", "ee")))))) { docs =>
+      import spark.implicits._
+      def shingles(t: Seq[String]): Set[String] =
+        t.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+      val sigs = docs.zipWithIndex.map { case (t, i) =>
+        val sh = shingles(t)
+        val mins = (0 until 8).map(s0 =>
+          sh.map(h => md5hex(s"$s0|$h")).min)
+        (i.toLong, (0 until 4).map(b => md5hex(mins(2 * b) + mins(2 * b + 1))))
+      }
+      val expected = (0L to 3L).map { b =>
+        val cs = sigs.groupBy(_._2(b.toInt)).values.map(_.size.toLong).toSeq
+        val cp = cs.map(c => c * (c - 1) / 2).sum
+        val mx = cs.max
+        (b, cs.size.toLong, mx, cp,
+          if (cp == 0) None else Some(floor6((mx * (mx - 1) / 2).toDouble / cp)))
+      }
+      val got = graft.ops.LlmOps19.lshBucketAuditOn(
+        docs.zipWithIndex.map { case (t, i) => (i.toLong, t.mkString(" ")) }
+          .toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSeq
+      got == expected
+    }
+
+  property("shingleDfSpectrumOn == brute df-bucket fold") =
+    forAll(Gen.chooseNum(1, 8).flatMap(nd => Gen.listOfN(nd,
+      Gen.chooseNum(3, 10).flatMap(len => Gen.listOfN(len,
+        Gen.oneOf("aa", "bb", "cc")))))) { docs =>
+      import spark.implicits._
+      def shingles(t: Seq[String]): Set[String] =
+        t.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+      val df = docs.flatMap(t => shingles(t).toSeq)
+        .groupBy(identity).map { case (_, g) => g.size.toLong }.toSeq
+      def bucket(d: Long) =
+        if (d == 1) "01_unique" else if (d == 2) "02_df2"
+        else if (d <= 4) "03_df3_4" else if (d <= 8) "04_df5_8"
+        else if (d <= 16) "05_df9_16" else "06_df17plus"
+      val total = df.size.toLong
+      val expected = df.groupBy(bucket).toSeq.sortBy(_._1)
+        .map { case (bk, ds) => (bk, ds.size.toLong, ds.sum,
+          floor6(ds.size.toDouble / total)) }
+      val got = graft.ops.LlmOps19.shingleDfSpectrumOn(
+        docs.zipWithIndex.map { case (t, i) => (i.toLong, t.mkString(" ")) }
+          .toDF("doc_id", "text"))
+        .as[(String, Long, Long, Double)].collect().toSeq
+      got == expected
+    }
 }
