@@ -7,18 +7,16 @@ import graft.util.Tables._
 
 /** SURVEY.md §2.18 — round-7 corpus-statistics operators: per-doc
   * token-distribution entropy (a gibberish/boilerplate filter
-  * feature: low entropy = repetitive text), a Zipf rank-frequency
-  * power-law fit over the corpus vocabulary (the standard corpus
-  * health diagnostic — natural text fits ln(freq) ≈ a·ln(rank)+b
-  * with a ≈ -1; template spam does not), per-dimension embedding
+  * feature: low entropy = repetitive text), per-dimension embedding
   * standardization, BPE pair-frequency counting, and one-step
-  * k-means centroid training.
+  * k-means centroid training. (This file's original Zipf
+  * rank-frequency fit moved to LlmOps18 in round 15 — the rebuild
+  * replaces the full-vocabulary global rank window with a
+  * TakeOrderedAndProject top-k and adds the brute-fold law; one id,
+  * one registration.)
   *
   * Scale shapes: entropy is one explode + two co-partitioned hash
-  * aggregates (the llm_text_stats pipeline); the Zipf fit aggregates
-  * the vocabulary to ONE row of OLS sums after a top-1000 rank
-  * window (the window is global but runs over the vocabulary table,
-  * which is sublinear in corpus size — Heaps' law); standardization
+  * aggregates (the llm_text_stats pipeline); standardization
   * and k-means broadcast dimension-/k-sized tables into per-element
   * map work; BPE explodes positions over the vocabulary, not the
   * corpus.
@@ -90,60 +88,6 @@ object LlmOps6 {
        |  $entropyFormula AS entropy_bits
        |FROM e
        |ORDER BY doc_id""".stripMargin
-
-  // ---- llm_zipf_fit ------------------------------------------------
-  // OLS of ln(freq) on ln(rank) over the top-1000 vocabulary. The
-  // rank window orders by (cnt DESC, word) — unique, so ranks are
-  // deterministic. The fit is assembled from raw sums in ONE pinned
-  // formula string shared verbatim with the oracle (the same
-  // discipline as agg_regression, SURVEY §2.17).
-  private val slopeNum = "(nt * sxy - sx * sy)"
-  private val slopeDen = "(nt * sxx - sx * sx)"
-  private val zipfOut =
-    s"""CAST(nt AS BIGINT) AS n_terms,
-       |  round($slopeNum / $slopeDen, 6) AS slope,
-       |  round((sy / nt) - ($slopeNum / $slopeDen) * (sx / nt), 6) AS intercept,
-       |  round(($slopeNum * $slopeNum) / ($slopeDen * (nt * syy - sy * sy)), 6) AS r2""".stripMargin
-
-  private val zipfSums =
-    """SELECT CAST(count(*) AS DOUBLE) AS nt,
-      |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
-      |    sum(x * x) AS sxx, sum(y * y) AS syy
-      |  FROM xy""".stripMargin
-
-  private val zipfSql =
-    s"""WITH tok AS (
-       |  SELECT word, count(*) AS cnt FROM (
-       |    SELECT explode(split(text, ' ')) AS word FROM documents)
-       |  GROUP BY word),
-       |rk AS (
-       |  SELECT cnt, rank FROM (
-       |    SELECT cnt, row_number() OVER (ORDER BY cnt DESC, word) AS rank
-       |    FROM tok) WHERE rank <= 1000),
-       |xy AS (
-       |  SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y
-       |  FROM rk),
-       |s AS (
-       |  $zipfSums)
-       |SELECT $zipfOut
-       |FROM s""".stripMargin
-
-  private val zipfOracle =
-    s"""WITH tok AS (
-       |  SELECT word, count(*) AS cnt FROM (
-       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-       |  GROUP BY word),
-       |rk AS (
-       |  SELECT cnt, rank FROM (
-       |    SELECT cnt, row_number() OVER (ORDER BY cnt DESC, word) AS rank
-       |    FROM tok) WHERE rank <= 1000),
-       |xy AS (
-       |  SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y
-       |  FROM rk),
-       |s AS (
-       |  $zipfSums)
-       |SELECT $zipfOut
-       |FROM s""".stripMargin
 
   // ---- llm_feature_scale -------------------------------------------
   // Per-dimension z-score standardization of the embedding matrix —
@@ -341,7 +285,6 @@ object LlmOps6 {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_token_entropy" -> (q(entropySql) _),
-    "llm_zipf_fit" -> (q(zipfSql) _),
     "llm_feature_scale" -> (featureScale _),
     "llm_bpe_pair_freq" -> (q(bpeSql) _),
     "llm_kmeans_step" -> (kmeansStep _)
@@ -349,7 +292,6 @@ object LlmOps6 {
 
   val oracle: Map[String, String] = Map(
     "llm_token_entropy" -> entropyOracle,
-    "llm_zipf_fit" -> zipfOracle,
     "llm_feature_scale" -> featureScaleOracle,
     "llm_bpe_pair_freq" -> bpeOracle,
     "llm_kmeans_step" -> kmeansOracle
