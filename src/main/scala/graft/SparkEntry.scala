@@ -9,7 +9,7 @@ import graft.ops._
   * (queries, oracle) pair; this object is pure concatenation.
   */
 object SparkEntry {
-  private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
+  private[graft] val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (Scans.queries, Scans.oracle),
       (Relational.queries, Relational.oracle),
@@ -104,7 +104,8 @@ object SparkEntry {
       (Composite65.queries, Composite65.oracle),
       (Composite66.queries, Composite66.oracle),
       (LlmOps18.queries, LlmOps18.oracle),
-      (LlmOps19.queries, LlmOps19.oracle)
+      (LlmOps19.queries, LlmOps19.oracle),
+      (Composite67.queries, Composite67.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1543,4 +1543,45 @@ object PropertiesSpec extends Properties("graft-laws") {
         .as[(String, Long, Long, Double)].collect().toSeq
       got == expected
     }
+
+  property("hodgesLehmannOn == brute pairwise-difference median") =
+    forAll(Gen.chooseNum(1, 12).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(1, 9))),
+      Gen.chooseNum(1, 12).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(1, 9)))) { (xs, ys) =>
+      import spark.implicits._
+      val diffs = (for (a <- xs; b <- ys) yield (a - b).toLong).sorted
+      // 2*cum >= total picks the lower median of the multiset
+      val hl = diffs(((diffs.size + 1) / 2) - 1)
+      // Day d of each series carries its count as that day's events.
+      val ev = (xs.zipWithIndex.flatMap { case (c, d) =>
+        Seq.fill(c)(("click", java.time.LocalDate.of(2024, 1, 1)
+          .plusDays(d).toString)) } ++
+        ys.zipWithIndex.flatMap { case (c, d) =>
+          Seq.fill(c)(("purchase", java.time.LocalDate.of(2024, 1, 1)
+            .plusDays(d).toString)) }).toDF("event_type", "ts")
+      val got = graft.ops.Composite67.hodgesLehmannOn(ev)
+        .as[(Long, Long, Long)].collect().head
+      got == ((xs.size.toLong, ys.size.toLong, hl))
+    }
+
+  property("theilIndexOn == brute entropy decomposition") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(
+      Gen.chooseNum(0L, 3L), Gen.chooseNum(1L, 500L)))) { rows =>
+      import spark.implicits._
+      val xs = rows.map(_._2.toDouble)
+      val n = xs.size; val xx = xs.sum
+      val tTot = xs.map(x => (x / xx) * math.log(x / (xx / n))).sum
+      val groups = rows.groupBy(_._1).values.toSeq
+      val tBtw = groups.map { g =>
+        val xg = g.map(_._2.toDouble).sum
+        (xg / xx) * math.log((xg / xx) / (g.size.toDouble / n))
+      }.sum
+      val r = graft.ops.Composite67.theilIndexOn(rows.toDF("nat", "x"))
+        .collect().head
+      r.getLong(0) == n.toLong && r.getLong(1) == groups.size.toLong &&
+        math.abs(r.getDouble(2) - tTot) <= 2e-6 &&
+        math.abs(r.getDouble(3) - tBtw) <= 2e-6 &&
+        math.abs(r.getDouble(4) - (r.getDouble(2) - r.getDouble(3))) <= 2e-6
+    }
 }
