@@ -105,7 +105,8 @@ object SparkEntry {
       (Composite66.queries, Composite66.oracle),
       (LlmOps18.queries, LlmOps18.oracle),
       (LlmOps19.queries, LlmOps19.oracle),
-      (Composite67.queries, Composite67.oracle)
+      (Composite67.queries, Composite67.oracle),
+      (Composite68.queries, Composite68.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

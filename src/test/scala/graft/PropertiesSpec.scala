@@ -1584,4 +1584,47 @@ object PropertiesSpec extends Properties("graft-laws") {
         math.abs(r.getDouble(3) - tBtw) <= 2e-6 &&
         math.abs(r.getDouble(4) - (r.getDouble(2) - r.getDouble(3))) <= 2e-6
     }
+
+  property("bowleySkewOn == brute picked-quartile fold") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(1L, 20L))) { vs =>
+      import spark.implicits._
+      val sorted = vs.sorted
+      val n = vs.size.toLong
+      // k·n ≤ 4·cum picks: smallest value whose cumulative count
+      // reaches k/4 of the total.
+      def pick(k: Long): Long = {
+        var cum = 0L
+        sorted.map { v => cum += 1; (v, cum) }
+          .collectFirst { case (v, c) if 4 * c >= k * n => v }.get
+      }
+      val (q1, q2, q3) = (pick(1), pick(2), pick(3))
+      val skew = if (q3 - q1 == 0) None
+        else Some(floor6((q3 + q1 - 2.0 * q2) / (q3 - q1).toDouble))
+      val r = graft.ops.Composite68.bowleySkewOn(
+        vs.map(v => ("A", v)).toDF("g", "v")).collect().head
+      val got = (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), if (r.isNullAt(5)) None else Some(r.getDouble(5)))
+      got == (("A", n, q1, q2, q3, skew))
+    }
+
+  property("parkinsonVolOn == brute daily-range fold") =
+    forAll(Gen.chooseNum(1, 8).flatMap(nd => Gen.listOfN(nd,
+      Gen.listOfN(3, Gen.chooseNum(1, 5))))) { days =>
+      import spark.implicits._
+      // Day d has hours 0/1/2 with the generated event counts.
+      val ev = days.zipWithIndex.flatMap { case (hs, d) =>
+        hs.zipWithIndex.flatMap { case (c, hh) =>
+          Seq.fill(c)(("T", f"2024-01-${d + 1}%02dT$hh%02d:15:00")) }
+      }.toDF("event_type", "ts")
+      val terms = days.map(hs => {
+        val h = hs.max.toDouble; val l = hs.min.toDouble
+        math.log(h / l) * math.log(h / l)
+      })
+      val expect = floor6(
+        math.sqrt(terms.sum / (4 * math.log(2.0) * days.size)))
+      val got = graft.ops.Composite68.parkinsonVolOn(ev)
+        .as[(String, Long, Double)].collect().head
+      got._1 == "T" && got._2 == days.size.toLong &&
+        math.abs(got._3 - expect) <= 1.000001e-6
+    }
 }
