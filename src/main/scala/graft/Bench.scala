@@ -105,6 +105,7 @@ object Bench {
       // inert by construction) from a missing/garbled key, which is
       // the format drift the warning exists for (ADVICE r13 + r14).
       var keyFound = false
+      var bodyNonEmpty = false
       val parsed = try {
         val src = scala.io.Source.fromFile(f)
         val txt = try src.mkString finally src.close()
@@ -114,6 +115,7 @@ object Bench {
         else {
           keyFound = true
           val body = txt.substring(start + key.length, txt.indexOf('}', start))
+          bodyNonEmpty = body.trim.nonEmpty
           """"([A-Za-z0-9_]+)":(-?[0-9.]+)""".r.findAllMatchIn(body)
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
         }
@@ -121,7 +123,11 @@ object Bench {
       // A present-but-unparsable pin means format drift, not a fresh
       // checkout — without this line the >3x regression gate goes
       // inert with no signal anywhere in the run output (ADVICE r13).
-      if (parsed.isEmpty && !keyFound)
+      // Drift INSIDE the brace body (entries present but no longer
+      // matching the strict "name":number shape) must warn too: only
+      // a key that is present AND legitimately empty stays silent
+      // (ADVICE r15).
+      if (parsed.isEmpty && (!keyFound || bodyNonEmpty))
         System.err.println(s"[bench] $path exists but zero priors parsed" +
           " — the >3x prior-record gate is INERT this run (format drift?)")
       parsed
@@ -377,6 +383,19 @@ object Bench {
       case Some(s) => (s < 2000L || stealRatio.exists(_ < 0.0005)).toString
       case None => "null"
     }
+    // Pragmatic bar beside the strict one (VERDICT r15 item 4): the
+    // strict <0.0005 ratio has been unreachable on this host for two
+    // rounds (every ~20-minute window carries ambient steal) so it
+    // stopped discriminating good windows from storms. What the r15
+    // pin adjudication actually accepted was steal below 0.2% WITH an
+    // empty per-query suspect list; emit that verdict as
+    // clean_pragmatic so a pin self-identifies without the reader
+    // re-deriving the bar. The strict flag is kept unchanged.
+    val cleanPragmaticJson = runSteal match {
+      case Some(s) =>
+        ((s < 2000L || stealRatio.exists(_ < 0.002)) && suspects.isEmpty).toString
+      case None => "null"
+    }
     val ratioJson = stealRatio
       .map(r => String.format(java.util.Locale.ROOT, "%.6f", Double.box(r)))
       .getOrElse("null")
@@ -388,7 +407,8 @@ object Bench {
       s""""steal_jiffies":${jl(runSteal)},""" +
       s""""total_jiffies":${jl(runTotalJ)},""" +
       s""""steal_ratio":$ratioJson,""" +
-      s""""run_secs":${fmt(runSecs)},"clean":$cleanJson}"""
+      s""""run_secs":${fmt(runSecs)},"clean":$cleanJson,""" +
+      s""""clean_pragmatic":$cleanPragmaticJson}"""
     val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_excl_suspect":${fmt(totalExclSuspect)},"n_queries":${results.size},"queries":$fullQs,"retimed":$retimedQs,"suspect":$suspectJson,"machine":$machine,"sf":"$sfDir"}"""
     val outFile = if (only.nonEmpty) "bench_only.json" else "bench_full.json"

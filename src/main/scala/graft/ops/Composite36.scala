@@ -31,12 +31,13 @@ import org.apache.spark.sql.functions._
   * slice bounds the constant factor; a hub-degree cap would bound
   * the asymptote if ever needed). Rich-club reduces the edge list to
   * two bounded histograms (distinct degrees) before the 8-row k
-  * table touches anything. Harmonic centrality is the
-  * graph_shortest_path broadcast-loop discipline keyed (seed, node)
-  * — one (seed, node)-keyed min exchange per round, 3 seeds × node
-  * table broadcast into the edge scan under a size gate
-  * (graft.util.Hints); past the cap the rounds run un-hinted as
-  * keyed shuffles instead of hard-failing at the broadcast limit.
+  * table touches anything. Harmonic centrality rides the
+  * shared seed/BFS levels ([[GraphBfs]], round 16): the σ-BFS runs
+  * once per corpus (parquet-memoized, also feeding
+  * graph_betweenness_approx) with its per-round builds size-gated
+  * (graft.util.Hints; past the cap the rounds run un-hinted as
+  * keyed shuffles instead of hard-failing at the broadcast limit);
+  * the row itself is a level-count aggregate over frontiers.
   *
   * Determinism: every count/degree/distance is an exact integer;
   * harmonic sums are kept as Σ 6 DIV d (d ∈ 1..3 divides 6 exactly)
@@ -203,43 +204,28 @@ object Composite36 {
 
   // ---- graph_harmonic_centrality ---------------------------------------
   // Seeds = the 3 highest-degree nodes (ties by node id — an exact
-  // integer TakeOrdered, never a sample); 3 Bellman-Ford rounds keyed
-  // (seed, node) with graph_shortest_path's loop discipline
-  // (broadcast distance table into the edge scan, one keyed min
-  // exchange per round, persist-per-round + final localCheckpoint,
-  // engine-agnostic NULL-min). Harmonic mass stays integral as
-  // Σ 6 DIV d until the single double assembly.
+  // integer TakeOrdered, never a sample). Since round 16 the
+  // traversal is GraphBfs' shared σ-BFS (identical seed rule and
+  // hop-≤3 levels to graph_betweenness_approx — VERDICT r15 item 3):
+  // each reached (seed, node) sits in exactly one level = its hop
+  // distance, so the distance histogram is a level-count aggregate —
+  // the old dense (seeds × nodes) Bellman-Ford table is gone.
+  // Harmonic mass stays integral as Σ 6 DIV d until the single
+  // double assembly.
   private[graft] def harmonicOn(edges: DataFrame, seeds: Int, k: Int): DataFrame = {
-    val deg = edges.groupBy(col("src").as("n")).agg(count(lit(1)).as("deg"))
-    val seedRows = deg.orderBy(col("deg").desc, col("n")).limit(seeds)
-      .select(col("n").as("seed"), col("deg").as("seed_degree"))
-      .localCheckpoint()
-    var dist = edges.select(col("src").as("node")).distinct()
-      .crossJoin(broadcast(seedRows.select(col("seed"))))
-      .select(col("seed"), col("node"),
-        when(col("node") === col("seed"), lit(0L)).as("d"))
-      .persist()
-    // One gate for the whole loop: dist is (seeds × nodes)-sized and
-    // round-invariant in row count (graft.util.Hints).
-    val hint = graft.util.Hints.maybeBroadcast(dist.count())
-    val rounds = scala.collection.mutable.ListBuffer(dist)
-    for (_ <- 1 to k) {
-      val nbr = edges
-        .join(hint(dist.filter(col("d").isNotNull)
-          .select(col("seed"), col("node").as("dst"), col("d").as("pd"))),
-          "dst")
-        .groupBy(col("seed"), col("src").as("node"))
-        .agg(min(col("pd") + lit(1L)).as("nd"))
-      dist = dist.join(hint(nbr), Seq("seed", "node"), "left")
-        .select(col("seed"), col("node"),
-          least(coalesce(col("d"), col("nd")),
-            coalesce(col("nd"), col("d"))).as("d"))
-        .persist()
-      rounds += dist
-    }
-    val fin = dist.localCheckpoint()
-    rounds.foreach(_.unpersist(false))
-    val reach = fin.filter(col("d") >= 1)
+    val (seedRows, levels) = graft.ops.GraphBfs.levelsOn(edges, seeds, k)
+    harmonicFrom(seedRows, levels)
+  }
+
+  /** Distance-histogram assembly over pre-built BFS levels
+    * (levels(d) = depth-d frontier from [[GraphBfs]]; depth IS the
+    * hop distance). k = 3 shaped, like the row it feeds: the 6 DIV d
+    * integral mass is exact for d ∈ 1..3. */
+  private[graft] def harmonicFrom(seedRows: DataFrame,
+      levels: IndexedSeq[DataFrame]): DataFrame = {
+    val reach = (1 until levels.length).map { d =>
+        levels(d).select(col("seed"), lit(d.toLong).as("d"))
+      }.reduce(_ unionAll _)
       .groupBy(col("seed"))
       .agg(sum(when(col("d") === 1, 1L).otherwise(0L)).as("n_d1"),
         sum(when(col("d") === 2, 1L).otherwise(0L)).as("n_d2"),
@@ -256,9 +242,13 @@ object Composite36 {
       .orderBy("seed")
   }
 
-  private def harmonicCentrality(s: SparkSession, dir: String): DataFrame =
-    harmonicOn(Composite4.coPurchaseEdges(s, dir).localCheckpoint(),
-      seeds = 3, k = 3)
+  private def harmonicCentrality(s: SparkSession, dir: String): DataFrame = {
+    // Shared forward pass (GraphBfs.sharedLevels — parquet memo fed
+    // to this row AND graph_betweenness_approx); the histogram tail
+    // never touches the edge list at all.
+    val (seedRows, levels) = GraphBfs.sharedLevels(s, dir, seeds = 3, k = 3)
+    harmonicFrom(seedRows, levels)
+  }
 
   private val harmonicOracle = {
     val rounds = (1 to 3).map { i =>

@@ -29,6 +29,13 @@ import org.apache.spark.sql.functions._
   * δ-sum exchange with the two level tables riding the same gate.
   * Every level is localCheckpoint'd (each feeds 2-3 consumers:
   * the next frontier's anti-join, the backward pass, the union).
+  * Since round 16 the forward pass lives in [[GraphBfs]]: the seed
+  * rule and hop-≤3 σ-BFS are IDENTICAL to harmonic centrality's, so
+  * the corpus-facing query reads the per-JVM parquet-materialized
+  * levels ([[GraphBfs.sharedLevels]] — built once, fed to both
+  * rows) and runs only the backward pass here; the backward gate
+  * re-derives from the ACTUAL level sizes (Σ level rows ≤
+  * seeds·|nodes|, parquet-metadata counts).
   *
   * Determinism: σ are exact BIGINTs (sums of path counts); δ is the
   * one double recursion, so every per-round δ rounds to 12 dp (the
@@ -41,38 +48,26 @@ object Composite54 {
 
   private[graft] def betweennessOn(edges: DataFrame, seeds: Int,
       k: Int): DataFrame = {
-    val deg = edges.groupBy(col("src").as("n")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
-    // Every per-round build side is ≤ seeds·|nodes| rows.
-    val hint = graft.util.Hints.maybeBroadcast(seeds.toLong * deg.count())
-    val seedRows = deg.orderBy(col("deg").desc, col("n")).limit(seeds)
-      .select(col("n").as("seed")).localCheckpoint()
-    // Forward: levels.head is the current frontier (seed, node, sigma).
-    var levels = List(seedRows
-      .select(col("seed"), col("seed").as("node"), lit(1L).as("sigma"))
-      .localCheckpoint())
-    // visited = union of checkpointed levels — cheap lineage, no
-    // recompute (every branch reads materialized blocks).
-    var visited = levels.head.select(col("seed"), col("node"))
-    for (_ <- 1 to k) {
-      val frontier = edges
-        .join(hint(levels.head.select(col("seed"), col("node").as("src"),
-          col("sigma").as("ps"))), "src")
-        .groupBy(col("seed"), col("dst").as("node"))
-        .agg(sum(col("ps")).as("sigma"))
-        .join(hint(visited), Seq("seed", "node"), "left_anti")
-        .localCheckpoint()
-      visited = visited.unionAll(frontier.select(col("seed"), col("node")))
-      levels = frontier :: levels
-    }
-    // levels: index 0 = depth k, ..., index k = depth 0 (the seeds).
+    val (_, levels) = GraphBfs.levelsOn(edges, seeds, k)
+    betweennessFrom(edges, levels)
+  }
+
+  /** Backward Brandes accumulation over pre-built BFS levels
+    * (levels(d) = depth-d frontier (seed, node, sigma) from
+    * [[GraphBfs]]). Gate re-derived from the actual level sizes:
+    * every build side below is a level or delta table, bounded by
+    * Σ level rows. */
+  private[graft] def betweennessFrom(edges: DataFrame,
+      levels: IndexedSeq[DataFrame]): DataFrame = {
+    val k = levels.length - 1
+    val hint = graft.util.Hints.maybeBroadcast(levels.map(_.count()).sum)
     // Backward: δ(depth k) = 0; for d = k−1 .. 1 accumulate over the
     // DAG edges (v at depth d) → (w at depth d+1).
     var delta: DataFrame = null
     val deltas = scala.collection.mutable.ListBuffer.empty[DataFrame]
     for (d <- (k - 1) to 1 by -1) {
-      val down = levels(k - 1 - d) // depth d+1
-      val cur = levels(k - d)      // depth d
+      val down = levels(d + 1)
+      val cur = levels(d)
       val downD =
         if (delta == null)
           down.select(col("seed"), col("node"), col("sigma"),
@@ -101,9 +96,14 @@ object Composite54 {
       .selectExpr("node", "floor(b*1e6 + 0.5)/1e6 AS betweenness")
   }
 
-  private def betweennessApprox(s: SparkSession, dir: String): DataFrame =
-    betweennessOn(Composite4.coPurchaseEdges(s, dir).localCheckpoint(),
-      seeds = 3, k = 3)
+  private def betweennessApprox(s: SparkSession, dir: String): DataFrame = {
+    // Shared forward pass (GraphBfs.sharedLevels — parquet memo fed
+    // to this row AND graph_harmonic_centrality); only the backward
+    // pass needs the edge list, rebuilt per invocation.
+    val (_, levels) = GraphBfs.sharedLevels(s, dir, seeds = 3, k = 3)
+    betweennessFrom(
+      Composite4.coPurchaseEdges(s, dir).localCheckpoint(), levels)
+  }
 
   private val betweennessOracle = {
     // fℓ = the depth-ℓ frontier with exact σ; exclusion via

@@ -23,17 +23,35 @@ import org.apache.spark.sql.functions._
   * aggregate with the score table size-gate-broadcast into the edge
   * scan (graft.util.Hints; past the cap the same algebra re-plans
   * as keyed shuffle joins). Unlike pagerank — whose normalizer |V|
-  * is round-invariant — the L1 norm is recomputed per round; it is
-  * computed as a GLOBAL WINDOW over the |nodes|-bounded score
-  * relation, not a separate aggregate: a two-consumer norm
-  * (aggregate + next-round join) would either double the lineage
-  * per round (2^5 plan blowup) or force a per-round localCheckpoint
-  * (measured +2.3 s over the whole-chain-lazy form at sf0.1 — 5
-  * materialized rounds vs pagerank's one fused job). The
-  * single-partition window moves only the score table, which is
-  * vocabulary-small BY CONSTRUCTION — the same bound that gates its
-  * broadcast hint; a table that fits a broadcast build fits a
-  * window partition (the chi-square-margins / topk_global class).
+  * is round-invariant — the L1 norm is recomputed per round, and its
+  * shape is GATED on the same node-count bound the broadcast hint
+  * uses (VERDICT r15 item 2):
+  *
+  *  - UNDER the cap, the norm is a global window over the
+  *    |nodes|-bounded score relation, fusing all 5 rounds into one
+  *    lazy job. A two-consumer norm (aggregate + next-round join)
+  *    here would either double the lineage per round (2^5 plan
+  *    blowup) or force a per-round localCheckpoint — measured
+  *    +2.3 s over the whole-chain-lazy form at sf0.1 (5
+  *    materialized rounds vs pagerank's one fused job). The
+  *    single-partition window is safe exactly BECAUSE the gate
+  *    holds: under the broadcast row cap the score table fits one
+  *    window partition (the chi-square-margins / topk_global
+  *    class).
+  *
+  *  - PAST the cap — node ids here are partkeys, which grow with
+  *    the corpus, not an alphabet — a single-partition window over
+  *    |nodes| is the row's scale-killer (5 full-vector funnels
+  *    through one task). The norm instead becomes a 1-row
+  *    sum aggregate broadcast back via crossJoin (always
+  *    broadcast-safe at any |V|) over a per-round localCheckpoint
+  *    of the coalesced score relation — the pagerank `nn`
+  *    discipline: the checkpoint pins the two-consumer relation
+  *    (norm aggregate + next round's join) so lineage stays linear,
+  *    trading 5 materialized rounds for per-round full parallelism.
+  *
+  * Both paths compute the identical rounded grid (Composite65Spec
+  * drives them against each other through the rowCap override).
   *
   * Float determinism: per-iteration scores round to 12 dp — each
   * engine's contribution/norm sum-order drift is ~1e-15 relative
@@ -55,8 +73,11 @@ object Composite65 {
       .union(edgesD.select(col("dst").as("node")))
       .distinct().localCheckpoint()
     // One size gate per invocation (node count is round-invariant;
-    // cached-block scan) reused by every per-round hint.
-    val hint = graft.util.Hints.maybeBroadcast(nodes.count())
+    // cached-block scan) reused by every per-round hint AND by the
+    // norm-shape choice below.
+    val nodeCount = nodes.count()
+    val hint = graft.util.Hints.maybeBroadcast(nodeCount)
+    val fusedNorm = nodeCount <= graft.util.Hints.broadcastRowCap
     val nn = broadcast(nodes.agg(count(lit(1)).cast("double").as("n")))
     var scores = nodes.crossJoin(nn)
       .select(col("node"), (lit(1.0) / col("n")).as("r"))
@@ -66,14 +87,26 @@ object Composite65 {
         .groupBy(col("dst"))
         .agg(sum(col("r")).as("cr"))
       // Left join + coalesce(0): isolated dst-only nodes keep a 0
-      // score rather than dropping out of the vector; the global
-      // window reads the SAME relation it normalizes, so the whole
-      // 5-round chain stays one lazy job (see scale note above).
-      scores = nodes
+      // score rather than dropping out of the vector.
+      val coalesced = nodes
         .join(hint(contrib), col("node") === col("dst"), "left")
         .select(col("node"), coalesce(col("cr"), lit(0.0)).as("cr"))
-        .select(col("node"),
-          round(col("cr") / sum(col("cr")).over(wAll), 12).as("r"))
+      scores =
+        if (fusedNorm)
+          // Under the cap: the global window reads the SAME relation
+          // it normalizes, so the whole 5-round chain stays one lazy
+          // job (see scale note above).
+          coalesced.select(col("node"),
+            round(col("cr") / sum(col("cr")).over(wAll), 12).as("r"))
+        else {
+          // Past the cap: pin the two-consumer relation, then
+          // normalize by a 1-row aggregate broadcast back — no
+          // single-partition funnel at any |V|.
+          val pinned = coalesced.localCheckpoint()
+          val norm = broadcast(pinned.agg(sum(col("cr")).as("l1")))
+          pinned.crossJoin(norm)
+            .select(col("node"), round(col("cr") / col("l1"), 12).as("r"))
+        }
     }
     scores.orderBy("node")
   }

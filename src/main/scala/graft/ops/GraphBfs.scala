@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared seed/BFS level builder (VERDICT r15 item 3).
+  *
+  * `graph_betweenness_approx` (Composite54) and
+  * `graph_harmonic_centrality` (Composite36) sample the SAME 3
+  * deterministic top-degree seeds (ties by node id) and run the SAME
+  * hop-≤3 BFS over the symmetric co-purchase graph; until round 16
+  * each row rebuilt its own levels — together the suite's two
+  * heaviest graph rows. This object computes the levels ONCE per
+  * (corpus, seeds, k) and feeds both rows:
+  *
+  *  - [[levelsOn]] — the pure forward σ-BFS over a caller-supplied
+  *    edge list (the planted-graph test seam; no disk, no memo).
+  *    Level d is the depth-d frontier (seed, node, sigma) with EXACT
+  *    BIGINT shortest-path counts σ; the anti-join against the
+  *    visited union means every reached (seed, node) appears in
+  *    exactly ONE level — its BFS depth, i.e. its hop distance. The
+  *    same relation therefore serves Brandes' σ (betweenness) and
+  *    the distance histogram (harmonic) — no second traversal.
+  *
+  *  - [[sharedLevels]] — the corpus-facing memo: first caller in the
+  *    JVM builds the levels and MATERIALIZES them as parquet under
+  *    the per-run /tmp path ([[Scans.tmp]] — per-applicationId,
+  *    deleted on JVM exit); every later caller reads the parquet
+  *    back. The materialized-view shape is deliberate and is the
+  *    100 TB answer: a shared intermediate this expensive (3 keyed
+  *    exchanges over the full edge list) is written once to storage
+  *    and fanned out to every centrality consumer, exactly like a
+  *    warehouse materialized view — NOT re-derived per query, and
+  *    NOT pinned in executor memory (persist/localCheckpoint blocks
+  *    do not survive the between-query block cleanup a long-running
+  *    driver performs; the parquet files do). σ (BIGINT) and node
+  *    ids roundtrip parquet exactly, so consumers of the memo and of
+  *    a fresh build compute cell-identical results.
+  *
+  * The memo key canonicalizes the corpus dir and carries (seeds, k),
+  * so sf0.01 Verify and sf0.1 Bench runs never share levels. Build
+  * is serialized under the memo lock: concurrent first callers (test
+  * suites share one JVM) block rather than racing two writes to one
+  * path.
+  */
+object GraphBfs {
+
+  private case class Handle(seedsPath: String, levelPaths: IndexedSeq[String])
+
+  private val memo =
+    scala.collection.mutable.HashMap.empty[(String, Int, Int), Handle]
+
+  /** Forward σ-BFS: returns (seedRows(seed, seed_degree),
+    * levels(0..k)) where levels(d) = (seed, node, sigma) at depth d.
+    * Every level is localCheckpoint'd (each feeds 2-3 consumers: the
+    * next frontier's anti-join, the backward pass, the union); the
+    * per-round build sides ride the seeds·|nodes| size gate
+    * (graft.util.Hints — past the cap the joins re-plan as keyed
+    * shuffles instead of hard-failing at the broadcast limit). */
+  private[graft] def levelsOn(edges: DataFrame, seeds: Int,
+      k: Int): (DataFrame, IndexedSeq[DataFrame]) = {
+    val deg = edges.groupBy(col("src").as("n")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    // Every per-round build side is ≤ seeds·|nodes| rows.
+    val hint = graft.util.Hints.maybeBroadcast(seeds.toLong * deg.count())
+    val seedRows = deg.orderBy(col("deg").desc, col("n")).limit(seeds)
+      .select(col("n").as("seed"), col("deg").as("seed_degree"))
+      .localCheckpoint()
+    var levels = List(seedRows
+      .select(col("seed"), col("seed").as("node"), lit(1L).as("sigma"))
+      .localCheckpoint())
+    // visited = union of checkpointed levels — cheap lineage, no
+    // recompute (every branch reads materialized blocks).
+    var visited = levels.head.select(col("seed"), col("node"))
+    for (_ <- 1 to k) {
+      val frontier = edges
+        .join(hint(levels.head.select(col("seed"), col("node").as("src"),
+          col("sigma").as("ps"))), "src")
+        .groupBy(col("seed"), col("dst").as("node"))
+        .agg(sum(col("ps")).as("sigma"))
+        .join(hint(visited), Seq("seed", "node"), "left_anti")
+        .localCheckpoint()
+      visited = visited.unionAll(frontier.select(col("seed"), col("node")))
+      levels = frontier :: levels
+    }
+    (seedRows, levels.reverse.toIndexedSeq)
+  }
+
+  /** Disk-memoized corpus levels over [[Composite4.coPurchaseEdges]]:
+    * build + parquet-write once per JVM per (dir, seeds, k), read
+    * back on every later call (see object doc for why disk, not
+    * memory). */
+  private[graft] def sharedLevels(s: SparkSession, dir: String, seeds: Int,
+      k: Int): (DataFrame, IndexedSeq[DataFrame]) = {
+    val key = (new java.io.File(dir).getCanonicalPath, seeds, k)
+    val h = memo.synchronized {
+      memo.getOrElseUpdate(key, {
+        val base = Scans.tmp(s, dir, s"bfslevels_${seeds}_$k")
+        val (seedRows, lv) = levelsOn(
+          Composite4.coPurchaseEdges(s, dir).localCheckpoint(), seeds, k)
+        seedRows.write.mode("overwrite").parquet(s"$base/seeds")
+        lv.zipWithIndex.foreach { case (df, d) =>
+          df.write.mode("overwrite").parquet(s"$base/level$d") }
+        Handle(s"$base/seeds", (0 to k).map(d => s"$base/level$d"))
+      })
+    }
+    (s.read.parquet(h.seedsPath), h.levelPaths.map(p => s.read.parquet(p)))
+  }
+}

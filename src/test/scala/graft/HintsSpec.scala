@@ -21,9 +21,12 @@ class HintsSpec extends AnyFunSuite {
     (1L, 4L), (4L, 1L), (10L, 11L), (11L, 10L)).toDF("src", "dst")
 
   // Both helpers mutate JVM-global state (sys.props / the shared
-  // session's conf); serialize the whole override window behind
-  // TestSpark.globalConfLock so concurrently running suites never
-  // observe rowCap=0 or autoBroadcast=-1 mid-test (ADVICE r14).
+  // session's conf); serialize the override windows behind
+  // TestSpark.globalConfLock so the two mutators never interleave
+  // with each other (ADVICE r14). NOTE the lock serializes MUTATORS
+  // only: a suite that reads these globals without taking the lock
+  // is still exposed during an override window, so conf-sensitive
+  // plan assertions elsewhere must take the same lock (ADVICE r15).
   private def withRowCap[A](cap: String)(body: => A): A =
     TestSpark.globalConfLock.synchronized {
       val prev = sys.props.get("graft.broadcast.rowCap")
@@ -96,6 +99,26 @@ class HintsSpec extends AnyFunSuite {
         assert(!plan.contains("BroadcastHashJoin"),
           s"over-cap loop still broadcasts:\n${plan.take(1500)}")
         assert(got == want, s"shuffle path diverged: $got vs $want")
+      }
+    }
+  }
+
+  test("eigenvector norm gate: over-cap path drops the global window and agrees with the fused path") {
+    // VERDICT r15 item 2: under the cap the L1 norm is a fused global
+    // window; past it the norm re-plans as a 1-row aggregate broadcast
+    // back over a per-round localCheckpoint. Same rounded grid either
+    // way, and the over-cap plan must not funnel |nodes| through a
+    // single-partition window.
+    val want = graft.ops.Composite65.eigenvectorOn(edges).collect()
+      .map(_.toSeq).toSeq
+    withRowCap("0") {
+      withoutAutoBroadcast {
+        val df = graft.ops.Composite65.eigenvectorOn(edges)
+        val got = df.collect().map(_.toSeq).toSeq
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("Window"),
+          s"over-cap norm still plans a global window:\n${plan.take(1500)}")
+        assert(got == want, s"gated norm path diverged: $got vs $want")
       }
     }
   }
