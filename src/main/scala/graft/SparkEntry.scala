@@ -106,7 +106,10 @@ object SparkEntry {
       (LlmOps18.queries, LlmOps18.oracle),
       (LlmOps19.queries, LlmOps19.oracle),
       (Composite67.queries, Composite67.oracle),
-      (Composite68.queries, Composite68.oracle)
+      (Composite68.queries, Composite68.oracle),
+      (Composite69.queries, Composite69.oracle),
+      (Composite70.queries, Composite70.oracle),
+      (LlmOps20.queries, LlmOps20.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -32,7 +32,7 @@ import graft.util.Tables._
   */
 object Composite51 {
 
-  private val KwGroups = Seq(
+  private[graft] val KwGroups = Seq(
     "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
 
   // H = (3·Σ_g (R2_g)²/n_g) / (n(n+1)) − 3(n+1), from DOUBLED rank
@@ -48,7 +48,15 @@ object Composite51 {
   private val kwHc =
     s"floor((($kwH / nullif(1 - CAST(tt AS DOUBLE)/(CAST(($kwN) AS DOUBLE)*($kwN)*($kwN) - ($kwN)), 0)))*1e6 + 0.5)/1e6"
 
-  private[graft] def kruskalWallisOn(orders: DataFrame): DataFrame = {
+  /** Shared doubled-rank relations over the (priority, total-price)
+    * grid — `agg_dunn_posthoc` (Composite69) reuses these, so the
+    * post-hoc z's rank on EXACTLY the grid the omnibus H tested:
+    * ranked = per distinct value (c, cnt, r2) with the exact doubled
+    * average rank 2·cum_less + cnt + 1 (localCheckpoint'd — the
+    * cumulative window is single-partition by nature but runs over
+    * the \|distinct prices\|-bounded axis, never raw orders);
+    * gc = (g, c, gcnt) group-value counts. */
+  private[graft] def doubledRanks(orders: DataFrame): (DataFrame, DataFrame) = {
     val o = orders.select(col("o_orderpriority").as("g"),
       (money(col("o_totalprice")) * 100).cast("bigint").as("c"))
     // Distinct-value axis: per value, total count and the count of
@@ -64,6 +72,11 @@ object Composite51 {
         (lit(2L) * col("below") + col("cnt") + 1L).as("r2"))
       .localCheckpoint()
     val gc = o.groupBy(col("g"), col("c")).agg(count(lit(1)).as("gcnt"))
+    (ranked, gc)
+  }
+
+  private[graft] def kruskalWallisOn(orders: DataFrame): DataFrame = {
+    val (ranked, gc) = doubledRanks(orders)
     val joined = gc.join(ranked, "c")
     val aggs =
       KwGroups.zipWithIndex.flatMap { case (p, i) => Seq(
@@ -82,24 +95,31 @@ object Composite51 {
   private def kruskalWallis(s: SparkSession, dir: String): DataFrame =
     kruskalWallisOn(load(s, dir, "orders"))
 
+  /** The rank-grid CTEs (o/vc/ranked/gc) as SINGLE shared SQL text —
+    * the Dunn post-hoc oracle (Composite69) composes from the same
+    * string, so the two replicas cannot drift apart (the
+    * ivfOracleCtes discipline, LlmOps3). */
+  private[graft] val kwRankCtes =
+    """o AS (
+      |  SELECT o_orderpriority AS g,
+      |    CAST(CAST(o_totalprice AS DECIMAL(15,2))*100 AS BIGINT) AS c
+      |  FROM orders),
+      |vc AS (SELECT c, CAST(count(*) AS BIGINT) AS cnt FROM o GROUP BY 1),
+      |ranked AS (
+      |  SELECT c, cnt,
+      |    2*(CAST(sum(cnt) OVER (ORDER BY c
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      - cnt) + cnt + 1 AS r2
+      |  FROM vc),
+      |gc AS (SELECT g, c, CAST(count(*) AS BIGINT) AS gcnt
+      |  FROM o GROUP BY 1, 2)""".stripMargin
+
   private def kruskalWallisOracle: String = {
     val aggDefs = KwGroups.zipWithIndex.flatMap { case (p, i) => Seq(
       s"CAST(sum(CASE WHEN g = '$p' THEN gcnt ELSE 0 END) AS BIGINT) AS n$i",
       s"CAST(sum(CASE WHEN g = '$p' THEN gcnt * r2 ELSE 0 END) AS BIGINT) AS r$i")
     }.mkString(",\n    ")
-    s"""WITH o AS (
-       |  SELECT o_orderpriority AS g,
-       |    CAST(CAST(o_totalprice AS DECIMAL(15,2))*100 AS BIGINT) AS c
-       |  FROM orders),
-       |vc AS (SELECT c, CAST(count(*) AS BIGINT) AS cnt FROM o GROUP BY 1),
-       |ranked AS (
-       |  SELECT c, cnt,
-       |    2*(CAST(sum(cnt) OVER (ORDER BY c
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-       |      - cnt) + cnt + 1 AS r2
-       |  FROM vc),
-       |gc AS (SELECT g, c, CAST(count(*) AS BIGINT) AS gcnt
-       |  FROM o GROUP BY 1, 2),
+    s"""WITH $kwRankCtes,
        |sums AS (
        |  SELECT
        |    $aggDefs

@@ -247,7 +247,14 @@ object LlmOps {
   // broadcast so the corpus scan never shuffles.
   // private[graft]: llm_ivf_recall reuses THIS exact-knn definition as
   // its ground truth, so the two rows cannot drift apart.
-  private[graft] def simsearchKnn(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def simsearchKnn(s: SparkSession, dir: String): DataFrame =
+    simsearchKnnK(s, dir, 5)
+
+  /** k-parameterized brute-force ground truth (llm_ann_ndcg grades
+    * the IVF path against the k=10 ranking; the k=5 form above is
+    * the llm_simsearch_knn row). */
+  private[graft] def simsearchKnnK(s: SparkSession, dir: String,
+      k: Int): DataFrame = {
       val e = load(s, dir, "embeddings")
       val q = e.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
@@ -257,7 +264,7 @@ object LlmOps {
         .select(col("q_id"), col("vec_id"),
           round(CosineSim(col("q_emb"), col("embedding")), 6).as("cos_sim"))
         .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 5)
+        .filter(col("rn") <= k)
         .orderBy("q_id", "rn")
   }
 

@@ -304,7 +304,7 @@ object LlmOps3 {
   // probe selection + in-cell ranking are generated per nprobe with a
   // CTE-name suffix so the sweep row can hold three replicas in one
   // query. The verified row uses the default (nprobe 2, no suffix).
-  private val ivfOracleBase =
+  private[graft] val ivfOracleBase =
     """cent AS (
       |  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cent_emb
       |  FROM embeddings WHERE vec_id % 97 = 0),
@@ -318,7 +318,7 @@ object LlmOps3 {
       |    FROM embeddings e CROSS JOIN cent c)
       |  WHERE arn = 1)""".stripMargin
 
-  private def ivfOracleProbe(nprobe: Int, sfx: String): String =
+  private[graft] def ivfOracleProbe(nprobe: Int, sfx: String): String =
     s"""probes$sfx AS (
        |  SELECT q_id, cell FROM (
        |    SELECT q.vec_id AS q_id, c.cent_id AS cell,
