@@ -109,7 +109,10 @@ object SparkEntry {
       (Composite68.queries, Composite68.oracle),
       (Composite69.queries, Composite69.oracle),
       (Composite70.queries, Composite70.oracle),
-      (LlmOps20.queries, LlmOps20.oracle)
+      (LlmOps20.queries, LlmOps20.oracle),
+      (Composite71.queries, Composite71.oracle),
+      (Composite72.queries, Composite72.oracle),
+      (LlmOps21.queries, LlmOps21.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

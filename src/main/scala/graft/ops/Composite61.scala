@@ -135,7 +135,10 @@ object Composite61 {
   }
 
   // ---- agg_odds_ratio ---------------------------------------------------------
-  private val OrThresholdCents = 25000000L // $250k — near the grand median
+  // $250k — near the grand median. Shared with agg_mantel_haenszel
+  // (Composite71): the stratified MH row pools the SAME 2×2 so crude
+  // vs adjusted is a like-for-like confounding read.
+  private[graft] val OrThresholdCents = 25000000L
 
   // nullif on the RATIO too: with an empty a or d cell the ratio is
   // 0 and ln(0) DIVERGES across engines (Spark → NULL, DuckDB →
