@@ -112,7 +112,9 @@ object SparkEntry {
       (LlmOps20.queries, LlmOps20.oracle),
       (Composite71.queries, Composite71.oracle),
       (Composite72.queries, Composite72.oracle),
-      (LlmOps21.queries, LlmOps21.oracle)
+      (LlmOps21.queries, LlmOps21.oracle),
+      (Composite73.queries, Composite73.oracle),
+      (Composite74.queries, Composite74.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
