@@ -73,38 +73,63 @@ object Composite36 {
   // left_anti against the half-edge list; Jaccard = cn / (deg_a +
   // deg_b − cn) on FULL degrees (the slice restricts which pairs are
   // scored, never the neighborhoods they are scored on).
-  private[graft] def jaccardLinkpredOn(half: DataFrame): DataFrame = {
+  /** Shared link-prediction candidate table (round 16): the
+    * non-adjacent slice pairs with everything BOTH scoring rows need
+    * — (src, dst, common_neighbors, deg_src, deg_dst, aa) — built
+    * once from the wedge explosion WITH the middle kept (so the
+    * Adamic-Adar weight Σ 1/ln(deg z) falls out of the same pass
+    * that counts the wedges). `graph_jaccard_linkpred` (here) and
+    * `graph_adamic_adar_linkpred` (Composite69) are projections +
+    * TakeOrdered over this one relation; the corpus-facing queries
+    * read it through the [[DiskMemo]] parquet materialization. */
+  private[graft] def linkpredCandidatesOn(half: DataFrame): DataFrame = {
     val sym = half.unionAll(
       half.select(col("dst").as("src"), col("src").as("dst")))
     val deg = sym.groupBy(col("src").as("n")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint() // three consumers: middle weight, deg_src, deg_dst
     val wedges = sym.filter(col("dst") % Slice === 0)
       .groupBy(col("src"))
       .agg(sort_array(collect_set(col("dst"))).as("ps0"))
-      .select(slice(col("ps0"), 1, SliceCap).as("ps"))
-      .select(col("ps"), posexplode(col("ps")))
-      .toDF("ps", "i", "a")
-      .select(col("a"),
+      .select(col("src").as("z"), slice(col("ps0"), 1, SliceCap).as("ps"))
+      .select(col("z"), col("ps"), posexplode(col("ps")))
+      .toDF("z", "ps", "i", "a")
+      .select(col("z"), col("a"),
         explode(slice(col("ps"), col("i") + lit(2), size(col("ps"))))
           .as("b"))
-    val cn = wedges.groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("common_neighbors"))
-    val nonAdj = cn.join(
-      half.select(col("src").as("a"), col("dst").as("b")),
-      Seq("a", "b"), "left_anti")
-    nonAdj
+    val cn = wedges
+      .join(deg.select(col("n").as("z"), col("deg").as("zdeg")), "z")
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum(expr("1.0/ln(CAST(zdeg AS DOUBLE))")).as("aa"))
+    cn.join(half.select(col("src").as("a"), col("dst").as("b")),
+        Seq("a", "b"), "left_anti")
       .join(deg.select(col("n").as("a"), col("deg").as("deg_src")), "a")
       .join(deg.select(col("n").as("b"), col("deg").as("deg_dst")), "b")
       .selectExpr("a AS src", "b AS dst", "common_neighbors",
+        "deg_src", "deg_dst", "aa")
+  }
+
+  private[graft] def sharedLinkpredCandidates(s: SparkSession,
+      dir: String): DataFrame =
+    DiskMemo.table(s, dir, "linkpred_cands")(linkpredCandidatesOn(
+      Composite4.coPurchaseHalfEdges(s, dir).localCheckpoint()))
+
+  /** Jaccard projection over the shared candidates (planted-graph
+    * test seam builds its own candidates, no disk). */
+  private[graft] def jaccardFromCandidates(cands: DataFrame): DataFrame =
+    cands.selectExpr("src", "dst", "common_neighbors",
         "deg_src", "deg_dst",
         """floor((CAST(common_neighbors AS DOUBLE)
           | / (deg_src + deg_dst - common_neighbors))*1e6 + 0.5)/1e6
           | AS jaccard""".stripMargin)
       .orderBy(col("jaccard").desc, col("src"), col("dst"))
       .limit(20)
-  }
+
+  private[graft] def jaccardLinkpredOn(half: DataFrame): DataFrame =
+    jaccardFromCandidates(linkpredCandidatesOn(half))
 
   private def jaccardLinkpred(s: SparkSession, dir: String): DataFrame =
-    jaccardLinkpredOn(Composite4.coPurchaseHalfEdges(s, dir).localCheckpoint())
+    jaccardFromCandidates(sharedLinkpredCandidates(s, dir))
 
   private val jaccardLinkpredOracle =
     s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),

@@ -155,37 +155,15 @@ object Composite69 {
 
   // ---- graph_adamic_adar_linkpred -----------------------------------------
 
-  /** Same candidate machinery as Composite36.jaccardLinkpredOn (slice
-    * % 20, per-middle cap 256, sorted-set pair explosion, adjacency
-    * anti-join) with the middle kept so AA can weight it; the three
-    * scores surface side by side. */
-  private[graft] def adamicAdarOn(half: DataFrame): DataFrame = {
-    val Slice = 20
-    val SliceCap = 256
-    val sym = half.unionAll(
-      half.select(col("dst").as("src"), col("src").as("dst")))
-    val deg = sym.groupBy(col("src").as("n")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint() // three consumers: middle weight, deg_a, deg_b
-    val wedges = sym.filter(col("dst") % Slice === 0)
-      .groupBy(col("src"))
-      .agg(sort_array(collect_set(col("dst"))).as("ps0"))
-      .select(col("src").as("z"), slice(col("ps0"), 1, SliceCap).as("ps"))
-      .select(col("z"), col("ps"), posexplode(col("ps")))
-      .toDF("z", "ps", "i", "a")
-      .select(col("z"), col("a"),
-        explode(slice(col("ps"), col("i") + lit(2), size(col("ps"))))
-          .as("b"))
-    val scored = wedges
-      .join(deg.select(col("n").as("z"), col("deg").as("zdeg")), "z")
-      .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("common_neighbors"),
-        sum(expr("1.0/ln(CAST(zdeg AS DOUBLE))")).as("aa"))
-    scored
-      .join(half.select(col("src").as("a"), col("dst").as("b")),
-        Seq("a", "b"), "left_anti")
-      .join(deg.select(col("n").as("a"), col("deg").as("deg_src")), "a")
-      .join(deg.select(col("n").as("b"), col("deg").as("deg_dst")), "b")
-      .selectExpr("a AS src", "b AS dst", "common_neighbors",
+  /** AA/PA projection over the SHARED link-prediction candidate
+    * table (Composite36.linkpredCandidatesOn — slice % 20,
+    * per-middle cap 256, sorted-set pair explosion with the middle
+    * kept for the 1/ln(deg) weight, adjacency anti-join); the three
+    * scores surface side by side. The corpus-facing query reads the
+    * DiskMemo parquet materialization also feeding
+    * `graph_jaccard_linkpred`. */
+  private[graft] def adamicAdarFrom(cands: DataFrame): DataFrame =
+    cands.selectExpr("src", "dst", "common_neighbors",
         "deg_src", "deg_dst",
         "floor(aa*1e6 + 0.5)/1e6 AS adamic_adar",
         "CAST(deg_src * deg_dst AS BIGINT) AS pref_attach",
@@ -194,10 +172,12 @@ object Composite69 {
           | AS jaccard""".stripMargin)
       .orderBy(col("adamic_adar").desc, col("src"), col("dst"))
       .limit(20)
-  }
+
+  private[graft] def adamicAdarOn(half: DataFrame): DataFrame =
+    adamicAdarFrom(Composite36.linkpredCandidatesOn(half))
 
   private def adamicAdar(s: SparkSession, dir: String): DataFrame =
-    adamicAdarOn(Composite4.coPurchaseHalfEdges(s, dir).localCheckpoint())
+    adamicAdarFrom(Composite36.sharedLinkpredCandidates(s, dir))
 
   private val adamicAdarOracle =
     s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),

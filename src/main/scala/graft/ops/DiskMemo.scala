@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Per-JVM parquet materialization of an expensive shared
+  * intermediate (the [[GraphBfs]] materialized-view discipline as a
+  * reusable helper): the first caller builds the table and writes it
+  * under the per-run /tmp path ([[Scans.tmp]] — per-applicationId,
+  * deleted on JVM exit); every later caller reads the parquet back.
+  *
+  * Disk, not memory, on purpose: persist/localCheckpoint blocks do
+  * not survive the between-query block cleanup a long-running driver
+  * performs, while the parquet files do — and at 100 TB a shared
+  * intermediate this expensive is a materialized view written once
+  * to storage and fanned out to every consumer, not re-derived per
+  * query. Builders must be DETERMINISTIC (consumers of the memo and
+  * of a fresh build must be cell-identical — every current builder
+  * is exact-integer or fixed-rounding by construction).
+  *
+  * The build runs under the memo lock: concurrent first callers
+  * (test suites share one JVM) block rather than racing two writes
+  * to one path. Keys canonicalize the corpus dir, so sf0.01 Verify
+  * and sf0.1 Bench never share a table.
+  */
+object DiskMemo {
+
+  private val memo = scala.collection.mutable.HashMap.empty[String, String]
+
+  def table(s: SparkSession, dir: String, tag: String)
+      (build: => DataFrame): DataFrame = {
+    val key = new java.io.File(dir).getCanonicalPath + "#" + tag
+    val path = memo.synchronized {
+      memo.getOrElseUpdate(key, {
+        val p = Scans.tmp(s, dir, tag) + "/t"
+        build.write.mode("overwrite").parquet(p)
+        p
+      })
+    }
+    s.read.parquet(path)
+  }
+}
