@@ -140,8 +140,11 @@ object Composite73 {
        | + ${sumOver(i => s"CAST(n$i AS DOUBLE)*(n$i - 1)")}
        |   * CAST(t3 AS DOUBLE)
        |   / (8*CAST(nn AS DOUBLE)*(nn - 1)))""".stripMargin
+  // nullif: the all-values-identical degenerate has variance exactly
+  // 0 (the double arithmetic is exact there) — z must be NULL on
+  // both engines, not an engine-specific 0/0.
   private val jtZ =
-    s"((CAST(jt2 AS DOUBLE) - $jtE2) / (2*sqrt($jtVar1)))"
+    s"((CAST(jt2 AS DOUBLE) - $jtE2) / (2*sqrt(nullif($jtVar1, 0))))"
 
   private[graft] def jonckheereOn(orders: DataFrame): DataFrame = {
     val o = orders.select(col("o_orderpriority").as("g"),

@@ -1627,4 +1627,266 @@ object PropertiesSpec extends Properties("graft-laws") {
       got._1 == "T" && got._2 == days.size.toLong &&
         math.abs(got._3 - expect) <= 1.000001e-6
     }
+
+  // ---- round-16 laws -------------------------------------------------------
+
+  private val r16Prios = Seq(
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  /** 5 small value lists, at least two distinct values overall (the
+    * all-identical degenerate NULLs the z's by design). */
+  private val fiveGroups: Gen[List[List[Long]]] =
+    Gen.listOfN(5, Gen.nonEmptyListOf(Gen.chooseNum(1L, 8L)))
+      .suchThat(gs => gs.flatten.distinct.size >= 2)
+
+  private def groupsToOrders(gs: List[List[Long]]) = {
+    import spark.implicits._
+    gs.zipWithIndex.flatMap { case (vs, i) =>
+      vs.map(v => (r16Prios(i), v.toDouble)) }
+      .toDF("o_orderpriority", "o_totalprice")
+  }
+
+  property("jonckheereOn == brute pair count + tie-corrected moments") =
+    forAll(fiveGroups) { gs =>
+      // brute doubled JT by direct pair enumeration
+      var jt2 = 0L
+      for (i <- gs.indices; j <- gs.indices if i < j;
+           x <- gs(i); y <- gs(j))
+        jt2 += (if (x < y) 2L else if (x == y) 1L else 0L)
+      val ns = gs.map(_.size.toLong)
+      val nn = ns.sum
+      val tc = gs.flatten.groupBy(identity).values.map(_.size.toLong)
+      val t1 = tc.map(t => t * (t - 1) * (2 * t + 5)).sum
+      val t2 = tc.map(t => t * (t - 1) * (t - 2)).sum
+      val t3 = tc.map(t => t * (t - 1)).sum
+      // identical formula structure to Composite73.jtZ (same op order
+      // on the JVM => bit-identical doubles)
+      val e2 = (nn.toDouble * nn - ns.map(n => n.toDouble * n).reduce(_ + _)) / 2
+      val var1 =
+        (nn.toDouble * (nn - 1) * (2 * nn + 5)
+          - ns.map(n => n.toDouble * (n - 1) * (2 * n + 5)).reduce(_ + _)
+          - t1.toDouble) / 72 +
+        ns.map(n => n.toDouble * (n - 1) * (n - 2)).reduce(_ + _) *
+          t2.toDouble / (36 * nn.toDouble * (nn - 1) * (nn - 2)) +
+        ns.map(n => n.toDouble * (n - 1)).reduce(_ + _) *
+          t3.toDouble / (8 * nn.toDouble * (nn - 1))
+      val z = (jt2.toDouble - e2) / (2 * math.sqrt(var1))
+      val r = graft.ops.Composite73.jonckheereOn(groupsToOrders(gs))
+        .collect().head
+      r.getLong(0) == nn && r.getLong(1) == jt2 &&
+        (if (var1 == 0) r.isNullAt(2)
+         else r.getDouble(2) == floor6(z) &&
+           r.getBoolean(3) == (math.abs(z) > 1.959964))
+    }
+
+  property("dunnOn == brute doubled-rank z grid with Holm step-down") =
+    forAll(fiveGroups) { gs =>
+      val all = gs.flatten.sorted
+      val nn = all.size.toLong
+      // doubled average rank per value: 2·below + cnt + 1
+      val cnt = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val below = {
+        var cum = 0L
+        cnt.toSeq.sortBy(_._1).map { case (v, c) =>
+          val b = cum; cum += c; v -> b }.toMap
+      }
+      def r2(v: Long) = 2 * below(v) + cnt(v) + 1
+      val tt = cnt.values.map(c => c * c * c - c).sum
+      val stats = gs.map(vs =>
+        (vs.size.toLong, vs.map(v => r2(v)).sum)) // (n_g, Σr2)
+      val zs = for {
+        i <- gs.indices; j <- gs.indices if i < j
+      } yield {
+        val (na, r2a) = stats(i); val (nb, r2b) = stats(j)
+        // same op order as Composite73/69's dunnZ text
+        val z = (r2a.toDouble / (2 * na) - r2b.toDouble / (2 * nb)) /
+          math.sqrt((nn.toDouble * (nn + 1) / 12
+            - tt.toDouble / (12 * (nn - 1))) * (1.0 / na + 1.0 / nb))
+        (r16Prios(i), r16Prios(j), na, nb, z)
+      }
+      val crit = Seq(2.8070337683438114, 2.772921294608662,
+        2.734368786533176, 2.690109527158866, 2.638257273476751,
+        2.5758293035489, 2.4977054744123737, 2.3939797998185104,
+        2.2414027276049464, 1.9599639845400536)
+      def round12(x: Double) = // Spark's Round(double) discipline
+        java.math.BigDecimal.valueOf(x)
+          .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue()
+      val ranked = zs.sortBy { case (g1, g2, _, _, z) =>
+        (-round12(math.abs(z)), g1, g2) }
+      var running = true
+      val holm = ranked.zipWithIndex.map { case ((g1, g2, _, _, z), l) =>
+        running = running && round12(math.abs(z)) >= crit(l)
+        (g1, g2) -> (l + 1, running)
+      }.toMap
+      val expect = zs.map { case (g1, g2, na, nb, z) =>
+        val (hr, sig) = holm((g1, g2))
+        (g1, g2, na, nb, floor6(z), hr, sig) }.sortBy(t => (t._1, t._2))
+      val got = graft.ops.Composite69.dunnOn(groupsToOrders(gs))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getDouble(6), r.getInt(7), r.getBoolean(8))).toSeq
+      got == expect
+    }
+
+  private val dailyCounts: Gen[List[Int]] =
+    Gen.chooseNum(2, 9).flatMap(n => Gen.listOfN(n, Gen.chooseNum(1, 20)))
+
+  private def countsToEvents(cs: List[Int]) = {
+    import spark.implicits._
+    cs.zipWithIndex.flatMap { case (y, i) =>
+      Seq.fill(y)(("A", java.time.LocalDate.of(2024, 1, 1)
+        .plusDays(i.toLong).toString)) }.toDF("event_type", "ts")
+  }
+
+  property("pageHinkleyOn == brute cumulative scan") =
+    forAll(dailyCounts) { cs =>
+      val nd = cs.size.toLong
+      val sy = cs.map(_.toLong).sum
+      val smr = cs.sliding(2).collect { case List(a, b) =>
+        math.abs(b - a).toLong }.sum
+      // running extrema of M over the prefix (current row included),
+      // then floored/ceiled at the empty-prefix 0 — the operator's
+      // least/greatest(0, ...) semantics
+      var c2 = 0L; var mn2 = Long.MaxValue; var mx2 = Long.MinValue
+      val pairs = cs.zipWithIndex.map { case (y, i) =>
+        c2 += y
+        val mt = nd * c2 - (i + 1) * sy
+        mn2 = math.min(mn2, mt); mx2 = math.max(mx2, mt)
+        (mt - math.min(0L, mn2), math.max(0L, mx2) - mt)
+      }
+      val bar = 2.66 * (smr.toDouble / (nd - 1))
+      val expInc = pairs.map(_._1).max
+      val expDec = pairs.map(_._2).max
+      val nAi = pairs.count(p => p._1.toDouble / nd > bar).toLong
+      val nAd = pairs.count(p => p._2.toDouble / nd > bar).toLong
+      val r = graft.ops.Composite71.pageHinkleyOn(countsToEvents(cs))
+        .collect().head
+      (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5), r.getLong(6)) ==
+        (("A", nd, floor6(expInc.toDouble / nd), floor6(expDec.toDouble / nd),
+          floor6(bar), nAi, nAd))
+    }
+
+  property("durbinWatsonOn == brute exact-residual fold") =
+    forAll(dailyCounts.suchThat(_.size >= 3)) { cs =>
+      val n = cs.size.toLong
+      val ys = cs.map(_.toLong)
+      val ts = (1L to n).toList
+      val st = ts.sum; val sy = ys.sum
+      val stt = ts.map(t => t * t).sum
+      val sty = ts.zip(ys).map { case (t, y) => t * y }.sum
+      val denb = n * sty - st * sy
+      val den = n * stt - st * st
+      val e = ts.zip(ys).map { case (t, y) =>
+        (n * den * y - (den * sy - denb * st) - n * denb * t).toDouble }
+      val see = e.map(x => x * x).sum
+      val sdd = e.sliding(2).collect { case List(a, b) =>
+        (b - a) * (b - a) }.sum
+      val r = graft.ops.Composite71.durbinWatsonOn(countsToEvents(cs))
+        .collect().head
+      val slopeOk = r.getDouble(2) == floor6(denb.toDouble / den)
+      if (see == 0) slopeOk && r.isNullAt(3)
+      else {
+        val dw = sdd / see
+        slopeOk && math.abs(r.getDouble(3) - floor6(dw)) <= 1.000001e-6 &&
+          // flag only asserted away from the 1.5 boundary (sum-order
+          // drift between brute and engine is ~1e-15 relative)
+          (math.abs(dw - 1.5) < 1e-6 || r.getBoolean(4) == (dw < 1.5))
+      }
+    }
+
+  property("ewmaChartOn == brute integer dot product + MR limits") =
+    forAll(Gen.chooseNum(17, 22).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(1, 20)))) { cs =>
+      val nd = cs.size.toLong
+      val sy = cs.map(_.toLong).sum
+      val smr = cs.sliding(2).collect { case List(a, b) =>
+        math.abs(b - a).toLong }.sum
+      val sigma = smr.toDouble / (nd - 1) / 1.128
+      val ucl = sy.toDouble / nd + math.sqrt(3.0) * sigma
+      val lcl = sy.toDouble / nd - math.sqrt(3.0) * sigma
+      val zs = (16 until cs.size).map { t =>
+        (0 to 16).map(j => cs(t - j).toLong * (1L << (16 - j))).sum }
+      val above = zs.count(z => z.toDouble / 131071 > ucl).toLong
+      val below = zs.count(z => z.toDouble / 131071 < lcl).toLong
+      val r = graft.ops.Composite70.ewmaChartOn(countsToEvents(cs))
+        .collect().head
+      (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6), r.getLong(7)) ==
+        (("A", zs.size.toLong, floor6(sy.toDouble / nd), floor6(sigma),
+          floor6(ucl), floor6(lcl), above, below))
+    }
+
+  property("katzOn == brute walk-count fold") =
+    forAll(Gen.nonEmptyListOf(
+      Gen.zip(Gen.chooseNum(0L, 5L), Gen.chooseNum(0L, 5L))
+        .suchThat(p => p._1 != p._2))) { es =>
+      import spark.implicits._
+      val edges = es.flatMap(p => Seq(p, p.swap)).distinct
+      val nodes = edges.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+      var w = nodes.map(_ -> 1L).toMap
+      val walks = (1 to 3).map { _ =>
+        w = edges.groupBy(_._2).view.mapValues(
+          _.map(e => w.getOrElse(e._1, 0L)).sum).toMap
+        w
+      }
+      val expect = nodes.map { v =>
+        val (w1, w2, w3) = (walks(0).getOrElse(v, 0L),
+          walks(1).getOrElse(v, 0L), walks(2).getOrElse(v, 0L))
+        (v, w1, w2, w3, (64 * w1 + 8 * w2 + w3).toDouble / 512)
+      }
+      val got = graft.ops.Composite73.katzOn(edges.toDF("src", "dst"))
+        .as[(Long, Long, Long, Long, Double)].collect().toSeq
+      got == expect
+    }
+
+  property("aroonOn == brute sliding 14-day window") =
+    forAll(Gen.chooseNum(14, 20).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(1, 6)))) { cs =>
+      val expect = (13 until cs.size).map { t =>
+        val win = (0 to 13).map(j => cs(t - j)) // j = days back
+        val hi = win.indexOf(win.max).toLong    // most recent extreme
+        val lo = win.indexOf(win.min).toLong
+        (cs(t).toLong, hi, lo,
+          floor6(100.0 * (13 - hi) / 13), floor6(100.0 * (13 - lo) / 13),
+          floor6(100.0 * (lo - hi) / 13))
+      }
+      val got = graft.ops.Composite74.aroonOn(countsToEvents(cs))
+        .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6), r.getDouble(7))).toSeq
+      got == expect
+    }
+
+  property("cronbachIccOn == brute scaled-variance fold") =
+    forAll(Gen.chooseNum(2, 7).flatMap(n => Gen.listOfN(n,
+      Gen.listOfN(5, Gen.chooseNum(0, 5)).map(r =>
+        if (r.sum == 0) r.updated(0, 1) else r)))) { m =>
+      import spark.implicits._
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val ev = m.zipWithIndex.flatMap { case (row, d) =>
+        row.zipWithIndex.flatMap { case (y, i) =>
+          Seq.fill(y)((types(i), java.time.LocalDate.of(2024, 1, 1)
+            .plusDays(d.toLong).toString)) } }.toDF("event_type", "ts")
+      val n = m.size.toLong
+      def colv(i: Int) = m.map(_(i).toLong)
+      val vs = (0 until 5).map { i =>
+        val xs = colv(i); n * xs.map(x => x * x).sum - xs.sum * xs.sum }
+      val rows = m.map(_.map(_.toLong).sum)
+      val ss = rows.sum; val qq = rows.map(s => s * s).sum
+      val vt = n * qq - ss * ss
+      val qsum = (0 until 5).map(i =>
+        colv(i).map(x => x * x).sum.toDouble).reduce(_ + _)
+      val alpha = if (vt == 0) None
+        else Some(floor6((5.0 / 4) *
+          (1 - vs.map(_.toDouble).reduce(_ + _) / vt.toDouble)))
+      val msb = (qq.toDouble / 5 - ss.toDouble * ss / (5 * n)) / (n - 1)
+      val msw = (qsum - qq.toDouble / 5) / (n * 4)
+      val icc = if (msb + 4 * msw == 0) None
+        else Some(floor6((msb - msw) / (msb + 4 * msw)))
+      val r = graft.ops.Composite75.cronbachIccOn(ev).collect().head
+      r.getLong(0) == n &&
+        (if (alpha.isEmpty) r.isNullAt(1)
+         else math.abs(r.getDouble(1) - alpha.get) <= 1.000001e-6) &&
+        (if (icc.isEmpty) r.isNullAt(2)
+         else math.abs(r.getDouble(2) - icc.get) <= 1.000001e-6)
+    }
 }
