@@ -148,13 +148,37 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
-    val unknown = only.diff(SparkEntry.queries.keySet)
+    // Memo builds as first-class timed entries (VERDICT r16 item 2):
+    // GraphBfs.sharedLevels and DiskMemo's linkpred candidate table
+    // are parquet materialized views built once per JVM; consumer
+    // timings measure read-back steady state, so without these rows
+    // the ~4-6 s build cost landed in the untimed warm pass and
+    // appeared in NO query — the total understated the suite's true
+    // cost. Each fn resets the per-JVM registry first, so the timed
+    // pass (and every retry attempt) measures a genuine rebuild —
+    // the materialized-view refresh a capacity planner budgets.
+    // Iteration order does not matter: a consumer running first
+    // triggers an untimed build in its warm pass exactly as before,
+    // and the explicit row still reports the true rebuild cost.
+    val memoBuilds = Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)](
+      "memo_bfslevels_3_3" -> ((s, d) => {
+        graft.ops.GraphBfs.reset()
+        graft.ops.GraphBfs.sharedLevels(s, d, seeds = 3, k = 3)._1
+      }),
+      "memo_linkpred_cands" -> ((s, d) => {
+        graft.ops.DiskMemo.reset()
+        graft.ops.Composite36.sharedLinkpredCandidates(s, d)
+      }))
+    val unknown = only.diff(SparkEntry.queries.keySet ++ memoBuilds.map(_._1))
     if (unknown.nonEmpty)
       System.err.println(
         s"[bench] SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.mkString(", ")}")
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (k, _) => only(k) }
+    val timedAll = scala.collection.immutable.ListMap((selected.toSeq ++ (
+      if (only.isEmpty) memoBuilds
+      else memoBuilds.filter { case (k, _) => only(k) })): _*)
     val prior =
       priorRecords(sys.env.getOrElse("SPARK_GRAFT_PRIOR", "bench_full.json"))
     if (selected.isEmpty)
@@ -191,7 +215,7 @@ object Bench {
         case (true, _)    => "steal"
         case _            => "prior"
       }
-    val results = selected.map { case (name, fn) =>
+    val results = timedAll.map { case (name, fn) =>
       // Warm once per query (plan compilation + whole-stage codegen
       // class generation are one-time costs, ~2.5s for the widest
       // plans), GC outside the timed window (heap pressure from a

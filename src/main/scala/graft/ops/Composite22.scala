@@ -69,13 +69,19 @@ object Composite22 {
   // Deterministic training-mix interleaving: round-robin across
   // sources in (within-source rank, source) order — the standard way
   // to spread domains evenly through a training epoch without RNG.
-  // Surfaces the first 50 positions of the schedule.
+  // Surfaces the first 50 positions of the schedule. pos ≤ 50 ⇒
+  // rn ≤ 50 (pos is a row_number over an order whose leading key is
+  // rn, so pos ≥ rn), so filtering rn FIRST bounds the global
+  // window's input to 50·|sources| rows — the per-source window is
+  // partition-parallel and the one-task global window never sees the
+  // full doc table (r16 verdict item 3).
   private def interleaveSources(s: SparkSession, dir: String): DataFrame = {
     val d = load(s, dir, "documents")
     val perSrc = Window.partitionBy(col("source")).orderBy(col("doc_id"))
     val global = Window.orderBy(col("rn"), col("source"))
     d.select(col("doc_id"), col("source"))
       .withColumn("rn", row_number().over(perSrc))
+      .filter(col("rn") <= 50)
       .withColumn("pos", row_number().over(global))
       .filter(col("pos") <= 50)
       .select(col("pos"), col("source"), col("doc_id"))

@@ -100,7 +100,12 @@ object Composite36 {
       .join(deg.select(col("n").as("z"), col("deg").as("zdeg")), "z")
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("common_neighbors"),
-        sum(expr("1.0/ln(CAST(zdeg AS DOUBLE))")).as("aa"))
+        // Fixed round-12 keeps the materialized table summation-order
+        // independent (DiskMemo's determinism contract): a fresh build
+        // and a memo read-back must be cell-identical even when the
+        // partial-sum order differs; downstream surfaces floor at 1e-6
+        // so the 1e-12 snap is invisible to every consumer.
+        expr("round(sum(1.0/ln(CAST(zdeg AS DOUBLE))), 12)").as("aa"))
     cn.join(half.select(col("src").as("a"), col("dst").as("b")),
         Seq("a", "b"), "left_anti")
       .join(deg.select(col("n").as("a"), col("deg").as("deg_src")), "a")

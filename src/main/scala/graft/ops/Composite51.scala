@@ -52,22 +52,21 @@ object Composite51 {
     * grid — `agg_dunn_posthoc` (Composite69) reuses these, so the
     * post-hoc z's rank on EXACTLY the grid the omnibus H tested:
     * ranked = per distinct value (c, cnt, r2) with the exact doubled
-    * average rank 2·cum_less + cnt + 1 (localCheckpoint'd — the
-    * cumulative window is single-partition by nature but runs over
-    * the \|distinct prices\|-bounded axis, never raw orders);
-    * gc = (g, c, gcnt) group-value counts. */
+    * average rank 2·below + cnt + 1, where `below` comes from
+    * [[graft.util.DistRank.globalPrefixSum]] (range partitions +
+    * broadcast offsets — no single-partition window at any width;
+    * o_totalprice is a near-unique sum, so the distinct-cents grid is
+    * ~\|orders\|-sized, NOT a bounded alphabet — the r16 verdict's
+    * rank-family retrofit); gc = (g, c, gcnt) group-value counts. */
   private[graft] def doubledRanks(orders: DataFrame): (DataFrame, DataFrame) = {
     val o = orders.select(col("o_orderpriority").as("g"),
       (money(col("o_totalprice")) * 100).cast("bigint").as("c"))
     // Distinct-value axis: per value, total count and the count of
-    // strictly-smaller rows (cumulative minus own), then the exact
-    // doubled average rank 2·cum_less + cnt + 1.
+    // strictly-smaller rows (distributed exclusive prefix sum), then
+    // the exact doubled average rank 2·below + cnt + 1.
     val vc = o.groupBy(col("c")).agg(count(lit(1)).as("cnt"))
-    val wc = org.apache.spark.sql.expressions.Window.orderBy(col("c"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val ranked = vc.select(col("c"), col("cnt"),
-        (sum(col("cnt")).over(wc) - col("cnt")).as("below"))
+    val ranked = graft.util.DistRank
+      .globalPrefixSum(vc, "below", col("c"), col("cnt"))
       .select(col("c"), col("cnt"),
         (lit(2L) * col("below") + col("cnt") + 1L).as("r2"))
       .localCheckpoint()

@@ -152,13 +152,16 @@ object Composite73 {
     val pivots = JtGroups.zipWithIndex.map { case (p, i) =>
       sum(when(col("g") === p, 1L).otherwise(0L)).as(s"n$i") }
     val grid = o.groupBy(col("c")).agg(pivots.head, pivots.tail: _*)
-    val wc = org.apache.spark.sql.expressions.Window.orderBy(col("c"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val cums = JtGroups.indices.map(i =>
-      (sum(col(s"n$i")).over(wc) - col(s"n$i")).as(s"cum$i"))
-    val withCum = grid.select(
-      (JtGroups.indices.map(i => col(s"n$i")) ++ cums): _*)
+    // All five per-group cumulative counts ride ONE distributed
+    // prefix-sum pass (range partitions + broadcast offsets, one
+    // shared partition-local Window) — the distinct-cents grid is
+    // ~|orders|-sized (totalprice is a near-unique sum), so a bare
+    // Window.orderBy here would funnel the fact table through one
+    // task at target scale (the r16 verdict's rank-family retrofit).
+    val withCum = graft.util.DistRank.globalPrefixSums(grid,
+        JtGroups.indices.map(i => s"cum$i" -> col(s"n$i")), col("c"))
+      .select((JtGroups.indices.map(i => col(s"n$i")) ++
+        JtGroups.indices.map(i => col(s"cum$i"))): _*)
     val perValue = withCum.select(
       (expr(s"$jtContrib").as("contrib") +:
         JtGroups.indices.map(i => col(s"n$i"))) :+

@@ -50,6 +50,11 @@ object GraphBfs {
   private val memo =
     scala.collection.mutable.HashMap.empty[(String, Int, Int), Handle]
 
+  /** Forget every memoized level set so the next caller rebuilds
+    * (paths are overwrite-mode). Bench uses this to time a TRUE
+    * forward-σ-BFS build as its own entry (VERDICT r16 item 2). */
+  private[graft] def reset(): Unit = memo.synchronized { memo.clear() }
+
   /** Forward σ-BFS: returns (seedRows(seed, seed_degree),
     * levels(0..k)) where levels(d) = (seed, node, sigma) at depth d.
     * Every level is localCheckpoint'd (each feeds 2-3 consumers: the

@@ -58,7 +58,11 @@ object LlmOps20 {
     .map(i => s"${NdcgK + 1 - i}*${Disc(i - 1)}")
     .mkString("(", " + ", ")")
 
-  private def annNdcg(s: SparkSession, dir: String): DataFrame = {
+  /** The (query set, IVF@10, exact@10) trio BOTH graded metrics read
+    * — one shared builder so nDCG and MRR grade the identical
+    * rankings by construction. */
+  private def gradedInputs(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val emb = load(s, dir, "embeddings")
     val ivf = LlmOps3.ivfTopK(emb, col("vec_id") % 100 === 0, k = NdcgK)
       .select(col("q_id"), col("vec_id"), col("rn"))
@@ -66,6 +70,11 @@ object LlmOps20 {
       .select(col("q_id"), col("vec_id"), col("rn").as("ern"))
     val queries = emb.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"))
+    (queries, ivf, exact)
+  }
+
+  private def annNdcg(s: SparkSession, dir: String): DataFrame = {
+    val (queries, ivf, exact) = gradedInputs(s, dir)
     ndcgFrom(queries, ivf, exact)
   }
 
@@ -105,12 +114,11 @@ object LlmOps20 {
 
   /** The IVF replica CTEs are LlmOps3's SINGLE shared SQL text (the
     * ivfOracleCtes discipline); the exact side re-derives the
-    * brute-force ranking at k = 10. */
-  private val annNdcgOracle = {
-    val gainDefs = (1 to NdcgK).map(i =>
-      s"CAST(sum(CASE WHEN rn = $i THEN rel ELSE 0 END) AS BIGINT) AS g$i")
-      .mkString(",\n    ")
-    s"""WITH ${LlmOps3.ivfOracleBase},
+    * brute-force ranking at k = 10. BOTH graded-metric oracles (nDCG
+    * here, MRR below) compose from this one prefix, so the rankings
+    * they grade cannot drift apart. */
+  private val gradedOracleCtes =
+    s"""${LlmOps3.ivfOracleBase},
        |${LlmOps3.ivfOracleProbe(2, "")},
        |ivf AS (SELECT q_id, vec_id, rn FROM ranked WHERE rn <= $NdcgK),
        |gq AS (SELECT vec_id AS q_id, embedding AS q_emb
@@ -121,7 +129,13 @@ object LlmOps20 {
        |  FROM gq JOIN embeddings ON q_id <> vec_id),
        |gr AS (SELECT q_id, vec_id, row_number() OVER (
        |  PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn FROM gc),
-       |ex AS (SELECT q_id, vec_id, rn AS ern FROM gr WHERE rn <= $NdcgK),
+       |ex AS (SELECT q_id, vec_id, rn AS ern FROM gr WHERE rn <= $NdcgK)""".stripMargin
+
+  private val annNdcgOracle = {
+    val gainDefs = (1 to NdcgK).map(i =>
+      s"CAST(sum(CASE WHEN rn = $i THEN rel ELSE 0 END) AS BIGINT) AS g$i")
+      .mkString(",\n    ")
+    s"""WITH $gradedOracleCtes,
        |rels AS (
        |  SELECT i.q_id, i.rn, coalesce(${NdcgK + 1} - e.ern, 0) AS rel
        |  FROM ivf i LEFT JOIN ex e
@@ -151,11 +165,167 @@ object LlmOps20 {
        |ORDER BY q_id""".stripMargin
   }
 
+  // ---- llm_ann_mrr --------------------------------------------------
+  // MRR@10 beside nDCG@10 (VERDICT r16 missing item 4): the
+  // single-relevant-answer metric retrieval dashboards quote next to
+  // the graded one. first_hit = the smallest IVF position whose
+  // candidate is in the EXACT top-10 (0 = none of the 10 were);
+  // rr = 1/first_hit — one double division of exact integers, bit-
+  // identical on both engines, floored at 1e-6. Per-query rows plus
+  // the q_id = −1 summary (first_hit = #queries with a hit, rr =
+  // the corpus MRR as the exact micro-unit-sum mean — the nDCG
+  // summary discipline). Driven from the query set so a query with
+  // no overlap scores 0 instead of vanishing from the mean.
+
+  /** MRR core over pre-built rankings (planted-ranking test seam) —
+    * same inputs as [[ndcgFrom]]. */
+  private[graft] def mrrFrom(queries: DataFrame, ivf: DataFrame,
+      exact: DataFrame): DataFrame = {
+    val hits = ivf.join(exact, Seq("q_id", "vec_id"))
+      .groupBy(col("q_id")).agg(min(col("rn")).as("fh"))
+    val per = queries
+      .join(hits, Seq("q_id"), "left")
+      .selectExpr("q_id",
+        "CAST(coalesce(fh, 0) AS BIGINT) AS first_hit",
+        """CASE WHEN fh IS NULL THEN CAST(0 AS DOUBLE)
+          |  ELSE floor((1.0E0/fh)*1e6 + 0.5)/1e6 END AS rr""".stripMargin)
+      .localCheckpoint() // two consumers: the rows + the summary
+    val summary = per.groupBy()
+      .agg(sum(when(col("first_hit") > 0, 1L).otherwise(0L)).as("nh"),
+        sum(expr("CAST(floor(rr*1e6 + 0.5) AS BIGINT)")).as("srm"),
+        count(lit(1)).as("nq"))
+      .selectExpr("CAST(-1 AS BIGINT) AS q_id",
+        "CAST(nh AS BIGINT) AS first_hit",
+        "floor(CAST(srm AS DOUBLE)/nq + 0.5)/1e6 AS rr")
+    per.unionAll(summary).orderBy("q_id")
+  }
+
+  private def annMrr(s: SparkSession, dir: String): DataFrame = {
+    val (queries, ivf, exact) = gradedInputs(s, dir)
+    mrrFrom(queries, ivf, exact)
+  }
+
+  private val annMrrOracle =
+    s"""WITH $gradedOracleCtes,
+       |h AS (
+       |  SELECT i.q_id, min(i.rn) AS fh
+       |  FROM ivf i JOIN ex e
+       |    ON i.q_id = e.q_id AND i.vec_id = e.vec_id
+       |  GROUP BY 1),
+       |qs AS (SELECT vec_id AS q_id FROM embeddings WHERE vec_id % 100 = 0),
+       |per AS (
+       |  SELECT qs.q_id,
+       |    CAST(coalesce(fh, 0) AS BIGINT) AS first_hit,
+       |    CASE WHEN fh IS NULL THEN CAST(0 AS DOUBLE)
+       |      ELSE floor((1.0E0/fh)*1e6 + 0.5)/1e6 END AS rr
+       |  FROM qs LEFT JOIN h ON qs.q_id = h.q_id)
+       |SELECT q_id, first_hit, rr FROM per
+       |UNION ALL
+       |SELECT CAST(-1 AS BIGINT) AS q_id,
+       |  CAST(sum(CASE WHEN first_hit > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS first_hit,
+       |  floor(CAST(sum(CAST(floor(rr*1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+       |    / count(*) + 0.5)/1e6 AS rr
+       |FROM per
+       |ORDER BY q_id""".stripMargin
+
+  // ---- llm_ann_map ----------------------------------------------------
+  // MAP@10 completing the graded-retrieval trio (nDCG = graded gain,
+  // MRR = first hit, AP = precision-weighted ALL hits): per query,
+  // AP@10 = (Σ_{k hit} precision@k)/10 with hit = the IVF candidate
+  // at position k is in the EXACT top-10 (R = 10 relevant by
+  // construction, so the denominator is the fixed k). The per-query
+  // hit flags pivot to ten fixed-order 0/1 columns (the DCG
+  // discipline), so AP is ONE fixed-order expression over shared
+  // text — bit-identical doubles on both engines; summary row (q_id
+  // = −1) carries the hit total and the exact micro-unit-mean MAP.
+
+  /** (h1·(h1)/1 + h2·(h1+h2)/2 + …)/10 — precision@k at each hit
+    * position, fixed left-assoc order, shared by both replicas. */
+  private val apExpr = (1 to NdcgK).map { k =>
+    val cum = (1 to k).map(j => s"h$j").mkString("(", " + ", ")")
+    s"h$k*$cum/$k.0E0"
+  }.mkString("((", " + ", s") / $NdcgK.0E0)")
+
+  /** AP core over pre-built rankings (planted-ranking test seam) —
+    * same inputs as [[ndcgFrom]]/[[mrrFrom]]. */
+  private[graft] def mapFrom(queries: DataFrame, ivf: DataFrame,
+      exact: DataFrame): DataFrame = {
+    val hits = ivf.join(exact, Seq("q_id", "vec_id"), "left")
+      .select(col("q_id"), col("rn"),
+        when(col("ern").isNotNull, 1L).otherwise(0L).as("h"))
+    val hitCols = (1 to NdcgK).map(k =>
+      sum(when(col("rn") === k, col("h")).otherwise(0L))
+        .cast("long").as(s"h$k")) :+
+      sum(col("h")).cast("long").as("n_hits")
+    val pivot = hits.groupBy(col("q_id")).agg(hitCols.head, hitCols.tail: _*)
+    val per = queries
+      .join(pivot, Seq("q_id"), "left")
+      .selectExpr(("q_id" +: "coalesce(n_hits, CAST(0 AS BIGINT)) AS n_hits" +:
+        (1 to NdcgK).map(k => s"coalesce(h$k, CAST(0 AS BIGINT)) AS h$k")): _*)
+      .selectExpr("q_id", "n_hits",
+        s"floor(($apExpr)*1e6 + 0.5)/1e6 AS ap")
+      .localCheckpoint() // two consumers: the rows + the summary
+    val summary = per.groupBy()
+      .agg(sum(col("n_hits")).as("nh"),
+        sum(expr("CAST(floor(ap*1e6 + 0.5) AS BIGINT)")).as("sam"),
+        count(lit(1)).as("nq"))
+      .selectExpr("CAST(-1 AS BIGINT) AS q_id", "CAST(nh AS BIGINT) AS n_hits",
+        "floor(CAST(sam AS DOUBLE)/nq + 0.5)/1e6 AS ap")
+    per.unionAll(summary).orderBy("q_id")
+  }
+
+  private def annMap(s: SparkSession, dir: String): DataFrame = {
+    val (queries, ivf, exact) = gradedInputs(s, dir)
+    mapFrom(queries, ivf, exact)
+  }
+
+  private val annMapOracle = {
+    val hitDefs = (1 to NdcgK).map(k =>
+      s"CAST(sum(CASE WHEN rn = $k THEN h ELSE 0 END) AS BIGINT) AS h$k")
+      .mkString(",\n    ")
+    val coals = (1 to NdcgK).map(k =>
+      s"coalesce(h$k, CAST(0 AS BIGINT)) AS h$k").mkString(",\n    ")
+    s"""WITH $gradedOracleCtes,
+       |hits AS (
+       |  SELECT i.q_id, i.rn,
+       |    CASE WHEN e.ern IS NOT NULL THEN 1 ELSE 0 END AS h
+       |  FROM ivf i LEFT JOIN ex e
+       |    ON i.q_id = e.q_id AND i.vec_id = e.vec_id),
+       |pv AS (
+       |  SELECT q_id,
+       |    $hitDefs,
+       |    CAST(sum(h) AS BIGINT) AS n_hits
+       |  FROM hits GROUP BY q_id),
+       |qs AS (SELECT vec_id AS q_id FROM embeddings WHERE vec_id % 100 = 0),
+       |filled AS (
+       |  SELECT qs.q_id,
+       |    coalesce(n_hits, CAST(0 AS BIGINT)) AS n_hits,
+       |    $coals
+       |  FROM qs LEFT JOIN pv ON qs.q_id = pv.q_id),
+       |per AS (
+       |  SELECT q_id, n_hits,
+       |    floor(($apExpr)*1e6 + 0.5)/1e6 AS ap
+       |  FROM filled)
+       |SELECT q_id, n_hits, ap FROM per
+       |UNION ALL
+       |SELECT CAST(-1 AS BIGINT) AS q_id,
+       |  CAST(sum(n_hits) AS BIGINT) AS n_hits,
+       |  floor(CAST(sum(CAST(floor(ap*1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+       |    / count(*) + 0.5)/1e6 AS ap
+       |FROM per
+       |ORDER BY q_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "llm_ann_ndcg" -> (annNdcg _)
+    "llm_ann_ndcg" -> (annNdcg _),
+    "llm_ann_mrr" -> (annMrr _),
+    "llm_ann_map" -> (annMap _)
   )
 
   val oracle: Map[String, String] = Map(
-    "llm_ann_ndcg" -> annNdcgOracle
+    "llm_ann_ndcg" -> annNdcgOracle,
+    "llm_ann_mrr" -> annMrrOracle,
+    "llm_ann_map" -> annMapOracle
   )
 }

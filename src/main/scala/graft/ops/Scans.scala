@@ -28,7 +28,14 @@ object Scans {
   }
 
   private[graft] def tmp(s: SparkSession, dir: String, tag: String): String = {
-    val p = s"/tmp/graft_${s.sparkContext.applicationId}_${tag}_${new java.io.File(dir).getName}"
+    // Basename alone is ambiguous (two corpora named "sf0.01" under
+    // different parents would share a path while DiskMemo/GraphBfs
+    // key on the CANONICAL dir); an 8-hex md5 of the canonical path
+    // makes path uniqueness match key uniqueness.
+    val canon = new java.io.File(dir).getCanonicalPath
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val p = s"/tmp/graft_${s.sparkContext.applicationId}_${tag}_${new java.io.File(dir).getName}_$digest"
     if (cleanupRegistered.add(p)) {
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
         deleteRecursively(new java.io.File(p))))

@@ -101,24 +101,45 @@ object DistRank {
     * must be UNIQUE per row (a grouped/distinct axis), which is what
     * makes the rowsBetween frame tie-safe. */
   def globalPrefixSum(df: DataFrame, as: String, key: Column,
-      weight: Column, parts: Int = 32): DataFrame = {
-    val clash = df.columns.toSet.intersect(Set("__pid", "__off", as))
+      weight: Column, parts: Int = 32): DataFrame =
+    globalPrefixSums(df, Seq(as -> weight), key, parts)
+
+  /** Multi-weight [[globalPrefixSum]]: append one exclusive prefix-sum
+    * column per `(name, weight)` pair over the SAME total order, in a
+    * single range-partition pass — the Jonckheere–Terpstra / KS shape,
+    * where every group's cumulative count rides the one value axis.
+    * One `repartitionByRange`, one `parts`-row offsets broadcast
+    * carrying all weights, and one partition-local Window node
+    * evaluating every cumsum (same spec → Spark collapses them); no
+    * single-partition stage at any input width. Keys must be unique
+    * per row, as in the single-weight form. */
+  def globalPrefixSums(df: DataFrame, outs: Seq[(String, Column)],
+      key: Column, parts: Int = 32): DataFrame = {
+    require(outs.nonEmpty, "globalPrefixSums: no output columns requested")
+    val names = outs.map(_._1)
+    require(names.distinct == names,
+      s"globalPrefixSums: duplicate output name in ${names.mkString(", ")}")
+    val scratch = Set("__pid") ++ names.map("__off_" + _)
+    val clash = df.columns.toSet.intersect(names.toSet ++ scratch)
     require(clash.isEmpty,
-      s"globalPrefixSum: input already has column(s) ${clash.mkString(", ")} " +
-        "— rename them (or the target column) before calling")
+      s"globalPrefixSums: input already has column(s) ${clash.mkString(", ")} " +
+        "— rename them (or the target columns) before calling")
     val ranged = df.repartitionByRange(parts, key)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(false)
+    val sums = outs.map { case (n, w) => sum(w).as(s"__c_$n") }
+    val offWin = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
     val offs = ranged.groupBy(col("__pid"))
-      .agg(sum(weight).as("__c"))
-      .withColumn("__off", coalesce(sum(col("__c")).over(
-        Window.orderBy(col("__pid"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__pid"), col("__off"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("__pid") +: names.map(n =>
+        coalesce(sum(col(s"__c_$n")).over(offWin), lit(0L))
+          .as(s"__off_$n")): _*)
+    val cumWin = Window.partitionBy(col("__pid")).orderBy(key)
+      .rowsBetween(Window.unboundedPreceding, -1)
     ranged.join(broadcast(offs), "__pid")
-      .withColumn(as, col("__off") + coalesce(sum(weight).over(
-        Window.partitionBy(col("__pid")).orderBy(key)
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .drop("__pid", "__off")
+      .select(df.columns.toSeq.map(col) ++ outs.map { case (n, w) =>
+        (col(s"__off_$n") + coalesce(sum(w).over(cumWin), lit(0L))).as(n)
+      }: _*)
   }
 }

@@ -1889,4 +1889,111 @@ object PropertiesSpec extends Properties("graft-laws") {
         (if (icc.isEmpty) r.isNullAt(2)
          else math.abs(r.getDouble(2) - icc.get) <= 1.000001e-6)
     }
+
+  // ---- round 17: prefix-sum retrofit + growth rows -------------------------
+
+  private val twoGroups: Gen[(List[Long], List[Long])] =
+    Gen.zip(Gen.nonEmptyListOf(Gen.chooseNum(0L, 10L)),
+      Gen.nonEmptyListOf(Gen.chooseNum(0L, 10L)))
+
+  property("globalPrefixSums == sequential exclusive cumsum per weight") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0L, 50L),
+        Gen.chooseNum(0L, 9L), Gen.chooseNum(0L, 9L)))) { xs =>
+      import spark.implicits._
+      // unique keys (the documented contract: a grouped/distinct axis)
+      val grid = xs.groupBy(_._1).map { case (k, vs) =>
+        (k, vs.map(_._2).sum, vs.map(_._3).sum) }.toList.sortBy(_._1)
+      val df = grid.toDF("k", "w1", "w2")
+      val got = graft.util.DistRank.globalPrefixSums(df,
+          Seq("c1" -> col("w1"), "c2" -> col("w2")), col("k"), parts = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+        .sortBy(_._1).toList
+      var (cum1, cum2) = (0L, 0L)
+      val want = grid.map { case (k, w1, w2) =>
+        val out = (k, cum1, cum2); cum1 += w1; cum2 += w2; out }
+      got == want
+    }
+
+  property("cliffsDeltaOn == brute pairwise sign fold") =
+    forAll(twoGroups) { case (g1, g2) =>
+      import spark.implicits._
+      var (gt, eq) = (0L, 0L)
+      for (x <- g1; y <- g2) {
+        if (x > y) gt += 1 else if (x == y) eq += 1
+      }
+      val (n1, n2) = (g1.size.toLong, g2.size.toLong)
+      val d2 = 2 * gt + eq
+      // identical op order to cliffsDelta6 => identical doubles
+      val delta = math.floor(
+        (d2.toDouble / (n1.toDouble * n2.toDouble) - 1) * 1e6 + 0.5) / 1e6
+      val mag =
+        if (math.abs(delta) < 0.147) "negligible"
+        else if (math.abs(delta) < 0.33) "small"
+        else if (math.abs(delta) < 0.474) "medium"
+        else "large"
+      val df = (g1.map(v => (v.toDouble, 1)) ++ g2.map(v => (v.toDouble, 0)))
+        .toDF("x", "i1")
+      val r = graft.ops.Composite8
+        .cliffsDeltaOn(df, col("x"), col("i1") === 1).collect().head
+      r.getLong(0) == n1 && r.getLong(1) == n2 &&
+        r.getDouble(2) == d2.toDouble / 2 &&
+        r.getDouble(3) == delta && r.getString(4) == mag
+    }
+
+  property("cvmTestOn == brute pooled-EDF square fold") =
+    forAll(twoGroups) { case (g1, g2) =>
+      import spark.implicits._
+      val (n1, n2) = (g1.size.toLong, g2.size.toLong)
+      val grid = (g1.map(v => (v, 1L, 0L)) ++ g2.map(v => (v, 0L, 1L)))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (v, rs) => (v, rs.map(_._2).sum, rs.map(_._3).sum) }
+      var (ca, cb) = (0L, 0L)
+      var u = BigInt(0)
+      for ((_, a, b) <- grid) {
+        ca += a; cb += b
+        val d = ca * n2 - cb * n1
+        u += BigInt(a + b) * BigInt(d) * BigInt(d)
+      }
+      // identical op order to cvmT => identical doubles
+      val n = (n1 + n2).toDouble
+      val t = u.toDouble / (n1.toDouble * n2.toDouble * n * n)
+      val t6 = math.floor(t * 1e6 + 0.5) / 1e6
+      val df = (g1.map(v => (v.toDouble, 1)) ++ g2.map(v => (v.toDouble, 0)))
+        .toDF("x", "i1")
+      val r = graft.ops.Composite8
+        .cvmTestOn(df, col("x"), col("i1") === 1).collect().head
+      r.getLong(0) == n1 && r.getLong(1) == n2 &&
+        math.abs(r.getDouble(2) - t6) <= 1.000001e-6 &&
+        r.getBoolean(3) == (t > 0.46136)
+    }
+
+  property("mannWhitneyOn == brute midrank fold (post prefix-sum retrofit)") =
+    forAll(twoGroups) { case (g1, g2) =>
+      import spark.implicits._
+      val all = (g1 ++ g2).sorted
+      val cnt = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val below = {
+        var cum = 0L
+        cnt.toSeq.sortBy(_._1).map { case (v, c) =>
+          val b = cum; cum += c; v -> b }.toMap
+      }
+      def midrank(v: Long) = below(v) + 1 + (cnt(v).toDouble - 1) / 2
+      val (n1, n2) = (g1.size.toLong, g2.size.toLong)
+      val rsum = g1.map(midrank).sum
+      val u1 = rsum - n1.toDouble * (n1.toDouble + 1) / 2
+      val tie = cnt.values.map(t => t * t * t - t).sum
+      val n = n1 + n2
+      val z = (u1 - n1.toDouble * n2.toDouble / 2.0) /
+        math.sqrt(n1.toDouble * n2.toDouble / 12.0 *
+          ((n + 1).toDouble - tie.toDouble / (n.toDouble * (n - 1).toDouble)))
+      val df = (g1.map(v => (v.toDouble, 1)) ++ g2.map(v => (v.toDouble, 0)))
+        .toDF("x", "i1")
+      val r = graft.ops.Composite8
+        .mannWhitneyOn(df, col("x"), col("i1") === 1).collect().head
+      r.getLong(0) == n1 && r.getLong(1) == n2 &&
+        r.getDouble(2) == u1 &&
+        (if (z.isNaN || z.isInfinite)
+           r.getDouble(3).isNaN || r.getDouble(3).isInfinite
+         else math.abs(r.getDouble(3) - z) <= 1.000001e-6)
+    }
 }
