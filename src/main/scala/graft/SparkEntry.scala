@@ -115,7 +115,8 @@ object SparkEntry {
       (LlmOps21.queries, LlmOps21.oracle),
       (Composite73.queries, Composite73.oracle),
       (Composite74.queries, Composite74.oracle),
-      (Composite75.queries, Composite75.oracle)
+      (Composite75.queries, Composite75.oracle),
+      (Composite76.queries, Composite76.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

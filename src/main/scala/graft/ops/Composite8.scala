@@ -25,7 +25,9 @@ import graft.util.Tables._
   */
 object Composite8 {
 
-  private def pooled(s: SparkSession, dir: String): DataFrame =
+  // shared with Composite76's Wasserstein / trimmed-mean rows: the
+  // whole two-sample family tests the same pooled slice
+  private[graft] def pooled(s: SparkSession, dir: String): DataFrame =
     load(s, dir, "customer")
       .filter(col("c_mktsegment").isin("AUTOMOBILE", "HOUSEHOLD"))
       .select(col("c_acctbal").as("x"),
@@ -37,12 +39,16 @@ object Composite8 {
   // Σ(t³−t) folds into the SAME windowed pass as Σ_rows (t²−1) —
   // no second value-group aggregate. The z denominator is the
   // shared-text tie-corrected variance.
+  // nullif: the all-values-identical degenerate has tie-corrected
+  // variance exactly 0 — z must be NULL on both engines (Spark 4
+  // ANSI raises DIVIDE_BY_ZERO even for doubles; DuckDB returns
+  // inf), the jonckheere r16 hardening.
   private val mwZ =
     """round((u1 - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0) /
-      |    sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 *
+      |    nullif(sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 *
       |      (CAST(n1 + n2 + 1 AS DOUBLE) -
       |       CAST(tie AS DOUBLE) /
-      |         (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))), 6)""".stripMargin
+      |         (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))), 0), 6)""".stripMargin
 
   private val mwFinal =
     s"""SELECT n1, n2, u1 AS u_stat,

@@ -113,6 +113,36 @@ object DistRank {
     * evaluating every cumsum (same spec → Spark collapses them); no
     * single-partition stage at any input width. Keys must be unique
     * per row, as in the single-weight form. */
+  /** Append `as` = the NEXT key in the global ascending order of
+    * `key` (SQL `lead(key) over (order by key)`; NULL for the global
+    * maximum), with no single-partition stage: range partition,
+    * partition-local lead, and the cross-boundary successor filled
+    * from the bounded per-partition first-key table (parts rows,
+    * broadcast). `key` must be unique per row (a grouped/distinct
+    * axis) — equal keys straddling a range boundary would make the
+    * successor nondeterministic. */
+  def globalLead(df: DataFrame, as: String, key: Column,
+      parts: Int = 32): DataFrame = {
+    val clash = df.columns.toSet.intersect(Set("__pid", "__nextf", as))
+    require(clash.isEmpty,
+      s"globalLead: input already has column(s) ${clash.mkString(", ")} " +
+        "— rename them (or the target column) before calling")
+    val ranged = df.repartitionByRange(parts, key)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(false)
+    // Non-empty partitions only appear here; lead over the __pid
+    // order therefore skips empty ranges correctly.
+    val firsts = ranged.groupBy(col("__pid")).agg(min(key).as("__f"))
+      .select(col("__pid"),
+        lead(col("__f"), 1).over(Window.orderBy(col("__pid")))
+          .as("__nextf"))
+    ranged.join(broadcast(firsts), "__pid")
+      .withColumn(as, coalesce(
+        lead(key, 1).over(Window.partitionBy(col("__pid")).orderBy(key)),
+        col("__nextf")))
+      .drop("__pid", "__nextf")
+  }
+
   def globalPrefixSums(df: DataFrame, outs: Seq[(String, Column)],
       key: Column, parts: Int = 32): DataFrame = {
     require(outs.nonEmpty, "globalPrefixSums: no output columns requested")

@@ -1940,6 +1940,65 @@ object PropertiesSpec extends Properties("graft-laws") {
         r.getDouble(3) == delta && r.getString(4) == mag
     }
 
+  property("globalLead == successor in the sorted key order") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(0L, 60L))) { ks =>
+      import spark.implicits._
+      val keys = ks.distinct.sorted
+      val df = keys.map(k => (k, k * 2)).toDF("k", "v")
+      val got = graft.util.DistRank.globalLead(df, "nk", col("k"), parts = 3)
+        .collect().map(r => (r.getLong(0), Option(r.get(2)).map(_.asInstanceOf[Long])))
+        .sortBy(_._1).toList
+      val want = keys.zip(keys.drop(1).map(Option(_)) :+ None)
+      got == want
+    }
+
+  property("wassersteinOn == brute EDF-area fold") =
+    forAll(twoGroups) { case (g1, g2) =>
+      import spark.implicits._
+      val (n1, n2) = (g1.size.toLong, g2.size.toLong)
+      val grid = (g1.map(v => (v * 100, 1L, 0L)) ++ g2.map(v => (v * 100, 0L, 1L)))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (v, rs) => (v, rs.map(_._2).sum, rs.map(_._3).sum) }
+      var (ca, cb) = (0L, 0L)
+      var u = BigInt(0)
+      for (((xc, a, b), i) <- grid.zipWithIndex) {
+        ca += a; cb += b
+        if (i + 1 < grid.size)
+          u += BigInt(math.abs(ca * n2 - cb * n1)) * (grid(i + 1)._1 - xc)
+      }
+      // identical op order to w1Expr => identical doubles
+      val w1 = math.floor(
+        u.toDouble / (n1.toDouble * n2.toDouble * 100.0) * 1e6 + 0.5) / 1e6
+      val df = (g1.map(v => (v.toDouble, 1)) ++ g2.map(v => (v.toDouble, 0)))
+        .toDF("x", "i1")
+      val r = graft.ops.Composite76
+        .wassersteinOn(df, col("x"), col("i1") === 1).collect().head
+      r.getLong(0) == n1 && r.getLong(1) == n2 &&
+        math.abs(r.getDouble(2) - w1) <= 1.000001e-6
+    }
+
+  property("trimmedWinsorizedOn == brute sorted-slice fold") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(-10L, 10L))) { vs =>
+      import spark.implicits._
+      val sorted = vs.map(_ * 100).sorted
+      val n = sorted.size.toLong
+      val k = (n / 10).toInt
+      val core = sorted.slice(k, sorted.size - k)
+      val tsum = core.map(BigInt(_)).sum
+      val tm = math.floor(
+        tsum.toDouble / ((n - 2 * k).toDouble * 100.0) * 1e6 + 0.5) / 1e6
+      val (lo, hi) = (sorted(k), sorted(sorted.size - k - 1))
+      val wm = math.floor(
+        (tsum.toDouble + k.toDouble * lo.toDouble + k.toDouble * hi.toDouble)
+          / (n.toDouble * 100.0) * 1e6 + 0.5) / 1e6
+      val r = graft.ops.Composite76
+        .trimmedWinsorizedOn(vs.map(_.toDouble).toDF("x"), col("x"))
+        .collect().head
+      r.getLong(0) == n && r.getLong(1) == k.toLong &&
+        math.abs(r.getDouble(2) - tm) <= 1.000001e-6 &&
+        math.abs(r.getDouble(3) - wm) <= 1.000001e-6
+    }
+
   property("cvmTestOn == brute pooled-EDF square fold") =
     forAll(twoGroups) { case (g1, g2) =>
       import spark.implicits._
@@ -1992,8 +2051,7 @@ object PropertiesSpec extends Properties("graft-laws") {
         .mannWhitneyOn(df, col("x"), col("i1") === 1).collect().head
       r.getLong(0) == n1 && r.getLong(1) == n2 &&
         r.getDouble(2) == u1 &&
-        (if (z.isNaN || z.isInfinite)
-           r.getDouble(3).isNaN || r.getDouble(3).isInfinite
+        (if (z.isNaN || z.isInfinite) r.isNullAt(3) // variance-0 degenerate
          else math.abs(r.getDouble(3) - z) <= 1.000001e-6)
     }
 }
