@@ -168,15 +168,122 @@ object Composite76 {
        |SELECT ${trimmedSelect.mkString(",\n  ")}
        |FROM s CROSS JOIN lo CROSS JOIN hi CROSS JOIN tot""".stripMargin
 
+  // ---- agg_brunner_munzel ----------------------------------------------
+  // Brunner–Munzel generalized Wilcoxon: the modern default when the
+  // two samples may differ in SHAPE/variance (Mann–Whitney assumes
+  // exchangeability under H0; BM tests P(X<Y)+½P(X=Y) = ½ without
+  // it). W = n₁n₂·(R̄₂−R̄₁) / ((n₁+n₂)·√(n₁S₁²+n₂S₂²)) with
+  // Sᵢ² the variance of (overall − within-group) midranks, plus the
+  // Welch–Satterthwaite df and the common-language p̂ estimate.
+  // Verdict via the large-sample normal 5% quantile (the exact
+  // small-sample BM test reads t_df — df is surfaced for it).
+  //
+  // Everything reduces to exact integers on the value grid: with
+  // prefix counts ba/bb, group-1 rows at a value have DOUBLED
+  // rank deviation 2d₁ = 2·bb + b (the overall-minus-within midrank
+  // difference; 2d₂ = 2·ba + a), and the doubled overall midrank is
+  // tm = 2(ba+bb) + (a+b) + 1 — so the six moments (s, q, r per
+  // group) are exact BIGINT/DECIMAL sums and the statistic assembles
+  // once in shared text. Formula verified against the published
+  // reference case (W = 3.137467, df = 17.682842 — the Brunner &
+  // Munzel 2000 design, the planted spec).
+  private def bmS(i: Int) =
+    s"""((CAST(q$i AS DOUBLE) - CAST(s$i AS DOUBLE)*CAST(s$i AS DOUBLE)/CAST(n$i AS DOUBLE))
+       | / nullif(4.0E0*(CAST(n$i AS DOUBLE) - 1), 0))""".stripMargin
+  private val bmVsum =
+    s"(CAST(n1 AS DOUBLE)*${bmS(1)} + CAST(n2 AS DOUBLE)*${bmS(2)})"
+  private val bmDiff =
+    """((CAST(r2s AS DOUBLE)/CAST(n2 AS DOUBLE)
+      |  - CAST(r1s AS DOUBLE)/CAST(n1 AS DOUBLE))/2.0E0)""".stripMargin
+  private val bmW =
+    s"""(CAST(n1 AS DOUBLE)*CAST(n2 AS DOUBLE)*$bmDiff
+       | / nullif(CAST(n1 + n2 AS DOUBLE)*sqrt($bmVsum), 0))""".stripMargin
+  private val bmPhat =
+    """((CAST(r2s AS DOUBLE)/CAST(n2 AS DOUBLE)/2.0E0
+      |  - (CAST(n2 AS DOUBLE) + 1)/2.0E0)/CAST(n1 AS DOUBLE))""".stripMargin
+  private val bmDf =
+    s"""(($bmVsum)*($bmVsum)
+       | / nullif((CAST(n1 AS DOUBLE)*${bmS(1)})*(CAST(n1 AS DOUBLE)*${bmS(1)})/(CAST(n1 AS DOUBLE) - 1)
+       |   + (CAST(n2 AS DOUBLE)*${bmS(2)})*(CAST(n2 AS DOUBLE)*${bmS(2)})/(CAST(n2 AS DOUBLE) - 1), 0))""".stripMargin
+  private val bmSelect = Seq("n1", "n2",
+    s"floor(($bmPhat)*1e6 + 0.5)/1e6 AS p_hat",
+    s"floor(($bmW)*1e6 + 0.5)/1e6 AS w_stat",
+    s"floor(($bmDf)*1e6 + 0.5)/1e6 AS df",
+    s"(abs($bmW) > 1.959964) AS reject_5pct")
+
+  /** Generic BM core over (value, group-1 indicator). */
+  private[graft] def brunnerMunzelOn(df: DataFrame, valueCol: org.apache.spark.sql.Column,
+      isGroup1: org.apache.spark.sql.Column): DataFrame = {
+    val v = df.select(valueCol.as("x"), isGroup1.cast("int").as("i1"))
+      .groupBy("x")
+      .agg(sum(col("i1")).cast("bigint").as("a"),
+        sum(lit(1) - col("i1")).cast("bigint").as("b"))
+    graft.util.DistRank.globalPrefixSums(v,
+        Seq("ba" -> col("a"), "bb" -> col("b")), col("x"))
+      .selectExpr("a", "b",
+        "2*bb + b AS d1", "2*ba + a AS d2",
+        "2*(ba + bb) + (a + b) + 1 AS tm")
+      .agg(
+        sum(col("a")).cast("bigint").as("n1"),
+        sum(col("b")).cast("bigint").as("n2"),
+        sum(expr("a * d1")).cast("bigint").as("s1"),
+        sum(expr("CAST(a AS DECIMAL(38,0)) * d1 * d1")).as("q1"),
+        sum(expr("b * d2")).cast("bigint").as("s2"),
+        sum(expr("CAST(b AS DECIMAL(38,0)) * d2 * d2")).as("q2"),
+        sum(expr("CAST(a AS DECIMAL(38,0)) * tm")).as("r1s"),
+        sum(expr("CAST(b AS DECIMAL(38,0)) * tm")).as("r2s"))
+      .selectExpr(bmSelect: _*)
+  }
+
+  private def brunnerMunzel(s: SparkSession, dir: String): DataFrame = {
+    val p = Composite8.pooled(s, dir)
+    brunnerMunzelOn(p, col("x"), col("i1") === 1)
+  }
+
+  private val brunnerMunzelOracle =
+    s"""WITH pooled AS (
+       |  SELECT c_acctbal AS x,
+       |    CAST(c_mktsegment = 'AUTOMOBILE' AS INT) AS i1
+       |  FROM customer
+       |  WHERE c_mktsegment IN ('AUTOMOBILE', 'HOUSEHOLD')),
+       |v AS (
+       |  SELECT x, CAST(sum(i1) AS BIGINT) AS a,
+       |    CAST(sum(1 - i1) AS BIGINT) AS b
+       |  FROM pooled GROUP BY x),
+       |p AS (
+       |  SELECT a, b,
+       |    CAST(sum(a) OVER w AS BIGINT) - a AS ba,
+       |    CAST(sum(b) OVER w AS BIGINT) - b AS bb
+       |  FROM v
+       |  WINDOW w AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |g AS (
+       |  SELECT a, b, 2*bb + b AS d1, 2*ba + a AS d2,
+       |    2*(ba + bb) + (a + b) + 1 AS tm
+       |  FROM p),
+       |m AS (
+       |  SELECT CAST(sum(a) AS BIGINT) AS n1,
+       |    CAST(sum(b) AS BIGINT) AS n2,
+       |    CAST(sum(a * d1) AS BIGINT) AS s1,
+       |    sum(CAST(a AS DECIMAL(38,0)) * d1 * d1) AS q1,
+       |    CAST(sum(b * d2) AS BIGINT) AS s2,
+       |    sum(CAST(b AS DECIMAL(38,0)) * d2 * d2) AS q2,
+       |    sum(CAST(a AS DECIMAL(38,0)) * tm) AS r1s,
+       |    sum(CAST(b AS DECIMAL(38,0)) * tm) AS r2s
+       |  FROM g)
+       |SELECT ${bmSelect.mkString(",\n  ")}
+       |FROM m""".stripMargin
+
   // ---- registration ---------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_wasserstein_distance" -> (wasserstein _),
-    "agg_trimmed_winsorized_mean" -> (trimmedWinsorized _)
+    "agg_trimmed_winsorized_mean" -> (trimmedWinsorized _),
+    "agg_brunner_munzel" -> (brunnerMunzel _)
   )
 
   val oracle: Map[String, String] = Map(
     "agg_wasserstein_distance" -> wassersteinOracle,
-    "agg_trimmed_winsorized_mean" -> trimmedOracle
+    "agg_trimmed_winsorized_mean" -> trimmedOracle,
+    "agg_brunner_munzel" -> brunnerMunzelOracle
   )
 }

@@ -1999,6 +1999,45 @@ object PropertiesSpec extends Properties("graft-laws") {
         math.abs(r.getDouble(3) - wm) <= 1.000001e-6
     }
 
+  property("brunnerMunzelOn == brute grid-moment fold") =
+    forAll(twoGroups) { case (g1, g2) =>
+      import spark.implicits._
+      val (n1, n2) = (g1.size.toLong, g2.size.toLong)
+      val grid = (g1.map(v => (v, 1L, 0L)) ++ g2.map(v => (v, 0L, 1L)))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (v, rs) => (v, rs.map(_._2).sum, rs.map(_._3).sum) }
+      var (ba, bb) = (0L, 0L)
+      var (s1, q1, s2, q2, r1s, r2s) = (0L, BigInt(0), 0L, BigInt(0), BigInt(0), BigInt(0))
+      for ((_, a, b) <- grid) {
+        val d1 = 2 * bb + b; val d2 = 2 * ba + a
+        val tm = 2 * (ba + bb) + (a + b) + 1
+        s1 += a * d1; q1 += BigInt(a) * d1 * d1
+        s2 += b * d2; q2 += BigInt(b) * d2 * d2
+        r1s += BigInt(a) * tm; r2s += BigInt(b) * tm
+        ba += a; bb += b
+      }
+      def sVar(q: BigInt, s: Long, n: Long): Double =
+        if (n < 2) Double.NaN
+        else (q.toDouble - s.toDouble * s.toDouble / n.toDouble) /
+          (4.0 * (n.toDouble - 1))
+      val (sv1, sv2) = (sVar(q1, s1, n1), sVar(q2, s2, n2))
+      val vsum = n1.toDouble * sv1 + n2.toDouble * sv2
+      val diff = (r2s.toDouble / n2.toDouble - r1s.toDouble / n1.toDouble) / 2.0
+      val w = n1.toDouble * n2.toDouble * diff /
+        ((n1 + n2).toDouble * math.sqrt(vsum))
+      val phat = (r2s.toDouble / n2.toDouble / 2.0 - (n2.toDouble + 1) / 2.0) /
+        n1.toDouble
+      val df = (g1.map(v => (v.toDouble, 1)) ++ g2.map(v => (v.toDouble, 0)))
+        .toDF("x", "i1")
+      val r = graft.ops.Composite76
+        .brunnerMunzelOn(df, col("x"), col("i1") === 1).collect().head
+      r.getLong(0) == n1 && r.getLong(1) == n2 &&
+        math.abs(r.getDouble(2) - math.floor(phat * 1e6 + 0.5) / 1e6) <= 1.000001e-6 &&
+        (if (n1 < 2 || n2 < 2 || vsum == 0 || w.isNaN || w.isInfinite)
+           r.isNullAt(3) // degenerate: variance undefined or zero
+         else math.abs(r.getDouble(3) - w) <= 1.000001e-6)
+    }
+
   property("cvmTestOn == brute pooled-EDF square fold") =
     forAll(twoGroups) { case (g1, g2) =>
       import spark.implicits._

@@ -161,6 +161,19 @@ class Round56Spec extends AnyFunSuite {
       (4L, 0L, 0.0)))
   }
 
+  test("brunnerMunzelOn reproduces the Brunner & Munzel 2000 reference case") {
+    // The published two-sample design (also scipy's reference case):
+    // W = 3.1374674823, df = 17.6828420, p̂ = 0.7889610.
+    val g1 = Seq(1, 2, 1, 1, 1, 1, 1, 1, 1, 1, 2, 4, 1, 1)
+    val g2 = Seq(3, 3, 4, 3, 1, 2, 3, 1, 1, 5, 4)
+    val df = (g1.map(v => (v.toDouble, 1)) ++ g2.map(v => (v.toDouble, 0)))
+      .toDF("x", "i1")
+    val r = graft.ops.Composite76
+      .brunnerMunzelOn(df, col("x"), col("i1") === 1)
+      .as[(Long, Long, Double, Double, Double, Boolean)].collect().head
+    assert(r == ((14L, 11L, 0.788961, 3.137467, 17.682842, true)))
+  }
+
   // ---- memo reset (Bench's timed-rebuild hook) ------------------------------
 
   test("DiskMemo.reset: rebuild after reset is cell-identical to the memoized read") {
