@@ -116,19 +116,38 @@ object SparkEntry {
       (Composite73.queries, Composite73.oracle),
       (Composite74.queries, Composite74.oracle),
       (Composite75.queries, Composite75.oracle),
-      (Composite76.queries, Composite76.oracle)
+      (Composite76.queries, Composite76.oracle),
+      (Composite77.queries, Composite77.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Aggregates.aggPricingSummary(spark, "/root/testdata/sf0.001")
 
+  // Map concatenation silently keeps the LAST entry on a key clash —
+  // a duplicate id across modules would quietly REPLACE an earlier
+  // operator (and its oracle) with a different-semantics namesake and
+  // no test would notice the old row vanished. Both surfaces fail
+  // fast with the offending ids instead (caught a real r17 collision:
+  // a new per-source novelty row nearly shadowed LlmOps7's per-doc
+  // llm_ngram_novelty).
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val all = modules.iterator.flatMap(_._1.keys).toSeq
+    val dups = all.groupBy(identity).filter(_._2.size > 1).keys
+    require(dups.isEmpty,
+      s"duplicate query id(s) across modules: ${dups.mkString(", ")}")
     modules.iterator.map(_._1).reduce(_ ++ _)
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] =
+  def oracleSql: Map[String, String] = {
+    val all = modules.iterator.flatMap(_._2.keys).toSeq
+    val dups = all.groupBy(identity).filter(_._2.size > 1).keys
+    require(dups.isEmpty,
+      s"duplicate oracle id(s) across modules: ${dups.mkString(", ")}")
     modules.iterator.map(_._2).reduce(_ ++ _)
+  }
 }

@@ -45,7 +45,7 @@ object LlmOps19 {
   private val LshBands = 4 // bands of 2 rows
 
   /** Distinct (doc_id, 3-token shingle) — the LlmOps10 gram text. */
-  private def grams(docs: DataFrame): DataFrame =
+  private[graft] def grams(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(expr(

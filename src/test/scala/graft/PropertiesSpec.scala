@@ -2038,6 +2038,52 @@ object PropertiesSpec extends Properties("graft-laws") {
          else math.abs(r.getDouble(3) - w) <= 1.000001e-6)
     }
 
+  property("theilSenOn == brute pairwise-slope lower median") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(1, 28), Gen.chooseNum(1, 5)))
+        .suchThat(_.map(_._1).distinct.size >= 2)) { dayCounts =>
+      import spark.implicits._
+      val daily = dayCounts.groupBy(_._1).view
+        .mapValues(_.map(_._2.toLong).sum).toList.sortBy(_._1)
+      val events = daily.flatMap { case (day, y) =>
+        Seq.fill(y.toInt)(("click",
+          java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00"))) }
+        .toDF("event_type", "ts")
+      val slopes = (for {
+        (d1, y1) <- daily; (d2, y2) <- daily if d1 < d2
+      } yield (y2 - y1).toDouble / (d2 - d1).toDouble).sorted
+      val np = slopes.size.toLong
+      val sen = slopes((np / 2 + np % 2 - 1).toInt) // first i with 2i >= np
+      val r = graft.ops.Composite77.theilSenOn(events).collect().head
+      r.getLong(1) == daily.size.toLong && r.getLong(2) == np &&
+        r.getDouble(3) == math.floor(sen * 1e6 + 0.5) / 1e6
+    }
+
+  property("sourceNoveltyOn == brute first-owner fold") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.oneOf("s1", "s2"),
+        Gen.listOfN(5, Gen.oneOf("a", "b", "c", "d"))))) { docs =>
+      import spark.implicits._
+      val rows = docs.zipWithIndex.map { case ((src, ws), i) =>
+        (i.toLong, src, ws.mkString(" ")) }
+      val df = rows.toDF("doc_id", "source", "text")
+      // brute: distinct 3-gram sets per doc, first owner by doc_id
+      val gsets = rows.map { case (id, src, text) =>
+        (id, src, text.split(" ").sliding(3).map(_.mkString(" ")).toSet) }
+      val owner = scala.collection.mutable.HashMap.empty[String, Long]
+      gsets.sortBy(_._1).foreach { case (id, _, gs) =>
+        gs.foreach(g => owner.getOrElseUpdate(g, id)) }
+      val perSrc = gsets.groupBy(_._2).view.mapValues { ds =>
+        val novs = ds.map { case (id, _, gs) =>
+          math.floor(gs.count(g => owner(g) == id).toDouble / gs.size * 1e6 + 0.5) / 1e6 }
+        (ds.size.toLong,
+          math.floor(novs.map(n => math.floor(n * 1e6 + 0.5).toLong).sum.toDouble
+            / ds.size + 0.5) / 1e6)
+      }.toMap
+      val got = graft.ops.Composite77.ngramNoveltyOn(df)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+        .toMap
+      got == perSrc
+    }
+
   property("cvmTestOn == brute pooled-EDF square fold") =
     forAll(twoGroups) { case (g1, g2) =>
       import spark.implicits._
