@@ -2084,6 +2084,42 @@ object PropertiesSpec extends Properties("graft-laws") {
       got == perSrc
     }
 
+  property("qqDecilesOn == brute sorted-index deciles") =
+    forAll(twoGroups) { case (g1, g2) =>
+      import spark.implicits._
+      val (s1, s2) = (g1.map(_ * 100).sorted, g2.map(_ * 100).sorted)
+      def q(s: List[Long], k: Int): Long = {
+        val n = s.size.toLong
+        s(((k * n + 9) / 10 - 1).toInt) // lower quantile at rank ceil(k*n/10)
+      }
+      val want = (1 to 9).map { k =>
+        (k.toLong, q(s1, k).toDouble / 100, q(s2, k).toDouble / 100,
+          (q(s1, k) - q(s2, k)).toDouble / 100) }.toList
+      val df = (g1.map(v => (v.toDouble, 1)) ++ g2.map(v => (v.toDouble, 0)))
+        .toDF("x", "i1")
+      val got = graft.ops.Composite78
+        .qqDecilesOn(df, col("x"), col("i1") === 1)
+        .as[(Long, Double, Double, Double)].collect().toList
+      got == want
+    }
+
+  property("medianCiOn == brute order-statistic interval") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(-20L, 20L))) { vs =>
+      import spark.implicits._
+      val s = vs.map(_ * 100).sorted
+      val n = s.size.toLong
+      val l = math.max(1L,
+        math.floor((n.toDouble - 1.959964 * math.sqrt(n.toDouble)) / 2.0).toLong)
+      val u = n + 1 - l
+      val med = s(((n + 1) / 2 - 1).toInt) // first index with 2c >= n
+      val r = graft.ops.Composite78
+        .medianCiOn(vs.map(_.toDouble).toDF("x"), col("x")).collect().head
+      r.getLong(0) == n &&
+        r.getDouble(1) == med.toDouble / 100 &&
+        r.getDouble(2) == s((l - 1).toInt).toDouble / 100 &&
+        r.getDouble(3) == s((u - 1).toInt).toDouble / 100
+    }
+
   property("cvmTestOn == brute pooled-EDF square fold") =
     forAll(twoGroups) { case (g1, g2) =>
       import spark.implicits._
