@@ -118,7 +118,8 @@ object SparkEntry {
       (Composite75.queries, Composite75.oracle),
       (Composite76.queries, Composite76.oracle),
       (Composite77.queries, Composite77.oracle),
-      (Composite78.queries, Composite78.oracle)
+      (Composite78.queries, Composite78.oracle),
+      (Composite79.queries, Composite79.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -2120,6 +2120,45 @@ object PropertiesSpec extends Properties("graft-laws") {
         r.getDouble(3) == s((u - 1).toInt).toDouble / 100
     }
 
+  property("seasonalMannKendallOn == brute weekday-strata fold") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(1, 28), Gen.chooseNum(1, 5)))) { dayCounts =>
+      import spark.implicits._
+      val daily = dayCounts.groupBy(_._1).view
+        .mapValues(_.map(_._2.toLong).sum).toList.sortBy(_._1)
+      val events = daily.flatMap { case (day, y) =>
+        Seq.fill(y.toInt)(("click",
+          java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00"))) }
+        .toDF("event_type", "ts")
+      val strata = daily.groupBy { case (day, _) =>
+        java.time.LocalDate.of(2024, 1, day).getDayOfWeek.getValue }
+      var (s, varNum) = (0L, 0.0)
+      strata.values.foreach { ds =>
+        val ys = ds.sortBy(_._1).map(_._2)
+        for (i <- ys.indices; j <- ys.indices if i < j)
+          s += java.lang.Long.signum(ys(j) - ys(i))
+        val n = ys.size.toLong
+        val tc = ys.groupBy(identity).values
+          .map(g => { val t = g.size.toLong; t * (t - 1) * (t * 2 + 5) }).sum
+        varNum += n.toDouble * (n - 1) * (2 * n + 5) - tc.toDouble
+      }
+      val varS = varNum / 18.0
+      val nDays = daily.size.toLong
+      val z =
+        if (s > 0) (s.toDouble - 1.0) / math.sqrt(varS)
+        else if (s < 0) (s.toDouble + 1.0) / math.sqrt(varS)
+        else 0.0
+      val got = graft.ops.Composite79.seasonalMannKendallOn(events).collect()
+      if (nDays < 10) got.isEmpty
+      else {
+        val r = got.head
+        r.getLong(1) == nDays && r.getLong(2) == strata.size.toLong &&
+          r.getLong(3) == s &&
+          math.abs(r.getDouble(4) - math.floor(varS * 1e6 + 0.5) / 1e6) <= 1.000001e-6 &&
+          (if (varS == 0) r.getDouble(5) == 0.0 || r.isNullAt(5)
+           else math.abs(r.getDouble(5) - z) <= 1.000001e-6)
+      }
+    }
+
   property("cvmTestOn == brute pooled-EDF square fold") =
     forAll(twoGroups) { case (g1, g2) =>
       import spark.implicits._
