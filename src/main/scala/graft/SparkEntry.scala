@@ -119,7 +119,8 @@ object SparkEntry {
       (Composite76.queries, Composite76.oracle),
       (Composite77.queries, Composite77.oracle),
       (Composite78.queries, Composite78.oracle),
-      (Composite79.queries, Composite79.oracle)
+      (Composite79.queries, Composite79.oracle),
+      (Composite80.queries, Composite80.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -12,8 +12,8 @@ class CountSpec extends AnyFunSuite {
       s"oracles without a query: ${(os.keySet -- qs.keySet).mkString(", ")}")
     // SURVEY §2 count paragraph: 472 declared rows, 459 oracle-checked,
     // 13 declared-✗ (the FINAL set, enumeration closed in r11).
-    assert(qs.size == 475, s"queries=${qs.size}")
-    assert(os.size == 462, s"oracles=${os.size}")
+    assert(qs.size == 476, s"queries=${qs.size}")
+    assert(os.size == 463, s"oracles=${os.size}")
     assert((qs.keySet -- os.keySet).size == 13)
   }
 }

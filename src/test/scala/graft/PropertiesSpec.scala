@@ -2159,6 +2159,28 @@ object PropertiesSpec extends Properties("graft-laws") {
       }
     }
 
+  property("lorenzOn == brute sorted cumulative-share fold") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(0L, 40L))) { vs =>
+      import spark.implicits._
+      val s = vs.sorted
+      val n = s.size.toLong
+      val tv = s.map(BigInt(_)).sum
+      val want = (1 to 10).map { k =>
+        val m = ((k * n + 9) / 10).toInt
+        val cum = s.take(m).map(BigInt(_)).sum
+        (k.toLong, m.toLong,
+          math.floor(m.toDouble / n.toDouble * 1e6 + 0.5) / 1e6,
+          if (tv == 0) null
+          else math.floor(cum.toDouble / tv.toDouble * 1e6 + 0.5) / 1e6)
+      }.toList
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "cents")
+      val got = graft.ops.Composite80.lorenzOn(df.select(col("cents")))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          if (r.isNullAt(3)) null else r.getDouble(3))).toList
+      got == want
+    }
+
   property("cvmTestOn == brute pooled-EDF square fold") =
     forAll(twoGroups) { case (g1, g2) =>
       import spark.implicits._
