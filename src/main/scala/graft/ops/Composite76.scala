@@ -53,9 +53,11 @@ object Composite76 {
         sum(lit(1) - col("i1")).cast("bigint").as("b"))
     val tot = v.agg(sum(col("a")).cast("bigint").as("n1"),
       sum(col("b")).cast("bigint").as("n2"))
-    val pre = graft.util.DistRank.globalPrefixSums(v,
-      Seq("ba" -> col("a"), "bb" -> col("b")), col("xc"))
-    val led = graft.util.DistRank.globalLead(pre, "xn", col("xc"))
+    // Fused prefix-sums + successor: ONE range exchange and ONE
+    // Window node instead of composing the two standalone primitives
+    // (which would re-range-partition the full grid a second time).
+    val led = graft.util.DistRank.globalPrefixSumsWithLead(v,
+      Seq("ba" -> col("a"), "bb" -> col("b")), col("xc"), "xn")
     val u = led.crossJoin(broadcast(tot))
       .filter(col("xn").isNotNull)
       .select(expr(

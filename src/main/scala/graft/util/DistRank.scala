@@ -144,32 +144,54 @@ object DistRank {
   }
 
   def globalPrefixSums(df: DataFrame, outs: Seq[(String, Column)],
-      key: Column, parts: Int = 32): DataFrame = {
+      key: Column, parts: Int = 32): DataFrame =
+    prefixSumsCore(df, outs, key, leadAs = None, parts)
+
+  /** [[globalPrefixSums]] + [[globalLead]] FUSED: the prefix sums and
+    * the global successor of `key` come out of ONE range exchange and
+    * ONE partition-local Window node (same partitionBy/orderBy spec,
+    * so Spark evaluates the cumsums and the lead together); the
+    * cross-boundary successor rides the same bounded per-partition
+    * offsets broadcast, extended with each partition's first key.
+    * Composing the two standalone primitives costs a second range
+    * exchange over the full grid — this is the one-pass form for
+    * consumers that need both (the Wasserstein EDF-area shape). */
+  def globalPrefixSumsWithLead(df: DataFrame, outs: Seq[(String, Column)],
+      key: Column, leadAs: String, parts: Int = 32): DataFrame =
+    prefixSumsCore(df, outs, key, leadAs = Some(leadAs), parts)
+
+  private def prefixSumsCore(df: DataFrame, outs: Seq[(String, Column)],
+      key: Column, leadAs: Option[String], parts: Int): DataFrame = {
     require(outs.nonEmpty, "globalPrefixSums: no output columns requested")
     val names = outs.map(_._1)
     require(names.distinct == names,
       s"globalPrefixSums: duplicate output name in ${names.mkString(", ")}")
-    val scratch = Set("__pid") ++ names.map("__off_" + _)
-    val clash = df.columns.toSet.intersect(names.toSet ++ scratch)
+    val scratch = Set("__pid", "__nextf") ++ names.map("__off_" + _)
+    val clash = df.columns.toSet
+      .intersect(names.toSet ++ scratch ++ leadAs.toSet)
     require(clash.isEmpty,
       s"globalPrefixSums: input already has column(s) ${clash.mkString(", ")} " +
         "— rename them (or the target columns) before calling")
     val ranged = df.repartitionByRange(parts, key)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(false)
-    val sums = outs.map { case (n, w) => sum(w).as(s"__c_$n") }
+    val sums = outs.map { case (n, w) => sum(w).as(s"__c_$n") } ++
+      leadAs.map(_ => min(key).as("__f")).toSeq
     val offWin = Window.orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offs = ranged.groupBy(col("__pid"))
       .agg(sums.head, sums.tail: _*)
-      .select(col("__pid") +: names.map(n =>
+      .select(col("__pid") +: (names.map(n =>
         coalesce(sum(col(s"__c_$n")).over(offWin), lit(0L))
-          .as(s"__off_$n")): _*)
-    val cumWin = Window.partitionBy(col("__pid")).orderBy(key)
-      .rowsBetween(Window.unboundedPreceding, -1)
+          .as(s"__off_$n")) ++
+        leadAs.map(_ => lead(col("__f"), 1)
+          .over(Window.orderBy(col("__pid"))).as("__nextf")).toSeq): _*)
+    val partWin = Window.partitionBy(col("__pid")).orderBy(key)
+    val cumWin = partWin.rowsBetween(Window.unboundedPreceding, -1)
     ranged.join(broadcast(offs), "__pid")
       .select(df.columns.toSeq.map(col) ++ outs.map { case (n, w) =>
         (col(s"__off_$n") + coalesce(sum(w).over(cumWin), lit(0L))).as(n)
-      }: _*)
+      } ++ leadAs.map(a =>
+        coalesce(lead(key, 1).over(partWin), col("__nextf")).as(a)).toSeq: _*)
   }
 }

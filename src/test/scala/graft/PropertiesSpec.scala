@@ -1952,6 +1952,26 @@ object PropertiesSpec extends Properties("graft-laws") {
       got == want
     }
 
+  property("globalPrefixSumsWithLead == standalone prefix sums + lead") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0L, 50L),
+        Gen.chooseNum(0L, 9L)))) { xs =>
+      import spark.implicits._
+      val grid = xs.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+        .toList.sortBy(_._1)
+      val df = grid.toDF("k", "w")
+      val fused = graft.util.DistRank
+        .globalPrefixSumsWithLead(df, Seq("c" -> col("w")), col("k"), "nk",
+          parts = 3)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Long])))
+        .sortBy(_._1).toList
+      var cum = 0L
+      val want = grid.zipAll(grid.drop(1).map(x => Option(x._1)), (0L, 0L), None)
+        .map { case ((k, w), nk) => val o = (k, cum, nk); cum += w; o }
+      fused == want
+    }
+
   property("wassersteinOn == brute EDF-area fold") =
     forAll(twoGroups) { case (g1, g2) =>
       import spark.implicits._
