@@ -120,7 +120,8 @@ object SparkEntry {
       (Composite77.queries, Composite77.oracle),
       (Composite78.queries, Composite78.oracle),
       (Composite79.queries, Composite79.oracle),
-      (Composite80.queries, Composite80.oracle)
+      (Composite80.queries, Composite80.oracle),
+      (Composite81.queries, Composite81.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

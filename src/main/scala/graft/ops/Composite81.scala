@@ -47,10 +47,16 @@ object Composite81 {
        |FROM c
        |ORDER BY digit""".stripMargin
 
-  private def benford2(s: SparkSession, dir: String): DataFrame = {
-    graft.util.Tables.load(s, dir, "orders").createOrReplaceTempView("orders")
+  /** Generic seam: runs the screen over whatever `orders` relation is
+    * bound (planted inputs in Round57Spec exercise the totals-<10
+    * exclusion and a known distribution). */
+  private[graft] def benford2On(s: SparkSession, orders: DataFrame): DataFrame = {
+    orders.createOrReplaceTempView("orders")
     s.sql(body("STRING"))
   }
+
+  private def benford2(s: SparkSession, dir: String): DataFrame =
+    benford2On(s, graft.util.Tables.load(s, dir, "orders"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_benford_second_digit" -> (benford2 _)
