@@ -181,7 +181,7 @@ object Bench {
       else memoBuilds.filter { case (k, _) => only(k) })): _*)
     val prior =
       priorRecords(sys.env.getOrElse("SPARK_GRAFT_PRIOR", "bench_full.json"))
-    if (selected.isEmpty)
+    if (timedAll.isEmpty)
       System.err.println("[bench] no queries selected — emitting empty result")
     // Audit trail for the best-of-2 policy (ADVICE r8): every re-timed
     // query records BOTH measurements in bench_full.json, so the

@@ -463,4 +463,22 @@ object Graft {
     * verdict absent/added/dropped/retyped/stable. One scan. */
   def schemaDrift(docs: DataFrame): DataFrame =
     graft.ops.Composite43.schemaDriftOn(docs)
+
+  /** Mann–Whitney U with tie-corrected normal approximation over
+    * (value, group-1 indicator) rows — ranks ride the distributed
+    * prefix-sum grid, never a one-task global window. */
+  def mannWhitney(df: DataFrame, value: Column, isGroup1: Column): DataFrame =
+    graft.ops.Composite8.mannWhitneyOn(df, value, isGroup1)
+
+  /** Two-sample Kolmogorov–Smirnov sup statistic and its location
+    * over (value, group-1 indicator) rows; same grid as
+    * [[mannWhitney]]. */
+  def ksTest(df: DataFrame, value: Column, isGroup1: Column): DataFrame =
+    graft.ops.Composite8.ksTestOn(df, value, isGroup1)
+
+  /** Two-sample Anderson–Darling A² (tail-weighted EDF distance,
+    * Pettitt 1976 / Scholz–Stephens 1987 at k = 2) with the 5%
+    * asymptotic verdict; a third consumer of the KS/CvM grid. */
+  def andersonDarling(df: DataFrame, value: Column, isGroup1: Column): DataFrame =
+    graft.ops.Composite8.adTestOn(df, value, isGroup1)
 }

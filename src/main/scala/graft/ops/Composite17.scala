@@ -75,9 +75,14 @@ object Composite17 {
     // exactly once, so t3 IS the per-node triangle count
     val withCc = deg.join(tri, "n")
       .select(col("n"), col("deg"), col("t3"))
-    val dw = Window.orderBy(col("deg"), col("n"))
-    withCc
-      .withColumn("decile", ntile(10).over(dw))
+    // r18 retrofit: the decile profile rode a bare node-sized ntile
+    // window (one task holds every node at target scale); DistRank
+    // .globalNtile is SQL-ntile-exact over the same (deg, n) total
+    // order, so the oracle hash cannot move. INT cast preserves the
+    // green schema (the oracle pins decile as INT).
+    graft.util.DistRank
+      .globalNtile(withCc, "decile10", 10, Seq(col("deg"), col("n")))
+      .withColumn("decile", col("decile10").cast("int")).drop("decile10")
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_nodes"),
         round(avg(col("deg").cast("double")), 6).as("mean_deg"),

@@ -30,10 +30,28 @@ object Composite26 {
     val rev = load(s, dir, "lineitem")
       .groupBy(col("l_partkey"))
       .agg(sum(money(col("l_extendedprice"))).cast("decimal(18,2)").as("r"))
+      .localCheckpoint(false) // feeds the grid AND the per-part join
     val total = rev.agg(sum(col("r")).cast("decimal(18,2)").as("tot"))
-    val w = Window.orderBy(desc("r"), asc("l_partkey"))
-    rev.crossJoin(broadcast(total))
-      .withColumn("crun", sum(col("r")).over(w).cast("decimal(18,2)"))
+    // r18 retrofit: the cumulative-revenue window ran the whole part
+    // alphabet through ONE task. Grid form instead: distinct revenue
+    // values carry their mass (r·count, exact decimal) through one
+    // [[graft.util.DistRank.globalPrefixSum]] pass keyed r DESC (sb =
+    // exact revenue strictly above this value); each part then adds
+    // j·r for its rank j among equal-revenue parts — a partitionBy(r)
+    // window bounded by the tie group, never global. sb + j·r IS the
+    // running sum over (r DESC, partkey), cast to the same
+    // DECIMAL(18,2) — the oracle hash cannot move.
+    val grid = rev.groupBy(col("r").as("rv"))
+      .agg(sum(col("r")).cast("decimal(38,2)").as("mass"))
+    val pre = graft.util.DistRank
+      .globalPrefixSum(grid, "sb", col("rv").desc, col("mass"))
+      .select(col("rv"), col("sb"))
+    val tieW = Window.partitionBy(col("r")).orderBy(col("l_partkey"))
+    rev.join(pre, col("r") === col("rv"))
+      .crossJoin(broadcast(total))
+      .withColumn("j", row_number().over(tieW).cast("long"))
+      .withColumn("crun",
+        (col("sb") + col("j") * col("r")).cast("decimal(18,2)"))
       .select(col("l_partkey"), col("r"),
         (asD(col("crun")) / asD(col("tot"))).as("cshare"))
       .select(col("l_partkey"), col("r"),

@@ -198,7 +198,7 @@ object Composite69 {
        |w AS (
        |  SELECT a.dst AS src, b.dst AS dst,
        |    CAST(count(*) AS BIGINT) AS common_neighbors,
-       |    sum(1.0/ln(CAST(dz.deg AS DOUBLE))) AS aa
+       |    round(sum(1.0/ln(CAST(dz.deg AS DOUBLE))), 12) AS aa
        |  FROM sn a JOIN sn b ON a.src = b.src AND a.dst < b.dst
        |    JOIN deg dz ON dz.n = a.src
        |  GROUP BY 1, 2),

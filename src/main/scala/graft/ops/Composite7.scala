@@ -136,13 +136,13 @@ object Composite7 {
   // over the total (spend desc, custkey) order), each decile's
   // customer count, exact-decimal revenue, and share of total. The
   // share divides a decimal window total that is EXACT, hence
-  // order-independent. SCALE BOUND (VERDICT r8 item 5): the window
-  // input is the |customers|-sized aggregate; `agg_ntile_distributed`
-  // is THIS query's oracle-checked twin on the partitioned plan
-  // ([[graft.util.DistRank.globalNtile]]: range partition →
-  // broadcast prefix offsets → per-partition row_number) — the
-  // entity-scale swap is proven green every round, and this row keeps
-  // the single-window plan that is ~4x faster at bench SF.
+  // order-independent. The window input is the |customers|-sized
+  // aggregate — entity-sized at target scale — so the decile rides
+  // [[graft.util.DistRank.globalNtile]] (r18 retrofit: range
+  // partition → broadcast prefix offsets → per-partition row_number,
+  // SQL-ntile-exact so the oracle hash cannot move);
+  // `agg_ntile_distributed` remains the named twin that keeps the
+  // primitive's contract continuously driver-proven.
   private def custSpend(s: SparkSession, dir: String): DataFrame =
     load(s, dir, "orders")
       .groupBy(col("o_custkey"))
@@ -158,10 +158,9 @@ object Composite7 {
       .orderBy("decile")
 
   private def paretoDeciles(s: SparkSession, dir: String): DataFrame =
-    paretoTail(custSpend(s, dir)
-      // BIGINT on both sides: DuckDB's ntile returns BIGINT, Spark's INT
-      .withColumn("decile", ntile(10).over(
-        Window.orderBy(col("spend").desc, col("o_custkey"))).cast("bigint")))
+    // globalNtile already yields BIGINT, matching DuckDB's ntile.
+    paretoTail(graft.util.DistRank.globalNtile(custSpend(s, dir),
+      "decile", 10, Seq(col("spend").desc, col("o_custkey"))))
 
   // ---- agg_ntile_distributed ---------------------------------------
   // agg_pareto_deciles' oracle-checked twin on the PARTITIONED plan:

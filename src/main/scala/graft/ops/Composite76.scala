@@ -36,9 +36,13 @@ object Composite76 {
 
   // ---- agg_wasserstein_distance --------------------------------------
 
+  // nullif: empty-group n1·n2 = 0 — NULL on both engines rather than
+  // Spark-4-ANSI DIVIDE_BY_ZERO vs DuckDB inf (double-div-zero
+  // discipline; unreachable on the pinned slice, hardening the
+  // generic *On seam — ADVICE r17).
   private val w1Expr =
     """(CAST(coalesce(u, 0) AS DOUBLE)
-      |  / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * 100.0E0))""".stripMargin
+      |  / nullif(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * 100.0E0, 0))""".stripMargin
   private val w1Select = Seq("n1", "n2",
     s"floor(($w1Expr)*1e6 + 0.5)/1e6 AS wasserstein_1")
 
@@ -189,24 +193,27 @@ object Composite76 {
   // once in shared text. Formula verified against the published
   // reference case (W = 3.137467, df = 17.682842 — the Brunner &
   // Munzel 2000 design, the planted spec).
+  // Every zero-able denominator below rides nullif (empty group n_i=0,
+  // singleton n_i=1): Spark 4 ANSI raises DIVIDE_BY_ZERO on doubles
+  // where DuckDB returns inf/nan — ADVICE r17 seam hardening.
   private def bmS(i: Int) =
-    s"""((CAST(q$i AS DOUBLE) - CAST(s$i AS DOUBLE)*CAST(s$i AS DOUBLE)/CAST(n$i AS DOUBLE))
+    s"""((CAST(q$i AS DOUBLE) - CAST(s$i AS DOUBLE)*CAST(s$i AS DOUBLE)/nullif(CAST(n$i AS DOUBLE), 0))
        | / nullif(4.0E0*(CAST(n$i AS DOUBLE) - 1), 0))""".stripMargin
   private val bmVsum =
     s"(CAST(n1 AS DOUBLE)*${bmS(1)} + CAST(n2 AS DOUBLE)*${bmS(2)})"
   private val bmDiff =
-    """((CAST(r2s AS DOUBLE)/CAST(n2 AS DOUBLE)
-      |  - CAST(r1s AS DOUBLE)/CAST(n1 AS DOUBLE))/2.0E0)""".stripMargin
+    """((CAST(r2s AS DOUBLE)/nullif(CAST(n2 AS DOUBLE), 0)
+      |  - CAST(r1s AS DOUBLE)/nullif(CAST(n1 AS DOUBLE), 0))/2.0E0)""".stripMargin
   private val bmW =
     s"""(CAST(n1 AS DOUBLE)*CAST(n2 AS DOUBLE)*$bmDiff
        | / nullif(CAST(n1 + n2 AS DOUBLE)*sqrt($bmVsum), 0))""".stripMargin
   private val bmPhat =
-    """((CAST(r2s AS DOUBLE)/CAST(n2 AS DOUBLE)/2.0E0
-      |  - (CAST(n2 AS DOUBLE) + 1)/2.0E0)/CAST(n1 AS DOUBLE))""".stripMargin
+    """((CAST(r2s AS DOUBLE)/nullif(CAST(n2 AS DOUBLE), 0)/2.0E0
+      |  - (CAST(n2 AS DOUBLE) + 1)/2.0E0)/nullif(CAST(n1 AS DOUBLE), 0))""".stripMargin
   private val bmDf =
     s"""(($bmVsum)*($bmVsum)
-       | / nullif((CAST(n1 AS DOUBLE)*${bmS(1)})*(CAST(n1 AS DOUBLE)*${bmS(1)})/(CAST(n1 AS DOUBLE) - 1)
-       |   + (CAST(n2 AS DOUBLE)*${bmS(2)})*(CAST(n2 AS DOUBLE)*${bmS(2)})/(CAST(n2 AS DOUBLE) - 1), 0))""".stripMargin
+       | / nullif((CAST(n1 AS DOUBLE)*${bmS(1)})*(CAST(n1 AS DOUBLE)*${bmS(1)})/nullif(CAST(n1 AS DOUBLE) - 1, 0)
+       |   + (CAST(n2 AS DOUBLE)*${bmS(2)})*(CAST(n2 AS DOUBLE)*${bmS(2)})/nullif(CAST(n2 AS DOUBLE) - 1, 0), 0))""".stripMargin
   private val bmSelect = Seq("n1", "n2",
     s"floor(($bmPhat)*1e6 + 0.5)/1e6 AS p_hat",
     s"floor(($bmW)*1e6 + 0.5)/1e6 AS w_stat",

@@ -209,8 +209,12 @@ object Composite8 {
   // integers; the product cubes in DECIMAL — kwHc overflow rule).
   // Magnitude bands per Romano et al. 2006, CASE'd on the FLOORED δ
   // so a boundary value cannot split the engines.
+  // nullif: an empty group makes n1·n2 = 0 — NULL on both engines
+  // rather than Spark-4-ANSI DIVIDE_BY_ZERO vs DuckDB inf (the repo's
+  // double-div-zero discipline; unreachable on the pinned slice but
+  // the private[graft] *On core is a generic seam — ADVICE r17).
   private val cliffsDelta6 =
-    """floor((CAST(d2 AS DOUBLE)/(CAST(n1 AS DOUBLE)*CAST(n2 AS DOUBLE))
+    """floor((CAST(d2 AS DOUBLE)/nullif(CAST(n1 AS DOUBLE)*CAST(n2 AS DOUBLE), 0)
       |  - 1)*1e6 + 0.5)/1e6""".stripMargin
   private val cliffsMag =
     s"""CASE WHEN abs($cliffsDelta6) < 0.147E0 THEN 'negligible'
@@ -277,9 +281,10 @@ object Composite8 {
   // Verdict vs the asymptotic 5% point of the limiting ω²
   // distribution, 0.46136 (Anderson & Darling 1952 table; ties make
   // it approximate, as with every EDF asymptotic).
+  // nullif per the cliffsDelta6 note: empty-group n1·n2·N² = 0.
   private val cvmT =
-    """(CAST(u AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
-      |  * CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)))""".stripMargin
+    """(CAST(u AS DOUBLE) / nullif(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+      |  * CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE), 0))""".stripMargin
   private val cvmSelect = Seq("n1", "n2",
     s"floor(($cvmT)*1e6 + 0.5)/1e6 AS cvm_t",
     s"(($cvmT) > 0.46136E0) AS reject_same_dist_5pct")
@@ -336,19 +341,106 @@ object Composite8 {
        |SELECT ${cvmSelect.mkString(",\n  ")}
        |FROM m CROSS JOIN tot""".stripMargin
 
+  // ---- agg_anderson_darling -------------------------------------------
+  // Two-sample Anderson–Darling: the TAIL-WEIGHTED member completing
+  // the EDF family (KS = sup gap, CvM = integrated square, W₁ = area,
+  // AD = CvM reweighted by 1/(F(1−F)) — the weight diverges at the
+  // tails, where KS/CvM are blind). Pettitt 1976 / Scholz–Stephens
+  // 1987 (k = 2, right-continuous EDF over distinct pooled values):
+  //   A² = (1/(n₁n₂)) Σ_{B<N} t·D² / (B·(N−B))
+  // with t the value's multiplicity, B the pooled inclusive
+  // cumulative count, and D = ca·n₂ − cb·n₁ the SAME exact integer
+  // the KS row maximizes and the CvM row squares — a third consumer
+  // of the one multi-weight prefix-sum grid. Per-term doubles are
+  // identical on both engines (exact DECIMAL numerator and exact
+  // integer-product denominator, one division each); only the sum
+  // order differs, absorbed by the 6-dp floor (the survival-KM
+  // class of determinism). The B = N grid row nulls via nullif (its
+  // numerator is 0 anyway) and sum skips it — on both engines.
+  // Verdict vs the asymptotic 5% point 2.492 of the limiting A²
+  // distribution (Anderson & Darling 1954 table; ties make it
+  // approximate, as with every EDF asymptotic).
+  // coalesce: a single-distinct-value pool nulls every term (B = N on
+  // the only grid row), and A² is genuinely 0 there — the w1Expr rule.
+  private val adExpr =
+    """(coalesce(s, 0.0E0) / nullif(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE), 0))"""
+  private val adSelect = Seq("n1", "n2",
+    s"floor(($adExpr)*1e6 + 0.5)/1e6 AS ad_a2",
+    s"(floor(($adExpr)*1e6 + 0.5)/1e6 > 2.492E0) AS reject_same_dist_5pct")
+
+  /** Generic two-sample AD core over (value, group-1 indicator) —
+    * the KS/CvM grid + the same one multi-weight prefix-sum pass;
+    * the [[graft.Graft.andersonDarling]] facade surface. */
+  private[graft] def adTestOn(df: DataFrame, valueCol: org.apache.spark.sql.Column,
+      isGroup1: org.apache.spark.sql.Column): DataFrame = {
+    val v = df.select(valueCol.as("x"), isGroup1.cast("int").as("i1"))
+      .groupBy("x")
+      .agg(sum(col("i1")).cast("bigint").as("a"),
+        sum(lit(1) - col("i1")).cast("bigint").as("b"))
+    val tot = v.agg(sum(col("a")).cast("bigint").as("n1"),
+      sum(col("b")).cast("bigint").as("n2"))
+    val s0 = graft.util.DistRank.globalPrefixSums(v,
+        Seq("ba" -> col("a"), "bb" -> col("b")), col("x"))
+      .crossJoin(broadcast(tot))
+      .select(expr(
+        """CAST(CAST(a + b AS DECIMAL(38,0))
+          | * ((ba + a)*n2 - (bb + b)*n1)
+          | * ((ba + a)*n2 - (bb + b)*n1) AS DOUBLE)
+          | / nullif(CAST(ba + a + bb + b AS DOUBLE)
+          |   * CAST((n1 + n2) - (ba + a + bb + b) AS DOUBLE), 0)""".stripMargin)
+        .as("term"))
+      .agg(sum(col("term")).as("s"))
+    s0.crossJoin(broadcast(tot)).selectExpr(adSelect: _*)
+  }
+
+  private def adTest(s: SparkSession, dir: String): DataFrame = {
+    val p = pooled(s, dir)
+    adTestOn(p, col("x"), col("i1") === 1)
+  }
+
+  private val adOracle =
+    s"""WITH pooled AS (
+       |  SELECT c_acctbal AS x,
+       |    CAST(c_mktsegment = 'AUTOMOBILE' AS INT) AS i1
+       |  FROM customer
+       |  WHERE c_mktsegment IN ('AUTOMOBILE', 'HOUSEHOLD')),
+       |v AS (
+       |  SELECT x, CAST(sum(i1) AS BIGINT) AS a,
+       |    CAST(sum(1 - i1) AS BIGINT) AS b
+       |  FROM pooled GROUP BY x),
+       |tot AS (SELECT CAST(sum(a) AS BIGINT) AS n1,
+       |  CAST(sum(b) AS BIGINT) AS n2 FROM v),
+       |d AS (
+       |  SELECT a, b,
+       |    CAST(sum(a) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ca,
+       |    CAST(sum(b) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cb
+       |  FROM v),
+       |m AS (
+       |  SELECT sum(
+       |    CAST(CAST(a + b AS DECIMAL(38,0))
+       |      * (ca*(SELECT n2 FROM tot) - cb*(SELECT n1 FROM tot))
+       |      * (ca*(SELECT n2 FROM tot) - cb*(SELECT n1 FROM tot)) AS DOUBLE)
+       |    / nullif(CAST(ca + cb AS DOUBLE)
+       |      * CAST(((SELECT n1 FROM tot) + (SELECT n2 FROM tot)) - (ca + cb) AS DOUBLE), 0)) AS s
+       |  FROM d)
+       |SELECT ${adSelect.mkString(",\n  ")}
+       |FROM m CROSS JOIN tot""".stripMargin
+
   // ---- registration ------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_mann_whitney" -> (mannWhitney _),
     "agg_ks_test" -> (ksTest _),
     "agg_cliffs_delta" -> (cliffsDelta _),
-    "agg_cvm_test" -> (cvmTest _)
+    "agg_cvm_test" -> (cvmTest _),
+    "agg_anderson_darling" -> (adTest _)
   )
 
   val oracle: Map[String, String] = Map(
     "agg_mann_whitney" -> mannWhitneyOracle,
     "agg_ks_test" -> ksOracle,
     "agg_cliffs_delta" -> cliffsDeltaOracle,
-    "agg_cvm_test" -> cvmOracle
+    "agg_cvm_test" -> cvmOracle,
+    "agg_anderson_darling" -> adOracle
   )
 }

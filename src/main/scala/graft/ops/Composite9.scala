@@ -36,24 +36,22 @@ object Composite9 {
       .agg(max(col("o_orderdate")).as("last_order"),
         count(lit(1)).as("freq"),
         sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
-    // SCALE BOUND (VERDICT r8 item 5): the window input is the
-    // per-customer aggregate — |customers| rows, ~1/10 of orders and
-    // ~10^-3 of fact rows, but still entity-sized (~10^10 at the
-    // 100 TB target). The partitioned plan for that regime exists and
-    // is oracle-checked as its own row: [[graft.util.DistRank
-    // .globalNtile]] (range partition → broadcast prefix offsets →
-    // per-partition row_number; see `agg_ntile_distributed`). It
-    // costs ~1 s of fixed stage overhead PER ranking at bench SF
-    // (3.3 s for the three quintiles vs 0.5 s here — measured r9), so
-    // this entity-scale row keeps the single-partition window and the
-    // swap is a three-line change when the input outgrows one task.
-    val scored = base
-      .withColumn("r", ntile(5).over(
-        Window.orderBy(col("last_order"), col("o_custkey"))).cast("bigint"))
-      .withColumn("f", ntile(5).over(
-        Window.orderBy(col("freq"), col("o_custkey"))).cast("bigint"))
-      .withColumn("m", ntile(5).over(
-        Window.orderBy(col("spend"), col("o_custkey"))).cast("bigint"))
+    // The window input is the per-customer aggregate — |customers|
+    // rows, entity-sized (~10^10 at the 100 TB target), so each
+    // quintile rides [[graft.util.DistRank.globalNtile]] (range
+    // partition → broadcast prefix offsets → per-partition
+    // row_number — SQL-ntile-exact, asserted by the
+    // `agg_ntile_distributed` oracle): no task ever sees more than
+    // one key range. ~1 s/ranking of fixed stage overhead at bench
+    // SF (the r17 rank-family trade) in exchange for removing the
+    // one-task funnel that dies at target scale. (custkey breaks
+    // ties → each sort is the total order the primitive requires.)
+    val scored = Seq(
+      ("r", Seq(col("last_order"), col("o_custkey"))),
+      ("f", Seq(col("freq"), col("o_custkey"))),
+      ("m", Seq(col("spend"), col("o_custkey"))))
+      .foldLeft(base) { case (df, (name, sort)) =>
+        graft.util.DistRank.globalNtile(df, name, 5, sort) }
     scored.groupBy(col("r"), col("f"), col("m"))
       .agg(count(lit(1)).as("n_customers"),
         sum(col("spend")).cast("string").as("revenue"))

@@ -104,15 +104,6 @@ object DistRank {
       weight: Column, parts: Int = 32): DataFrame =
     globalPrefixSums(df, Seq(as -> weight), key, parts)
 
-  /** Multi-weight [[globalPrefixSum]]: append one exclusive prefix-sum
-    * column per `(name, weight)` pair over the SAME total order, in a
-    * single range-partition pass — the Jonckheere–Terpstra / KS shape,
-    * where every group's cumulative count rides the one value axis.
-    * One `repartitionByRange`, one `parts`-row offsets broadcast
-    * carrying all weights, and one partition-local Window node
-    * evaluating every cumsum (same spec → Spark collapses them); no
-    * single-partition stage at any input width. Keys must be unique
-    * per row, as in the single-weight form. */
   /** Append `as` = the NEXT key in the global ascending order of
     * `key` (SQL `lead(key) over (order by key)`; NULL for the global
     * maximum), with no single-partition stage: range partition,
@@ -143,6 +134,15 @@ object DistRank {
       .drop("__pid", "__nextf")
   }
 
+  /** Multi-weight [[globalPrefixSum]]: append one exclusive prefix-sum
+    * column per `(name, weight)` pair over the SAME total order, in a
+    * single range-partition pass — the Jonckheere–Terpstra / KS shape,
+    * where every group's cumulative count rides the one value axis.
+    * One `repartitionByRange`, one `parts`-row offsets broadcast
+    * carrying all weights, and one partition-local Window node
+    * evaluating every cumsum (same spec → Spark collapses them); no
+    * single-partition stage at any input width. Keys must be unique
+    * per row, as in the single-weight form. */
   def globalPrefixSums(df: DataFrame, outs: Seq[(String, Column)],
       key: Column, parts: Int = 32): DataFrame =
     prefixSumsCore(df, outs, key, leadAs = None, parts)
