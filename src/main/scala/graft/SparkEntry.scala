@@ -121,7 +121,8 @@ object SparkEntry {
       (Composite78.queries, Composite78.oracle),
       (Composite79.queries, Composite79.oracle),
       (Composite80.queries, Composite80.oracle),
-      (Composite81.queries, Composite81.oracle)
+      (Composite81.queries, Composite81.oracle),
+      (Composite82.queries, Composite82.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

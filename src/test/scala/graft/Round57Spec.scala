@@ -42,4 +42,125 @@ class Round57Spec extends AnyFunSuite {
     assert(SparkEntry.queries.contains("dq_benford_second_digit"))
     assert(SparkEntry.oracleSql.contains("dq_benford_second_digit"))
   }
+
+  // r18 verdict item 2: the five remaining entity-sized one-task
+  // windows (RFM quintiles, Pareto deciles, ABC cumulative revenue,
+  // local-clustering degree deciles, score-vs-dup TTR deciles) are
+  // retrofitted onto DistRank. The invariant, as in Round56Spec: no
+  // Window node may LEAD its spec with an ordered entity-sized axis —
+  // every ordered-first window must be the bounded __pid offsets
+  // table; axis windows must carry a partition column first.
+  private val RetrofitQueries = Seq("evt_rfm_segmentation",
+    "agg_pareto_deciles", "agg_abc_classification",
+    "graph_local_clustering", "llm_score_vs_dup")
+
+  test("retrofitted rows: no one-task window over an entity axis") {
+    val bare = """windowspecdefinition\((?!__pid)[^,)]*#\d+L? (ASC|DESC)""".r
+    for (q <- RetrofitQueries) {
+      val df = SparkEntry.queries(q)(spark, TestSpark.sf)
+      df.count()
+      val plan = df.queryExecution.executedPlan.toString
+      val windows = plan.linesIterator
+        .filter(_.contains("windowspecdefinition(")).toSeq
+      assert(windows.exists(_.contains("windowspecdefinition(__pid")),
+        s"$q: expected the __pid-scoped DistRank windows:\n$plan")
+      windows.foreach { w =>
+        assert(bare.findFirstIn(w).isEmpty,
+          s"$q: a Window orders an un-partitioned entity axis " +
+            s"(single-task funnel at scale):\n$w")
+      }
+    }
+  }
+
+  // r18 verdict item 5: Kendall's W planted cases.
+  private val Priorities = Seq(
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  private def ordersOf(rows: Seq[(String, String, Double)]) = {
+    import spark.implicits._
+    rows.toDF("o_orderdate", "o_orderpriority", "o_totalprice")
+  }
+
+  test("kendalls w: perfect concordance over 3 blocks is exactly 1") {
+    // every month ranks the priorities identically → W = 1, and the
+    // tie-free Friedman Q = n·(k−1)·W = 12.
+    val rows = for {
+      m <- 1 to 3
+      (p, i) <- Priorities.zipWithIndex
+    } yield (f"1995-0$m%d-15", p, 10.0 * (i + 1))
+    val r = graft.ops.Composite52.kendallsWOn(ordersOf(rows)).collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 5L)
+    assert(r.getDouble(2) == 12.0)
+    assert(r.getDouble(3) == 1.0)
+  }
+
+  test("page trend: aligned ranks give L = 165 and z = 2√3 exactly") {
+    // perfect increasing alignment over 3 blocks: R_j = 3j,
+    // L = 3·Σj² = 165, z = (165 − 45·3)/(5√3) = 2√3 ≈ 3.464102.
+    val rows = for {
+      m <- 1 to 3
+      (p, i) <- Priorities.zipWithIndex
+    } yield (f"1995-0$m%d-15", p, 10.0 * (i + 1))
+    val r = graft.ops.Composite82.pageTrendOn(ordersOf(rows)).collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 5L)
+    assert(r.getDouble(2) == 165.0)
+    assert(r.getDouble(3) == 3.464102)
+    assert(r.getBoolean(4) && !r.getBoolean(5))
+  }
+
+  test("page trend: reversed ranks flip the sign and the flag") {
+    val rows = for {
+      m <- 1 to 3
+      (p, i) <- Priorities.zipWithIndex
+    } yield (f"1995-0$m%d-15", p, 10.0 * (5 - i))
+    val r = graft.ops.Composite82.pageTrendOn(ordersOf(rows)).collect().head
+    assert(r.getDouble(2) == 105.0)
+    assert(r.getDouble(3) == -3.464102)
+    assert(!r.getBoolean(4) && r.getBoolean(5))
+  }
+
+  test("quade: hand-computed two-block design matches exactly") {
+    // Block 1 (range 40 → range rank depends on block 2): values
+    // 10,20,30,40,50 — within-block ranks 1..5. Block 2: values
+    // 10,12,14,16,18 (range 8) with the same ordering. Range ranks:
+    // block 2 = 1, block 1 = 2. S_ij = Q_i(r_ij − 3):
+    //   block 1: 2·(−2,−1,0,1,2) = (−4,−2,0,2,4)
+    //   block 2: 1·(−2,−1,0,1,2) = (−2,−1,0,1,2)
+    // S_j = (−6,−3,0,3,6), A = 40+10 = 50, B = (36+9+0+9+36)/2 = 45,
+    // F = (n−1)B/(A−B) = 1·45/5 = 9, df1 = 4, df2 = 4.
+    val vals = Seq(
+      Seq(0.10, 0.20, 0.30, 0.40, 0.50), // cents: 10..50
+      Seq(0.10, 0.12, 0.14, 0.16, 0.18)) //        10..18
+    val rows = for {
+      (block, m) <- vals.zipWithIndex
+      (p, i) <- Priorities.zipWithIndex
+    } yield (f"1995-0${m + 1}%d-15", p, block(i))
+    val r = graft.ops.Composite82.quadeOn(ordersOf(rows)).collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 5L)
+    assert(r.getDouble(2) == 9.0)
+    assert(r.getLong(3) == 4L && r.getLong(4) == 4L)
+  }
+
+  test("benford first two digits: planted totals and <10 exclusion") {
+    import spark.implicits._
+    // 9.99 excluded; 10.00→10, 12.34→12, 123.45→12, 99.99→99.
+    val orders = Seq(9.99, 10.00, 12.34, 123.45, 99.99)
+      .toDF("o_totalprice")
+    val out = graft.ops.Composite82.benford12On(spark, orders)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((10, 1L, 0.25), (12, 2L, 0.5), (99, 1L, 0.25)))
+  }
+
+  test("kendalls w: latin-square ranks over 5 blocks give exactly 0") {
+    // block b hands priority i the rank ((i + b) mod 5) + 1 → every
+    // rank sum is 15 → zero concordance, Q = 0.
+    val rows = for {
+      b <- 0 until 5
+      (p, i) <- Priorities.zipWithIndex
+    } yield (f"1995-0${b + 1}%d-15", p, 10.0 * (((i + b) % 5) + 1))
+    val r = graft.ops.Composite52.kendallsWOn(ordersOf(rows)).collect().head
+    assert(r.getLong(0) == 5L && r.getLong(1) == 5L)
+    assert(r.getDouble(2) == 0.0)
+    assert(r.getDouble(3) == 0.0)
+  }
 }
