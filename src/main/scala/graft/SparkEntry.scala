@@ -122,7 +122,8 @@ object SparkEntry {
       (Composite79.queries, Composite79.oracle),
       (Composite80.queries, Composite80.oracle),
       (Composite81.queries, Composite81.oracle),
-      (Composite82.queries, Composite82.oracle)
+      (Composite82.queries, Composite82.oracle),
+      (Composite83.queries, Composite83.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -10,10 +10,10 @@ class CountSpec extends AnyFunSuite {
     val os = SparkEntry.oracleSql // throws on duplicate ids
     assert((os.keySet -- qs.keySet).isEmpty,
       s"oracles without a query: ${(os.keySet -- qs.keySet).mkString(", ")}")
-    // SURVEY §2 count paragraph: 482 declared rows, 469 oracle-checked,
+    // SURVEY §2 count paragraph: 485 declared rows, 472 oracle-checked,
     // 13 declared-✗ (the FINAL set, enumeration closed in r11).
-    assert(qs.size == 482, s"queries=${qs.size}")
-    assert(os.size == 469, s"oracles=${os.size}")
+    assert(qs.size == 485, s"queries=${qs.size}")
+    assert(os.size == 472, s"oracles=${os.size}")
     assert((qs.keySet -- os.keySet).size == 13)
   }
 }

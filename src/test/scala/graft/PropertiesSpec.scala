@@ -2228,6 +2228,20 @@ object PropertiesSpec extends Properties("graft-laws") {
         r.getBoolean(3) == (t > 0.46136)
     }
 
+  property("gmdOn == brute pairwise absolute-difference fold") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(-50L, 50L))
+        .suchThat(_.size >= 2)) { xs =>
+      import spark.implicits._
+      val n = xs.size.toLong
+      val brute = (for {
+        i <- xs.indices; j <- xs.indices if i != j
+      } yield math.abs(xs(i) - xs(j)).toDouble).sum / (n * (n - 1)).toDouble
+      val b6 = math.floor(brute * 1e6 + 0.5) / 1e6
+      val df = xs.map(_.toDouble).toDF("x")
+      val r = graft.ops.Composite83.gmdOn(df, col("x")).collect().head
+      r.getLong(0) == n && math.abs(r.getDouble(1) - b6) <= 1.000001e-6
+    }
+
   property("adTestOn == brute pooled-EDF tail-weighted fold") =
     forAll(twoGroups) { case (g1, g2) =>
       import spark.implicits._

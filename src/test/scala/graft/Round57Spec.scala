@@ -151,6 +151,49 @@ class Round57Spec extends AnyFunSuite {
     assert(out.toSeq == Seq((10, 1L, 0.25), (12, 2L, 0.5), (99, 1L, 0.25)))
   }
 
+  test("gini mean diff: {0,1,3} gives exactly 2.0") {
+    import spark.implicits._
+    // pairwise |diffs| 1, 2, 3 sum to 6 → GMD = 2·6/(3·2) = 2.
+    val df = Seq(0.0, 1.0, 3.0).toDF("x")
+    val r = graft.ops.Composite83.gmdOn(df, org.apache.spark.sql.functions.col("x"))
+      .collect().head
+    assert(r.getLong(0) == 3L && r.getDouble(1) == 2.0)
+  }
+
+  test("bhattacharyya: identical groups overlap fully, disjoint not at all") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val same = Seq((1.0, 1), (2.0, 1), (1.0, 0), (2.0, 0)).toDF("x", "i1")
+    val r1 = graft.ops.Composite83
+      .bhattacharyyaOn(same, col("x"), col("i1") === 1).collect().head
+    assert(r1.getDouble(3) == 1.0 && r1.getDouble(4) == 0.0 &&
+      r1.getDouble(5) == 1.0)
+    val disj = Seq((1.0, 1), (100.0, 0)).toDF("x", "i1")
+    val r2 = graft.ops.Composite83
+      .bhattacharyyaOn(disj, col("x"), col("i1") === 1).collect().head
+    assert(r2.getDouble(3) == 0.0 && r2.getDouble(4) == 1.0 &&
+      r2.getDouble(5) == 0.0)
+  }
+
+  test("pettitt: planted level shift is located exactly") {
+    import spark.implicits._
+    // 10 days at 1 event/day then 10 days at 3/day: V = ∓10, U dips
+    // to −100 at day 10 → K = 100, change day = day 10, p ≈ 0.00158.
+    val rows = (1 to 10).map(d => ("shift", f"2020-01-$d%02d 12:00:00")) ++
+      (11 to 20).flatMap(d => Seq.fill(3)(("shift", f"2020-01-$d%02d 12:00:00")))
+    val events = rows.toDF("event_type", "ts")
+      .select(org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("ts").cast("timestamp").as("ts"))
+    val r = graft.ops.Composite83.pettittOn(events).collect().head
+    assert(r.getLong(1) == 20L)      // n_days
+    assert(r.getLong(2) == 100L)     // K
+    val day10 = java.time.LocalDate.parse("2020-01-10").toEpochDay
+    assert(r.getLong(3) == day10)    // change_dd
+    val p = math.min(1.0, 2.0 * math.exp(-6.0 * 100 * 100 / (8000.0 + 400.0)))
+    assert(r.getDouble(4) == math.floor(p * 1e6 + 0.5) / 1e6)
+    assert(r.getBoolean(5))
+  }
+
   test("kendalls w: latin-square ranks over 5 blocks give exactly 0") {
     // block b hands priority i the rank ((i + b) mod 5) + 1 → every
     // rank sum is 15 → zero concordance, Q = 0.
