@@ -123,7 +123,8 @@ object SparkEntry {
       (Composite80.queries, Composite80.oracle),
       (Composite81.queries, Composite81.oracle),
       (Composite82.queries, Composite82.oracle),
-      (Composite83.queries, Composite83.oracle)
+      (Composite83.queries, Composite83.oracle),
+      (Composite84.queries, Composite84.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -194,6 +194,49 @@ class Round57Spec extends AnyFunSuite {
     assert(r.getBoolean(5))
   }
 
+  test("embedding norms: planted vectors give exact moments") {
+    import spark.implicits._
+    // norms 5, 0, 1 (micro-exact); dims {2, 2, 3}.
+    val vs = Seq(
+      (1L, Seq(3.0f, 4.0f)), (2L, Seq(0.0f, 0.0f)), (3L, Seq(1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val r = graft.ops.Composite84.embeddingNormsOn(vs).collect().head
+    assert(r.getLong(0) == 3L)                 // n_vectors
+    assert(r.getLong(1) == 2L)                 // n_dims_distinct
+    assert(r.getLong(2) == 2L && r.getLong(3) == 3L)
+    assert(r.getLong(4) == 1L)                 // n_zero
+    assert(r.getDouble(5) == 2.0)              // mean
+    assert(r.getDouble(6) == math.floor(math.sqrt(14.0 / 3.0) * 1e6 + 0.5) / 1e6 ||
+      r.getDouble(6) == 2.160247)              // std = sqrt(14/3)
+    assert(r.getDouble(7) == 0.0 && r.getDouble(8) == 5.0)
+  }
+
+  test("hash uniformity: a single doc gives chi2 = 255 exactly") {
+    import spark.implicits._
+    val docs = Seq(42L).toDF("doc_id")
+    val r = graft.ops.Composite84.hashUniformityOn(docs, "doc_id").collect().head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 256L)
+    assert(r.getDouble(4) == 255.0)
+    assert(r.getBoolean(5))
+  }
+
+  test("buishand range: planted step series gives R'=8, rescaled = 1") {
+    import spark.implicits._
+    // counts (1,1,3,3) over four days: S' = (−4,−8,−4,0), R' = 8,
+    // R = 8/4 = 2, rescaled = 8/(√(4·20−64)·√4) = 1.
+    val rows = Seq(("a", "2020-01-01 01:00:00"),
+      ("a", "2020-01-02 01:00:00")) ++
+      Seq.fill(3)(("a", "2020-01-03 01:00:00")) ++
+      Seq.fill(3)(("a", "2020-01-04 01:00:00"))
+    val events = rows.toDF("event_type", "ts")
+      .select(org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("ts").cast("timestamp").as("ts"))
+    val r = graft.ops.Composite84.buishandOn(events).collect().head
+    assert(r.getLong(1) == 4L)
+    assert(r.getDouble(2) == 2.0)
+    assert(r.getDouble(3) == 1.0)
+  }
+
   test("kendalls w: latin-square ranks over 5 blocks give exactly 0") {
     // block b hands priority i the rank ((i + b) mod 5) + 1 → every
     // rank sum is 15 → zero concordance, Q = 0.
