@@ -124,7 +124,8 @@ object SparkEntry {
       (Composite81.queries, Composite81.oracle),
       (Composite82.queries, Composite82.oracle),
       (Composite83.queries, Composite83.oracle),
-      (Composite84.queries, Composite84.oracle)
+      (Composite84.queries, Composite84.oracle),
+      (Composite85.queries, Composite85.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

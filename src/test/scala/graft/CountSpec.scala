@@ -10,10 +10,10 @@ class CountSpec extends AnyFunSuite {
     val os = SparkEntry.oracleSql // throws on duplicate ids
     assert((os.keySet -- qs.keySet).isEmpty,
       s"oracles without a query: ${(os.keySet -- qs.keySet).mkString(", ")}")
-    // SURVEY §2 count paragraph: 488 declared rows, 475 oracle-checked,
+    // SURVEY §2 count paragraph: 490 declared rows, 477 oracle-checked,
     // 13 declared-✗ (the FINAL set, enumeration closed in r11).
-    assert(qs.size == 488, s"queries=${qs.size}")
-    assert(os.size == 475, s"oracles=${os.size}")
+    assert(qs.size == 490, s"queries=${qs.size}")
+    assert(os.size == 477, s"oracles=${os.size}")
     assert((qs.keySet -- os.keySet).size == 13)
   }
 }

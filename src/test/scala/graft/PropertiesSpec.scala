@@ -2242,6 +2242,38 @@ object PropertiesSpec extends Properties("graft-laws") {
       r.getLong(0) == n && math.abs(r.getDouble(1) - b6) <= 1.000001e-6
     }
 
+  property("moodScaleOn == brute midrank squared-deviation fold") =
+    forAll(twoGroups) { case (g1, g2) =>
+      import spark.implicits._
+      val (n1, n2) = (g1.size.toLong, g2.size.toLong)
+      val nn = n1 + n2
+      val all = g1 ++ g2
+      val cnt = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val below = {
+        var cum = 0L
+        cnt.toSeq.sortBy(_._1).map { case (v, c) =>
+          val b = cum; cum += c; v -> b }.toMap
+      }
+      // 4·M via the doubled identity 2(r̄ − (N+1)/2) = 2·below + t − N
+      val m4 = g1.map { v =>
+        val q = 2 * below(v) + cnt(v) - nn; BigInt(q) * BigInt(q)
+      }.sum
+      val m = m4.toDouble / 4.0
+      val df = (g1.map(v => (v.toDouble, 1)) ++ g2.map(v => (v.toDouble, 0)))
+        .toDF("x", "i1")
+      val r = graft.ops.Composite85
+        .moodScaleOn(df, col("x"), col("i1") === 1).collect().head
+      val e = n1.toDouble * (nn.toDouble * nn - 1) / 12.0
+      val va = n1.toDouble * n2 * (nn + 1.0) * (nn.toDouble * nn - 4) / 180.0
+      val zOk =
+        if (va == 0) r.isNullAt(3)
+        else {
+          val z = (m - e) / math.sqrt(va)
+          r.getDouble(3) == math.floor(z * 1e6 + 0.5) / 1e6
+        }
+      r.getLong(0) == n1 && r.getLong(1) == n2 && r.getDouble(2) == m && zOk
+    }
+
   property("adTestOn == brute pooled-EDF tail-weighted fold") =
     forAll(twoGroups) { case (g1, g2) =>
       import spark.implicits._

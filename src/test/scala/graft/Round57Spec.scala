@@ -237,6 +237,42 @@ class Round57Spec extends AnyFunSuite {
     assert(r.getDouble(3) == 1.0)
   }
 
+  test("mood scale: interleaved {1,3} vs {2,4} sits exactly at the null") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // M = (1−2.5)² + (3−2.5)² = 2.5 = E[M] → z = 0, no rejection.
+    val df = Seq((1.0, 1), (3.0, 1), (2.0, 0), (4.0, 0)).toDF("x", "i1")
+    val r = graft.ops.Composite85
+      .moodScaleOn(df, col("x"), col("i1") === 1).collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 2.5)
+    assert(r.getDouble(3) == 0.0)
+    assert(!r.getBoolean(4))
+  }
+
+  test("logrank: identical groups give chi2 = 0; separated groups match hand fold") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val same = Seq((1L, 1, 1), (2L, 1, 1), (3L, 1, 1),
+      (1L, 1, 0), (2L, 1, 0), (3L, 1, 0)).toDF("dur", "evt", "i1")
+    val r1 = graft.ops.Composite85
+      .logrankOn(same, "dur", "evt", col("i1") === 1).collect().head
+    assert(r1.getLong(3) == 3L)        // O1
+    assert(r1.getDouble(4) == 3.0)     // E1
+    assert(r1.getDouble(5) == 0.0 && !r1.getBoolean(6))
+    // g1 lives {1,2}, g2 lives {10,20}: E1 = 5/6, V = 17/36,
+    // chi2 = (2 − 5/6)²/(17/36) = 49/17.
+    val sep = Seq((1L, 1, 1), (2L, 1, 1), (10L, 1, 0), (20L, 1, 0))
+      .toDF("dur", "evt", "i1")
+    val r2 = graft.ops.Composite85
+      .logrankOn(sep, "dur", "evt", col("i1") === 1).collect().head
+    assert(r2.getLong(2) == 4L)        // event times
+    assert(r2.getLong(3) == 2L)
+    assert(r2.getDouble(4) == 0.833333)
+    assert(r2.getDouble(5) == math.floor(49.0 / 17.0 * 1e6 + 0.5) / 1e6)
+    assert(!r2.getBoolean(6))
+  }
+
   test("kendalls w: latin-square ranks over 5 blocks give exactly 0") {
     // block b hands priority i the rank ((i + b) mod 5) + 1 → every
     // rank sum is 15 → zero concordance, Q = 0.
