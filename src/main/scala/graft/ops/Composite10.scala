@@ -255,11 +255,22 @@ object Composite10 {
     val adj = o.groupBy(col("u")).agg(sort_array(collect_list(col("v"))).as("nbrs"))
       .localCheckpoint()
     val adjHint = graft.util.Hints.maybeBroadcast(eCnt)
+    triangleFromCore(deg, o, adj, adjHint)
+  }
+
+  /** Final triangle aggregation over a prebuilt core (deg, oriented
+    * edges, sorted oriented adjacency) — shared by the planted seam
+    * above and the corpus-facing path below (which reads the TriCore
+    * DiskMemo parquet views; their file statistics let the planner
+    * pick broadcast vs shuffle, so no manual hint is threaded). */
+  private[graft] def triangleFromCore(deg: DataFrame, o: DataFrame,
+      adj: DataFrame,
+      adjHint: DataFrame => DataFrame = identity): DataFrame = {
     val tri = o
       .join(adjHint(adj.select(col("u"), col("nbrs").as("nu"))), Seq("u"))
       .join(adjHint(adj.select(col("u").as("v"), col("nbrs").as("nv"))),
         Seq("v"), "left")
-      .select(size(array_intersect(col("nu"),
+      .select(size(graft.functions.SortedIntersect(col("nu"),
         coalesce(col("nv"), expr("CAST(array() AS ARRAY<BIGINT>)"))))
         .cast("bigint").as("c"))
       .agg(sum(col("c")).cast("bigint").as("n_triangles"))
@@ -274,8 +285,8 @@ object Composite10 {
   }
 
   private def triangleCount(s: SparkSession, dir: String): DataFrame =
-    triangleCountOn(
-      Composite4.coPurchaseHalfEdges(s, dir))
+    triangleFromCore(TriCore.sharedDeg(s, dir),
+      TriCore.sharedOriented(s, dir), TriCore.sharedAdj(s, dir))
 
   private val triangleOracle =
     """WITH ps AS (

@@ -179,6 +179,12 @@ object Composite11 {
   private def botDetection(s: SparkSession, dir: String): DataFrame = {
     val ev = loadEvents(s, dir)
     val wu = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    // localCheckpoint (r18): perUser feeds the 1-row threshold
+    // aggregate AND the filtered output — without it the whole
+    // window + exact-percentile pipeline executed twice
+    // (ReuseExchange shares only the user_id exchange, not the
+    // window/aggregate above it). One materialization of a
+    // user-count-sized table; thresholds are unchanged.
     val perUser = ev
       .withColumn("gap_us", expr("unix_micros(ts)") -
         lag(expr("unix_micros(ts)"), 1).over(wu))
@@ -188,6 +194,7 @@ object Composite11 {
         expr("percentile(gap_us, 0.5)").as("med_gap_us"))
       .withColumn("epm", col("n_ev").cast("double") /
         greatest(lit(1L), col("active_mins")).cast("double"))
+      .localCheckpoint()
     val thresholds = broadcast(perUser.agg(
       expr("percentile(epm, 0.5)").as("med_epm"),
       expr("percentile(med_gap_us, 0.5)").as("med_med_gap")))

@@ -32,40 +32,20 @@ object Composite17 {
   // (deg, node)-ordered nodes. The 3T corner explosion is the only
   // addition over graph_triangle_count's plan.
   private def localClustering(s: SparkSession, dir: String): DataFrame = {
-    // e/deg/o/adj each feed 2+ consumers below — localCheckpoint()
-    // every node/edge-sized intermediate once (the Composite20
-    // commonNeighbors discipline) or the co-purchase groupBy +
-    // double-explode + distinct subtree re-executes per consumer
-    // (measured 9.4 s without, ~4 s with, at sf0.1).
-    val e = Composite4.coPurchaseHalfEdges(s, dir).localCheckpoint()
-    val deg = e.select(col("src").as("n")).union(e.select(col("dst").as("n")))
-      .groupBy(col("n")).agg(count(lit(1)).as("deg")).localCheckpoint()
-    // ONE cached-block count gates all hints (graft.util.Hints):
-    // |o| == |e| row-for-row, adjacency cells total |o|, nodes ≤ 2|e|.
-    val eCnt = e.count()
-    val degHint = graft.util.Hints.maybeBroadcast(2L * eCnt)
-    val o = e
-      .join(degHint(deg.select(col("n").as("src"), col("deg").as("da"))),
-        "src")
-      .join(degHint(deg.select(col("n").as("dst"), col("deg").as("db"))),
-        "dst")
-      .select(
-        when(col("da") < col("db") ||
-          (col("da") === col("db") && col("src") < col("dst")), col("src"))
-          .otherwise(col("dst")).as("u"),
-        when(col("da") < col("db") ||
-          (col("da") === col("db") && col("src") < col("dst")), col("dst"))
-          .otherwise(col("src")).as("v"))
-      .localCheckpoint()
-    val adj = o.groupBy(col("u"))
-      .agg(sort_array(collect_list(col("v"))).as("nbrs"))
-      .localCheckpoint()
-    val adjHint = graft.util.Hints.maybeBroadcast(eCnt)
+    // r18: the degree/oriented/adjacency core is read from the shared
+    // TriCore DiskMemo parquet views (built once per JVM, timed as
+    // memo_tri_adjacency) instead of being rebuilt + checkpointed per
+    // invocation (the pre-r18 shape measured ~4 s at sf0.1 with the
+    // checkpoints, ~9.4 s without). Parquet statistics let the planner
+    // broadcast the node-sized sides when they fit — no manual gates.
+    val deg = TriCore.sharedDeg(s, dir)
+    val o = TriCore.sharedOriented(s, dir)
+    val adj = TriCore.sharedAdj(s, dir)
     val corners = o
-      .join(adjHint(adj.select(col("u"), col("nbrs").as("nu"))), Seq("u"))
-      .join(adjHint(adj.select(col("u").as("v"), col("nbrs").as("nv"))),
+      .join(adj.select(col("u"), col("nbrs").as("nu")), Seq("u"))
+      .join(adj.select(col("u").as("v"), col("nbrs").as("nv")),
         Seq("v"), "left")
-      .select(col("u"), col("v"), array_intersect(col("nu"),
+      .select(col("u"), col("v"), graft.functions.SortedIntersect(col("nu"),
         coalesce(col("nv"), expr("CAST(array() AS ARRAY<BIGINT>)"))).as("ws"))
       .select(explode(concat(array(col("u"), col("v")), col("ws"))).as("n"))
     val tri = corners.groupBy(col("n")).agg(count(lit(1)).as("t3"))

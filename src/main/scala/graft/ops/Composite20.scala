@@ -480,55 +480,40 @@ object Composite20 {
     // — the localClustering corner-explode shape, keyed by edge
     // instead of node. Full-adjacency intersection per edge measured
     // 2-4× slower; the naive wedge self-join 10× slower.
-    val e = Composite4.coPurchaseHalfEdges(s, dir).localCheckpoint()
-    val deg = e.select(col("src").as("n")).union(e.select(col("dst").as("n")))
-      .groupBy(col("n")).agg(count(lit(1)).as("d")).localCheckpoint()
-    // ONE cached-block count gates every hint below: |o| == |e|
-    // row-for-row (o is a projection of e), the adjacency's list
-    // cells total |o|, and |nodes| ≤ 2|e| — so eCnt bounds the
-    // adjacency builds exactly and the (n, d) builds conservatively
-    // (a second exact deg count would cost another job per run).
-    val eCnt = e.count()
-    val degHint = graft.util.Hints.maybeBroadcast(2L * eCnt)
-    val o = e
-      .join(degHint(deg.select(col("n").as("src"), col("d").as("da"))),
-        "src")
-      .join(degHint(deg.select(col("n").as("dst"), col("d").as("db"))),
-        "dst")
-      .select(
-        when(col("da") < col("db") ||
-          (col("da") === col("db") && col("src") < col("dst")), col("src"))
-          .otherwise(col("dst")).as("u"),
-        when(col("da") < col("db") ||
-          (col("da") === col("db") && col("src") < col("dst")), col("dst"))
-          .otherwise(col("src")).as("v"))
-      .localCheckpoint()
-    val adj = o.groupBy(col("u"))
-      .agg(sort_array(collect_list(col("v"))).as("nbrs"))
-      .localCheckpoint()
-    val adjHint = graft.util.Hints.maybeBroadcast(eCnt)
+    // r18: e/deg/o/adj come from the shared DiskMemo parquet views
+    // (coPurchaseHalfEdges + TriCore, built once per JVM, timed as
+    // memo rows) instead of per-invocation rebuild + 4 checkpoints;
+    // parquet statistics drive broadcast-vs-shuffle, no manual gates.
+    val e = Composite4.coPurchaseHalfEdges(s, dir)
+    val deg = TriCore.sharedDeg(s, dir)
+      .withColumnRenamed("deg", "d")
+    val o = TriCore.sharedOriented(s, dir)
+    val adj = TriCore.sharedAdj(s, dir)
     val cn = o
-      .join(adjHint(adj.select(col("u"), col("nbrs").as("nu"))), Seq("u"))
-      .join(adjHint(adj.select(col("u").as("v"), col("nbrs").as("nv"))),
+      .join(adj.select(col("u"), col("nbrs").as("nu")), Seq("u"))
+      .join(adj.select(col("u").as("v"), col("nbrs").as("nv")),
         Seq("v"), "left")
-      .select(col("u"), col("v"), explode(array_intersect(col("nu"),
+      .select(col("u"), col("v"), explode(graft.functions.SortedIntersect(col("nu"),
         coalesce(col("nv"), expr("CAST(array() AS ARRAY<BIGINT>)"))))
         .as("w"))
+      // All three pair-credits of a triangle enumerated at oriented
+      // edge (u,v) with closer w are themselves ORIENTED edges —
+      // (u,v), (u,w), (v,w) all ∈ o — so the aggregate can key on the
+      // oriented pair directly and the least/greatest normalization
+      // (6 conditionals per corner on the 3·|triangles| hot path)
+      // moves AFTER the aggregate, where it runs once per edge.
       .select(explode(array(
-        struct(least(col("u"), col("v")).as("a"),
-          greatest(col("u"), col("v")).as("b")),
-        struct(least(col("u"), col("w")).as("a"),
-          greatest(col("u"), col("w")).as("b")),
-        struct(least(col("v"), col("w")).as("a"),
-          greatest(col("v"), col("w")).as("b")))).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("cn"))
+        struct(col("u").as("p"), col("v").as("q")),
+        struct(col("u").as("p"), col("w").as("q")),
+        struct(col("v").as("p"), col("w").as("q")))).as("t"))
+      .groupBy(col("t.p").as("p"), col("t.q").as("q"))
+      .agg(count(lit(1)).as("cn"))
+      .select(least(col("p"), col("q")).as("a"),
+        greatest(col("p"), col("q")).as("b"), col("cn"))
     e.select(col("src").as("a"), col("dst").as("b"))
       .join(cn, Seq("a", "b"), "left")
-      .join(degHint(deg.select(col("n").as("a"), col("d").as("deg_a"))),
-        "a")
-      .join(degHint(deg.select(col("n").as("b"), col("d").as("deg_b"))),
-        "b")
+      .join(deg.select(col("n").as("a"), col("d").as("deg_a")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("deg_b")), "b")
       .select(col("a"), col("b"),
         coalesce(col("cn"), lit(0L)).as("cn"), col("deg_a"), col("deg_b"))
       .select(col("a"), col("b"), col("cn"), col("deg_a"), col("deg_b"),

@@ -94,7 +94,7 @@ object Composite24 {
     // g feeds three consumers (keys, and sets joined twice) — without
     // the localCheckpoint the tokenize+bigram pipeline re-executes
     // per consumer (measured 9.7 s; ~4 s with). Document-count-sized.
-    val g = LlmOps2.bigramSets(s, dir)
+    val g = LlmOps2.sharedBigramSets(s, dir)
       .withColumn("bucket", floor(col("n_tok").cast("double") / 8.0))
       .localCheckpoint()
     val keys = g.select(col("doc_id"), col("lang"), col("bucket"))

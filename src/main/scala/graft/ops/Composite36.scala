@@ -173,11 +173,10 @@ object Composite36 {
   // k table sees anything; E_k / N_k are conditional sums over those
   // histograms (non-equi left joins on 8 × |distinct degrees| rows),
   // so the curve costs two keyed aggregates regardless of scale.
-  private[graft] def richClubOn(half: DataFrame): DataFrame = {
-    val deg = half.select(col("src").as("n"))
-      .unionAll(half.select(col("dst").as("n")))
-      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
+  private[graft] def richClubOn(half: DataFrame): DataFrame =
+    richClubCore(half, TriCore.degOn(half).localCheckpoint())
+
+  private[graft] def richClubCore(half: DataFrame, deg: DataFrame): DataFrame = {
     val nodeH = deg.groupBy(col("deg")).agg(count(lit(1)).as("ncnt"))
     val edgeH = half
       .join(deg.select(col("n").as("src"), col("deg").as("dsrc")), "src")
@@ -201,7 +200,9 @@ object Composite36 {
   }
 
   private def richClub(s: SparkSession, dir: String): DataFrame =
-    richClubOn(Composite4.coPurchaseHalfEdges(s, dir).localCheckpoint())
+    // r18: half edges + degrees from the shared DiskMemo parquet views
+    richClubCore(Composite4.coPurchaseHalfEdges(s, dir),
+      TriCore.sharedDeg(s, dir))
 
   private val richClubOracle = {
     val ks = (1 to MaxK).map(i => s"($i)").mkString(",")

@@ -48,11 +48,13 @@ object Composite39 {
   // k_nn(k) = Σ_{sym edges u→v, deg(u)=k} deg(v) / (k·N_k); the
   // denominator is surfaced as the endpoint count (= k·N_k by
   // construction) so the ratio is one division of exact integers.
-  private[graft] def avgNeighborDegreeOn(half: DataFrame): DataFrame = {
+  private[graft] def avgNeighborDegreeOn(half: DataFrame): DataFrame =
+    avgNeighborDegreeCore(half, TriCore.degOn(half).localCheckpoint())
+
+  private[graft] def avgNeighborDegreeCore(half: DataFrame,
+      deg: DataFrame): DataFrame = {
     val sym = half.unionAll(
       half.select(col("dst").as("src"), col("src").as("dst")))
-    val deg = sym.groupBy(col("src").as("n")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
     val nodeH = deg.groupBy(col("deg").as("k"))
       .agg(count(lit(1)).as("n_nodes"))
     sym
@@ -69,7 +71,9 @@ object Composite39 {
   }
 
   private def avgNeighborDegree(s: SparkSession, dir: String): DataFrame =
-    avgNeighborDegreeOn(Composite4.coPurchaseHalfEdges(s, dir).localCheckpoint())
+    // r18: half edges + degrees from the shared DiskMemo parquet views
+    avgNeighborDegreeCore(Composite4.coPurchaseHalfEdges(s, dir),
+      TriCore.sharedDeg(s, dir))
 
   private val avgNeighborDegreeOracle =
     """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),

@@ -364,8 +364,26 @@ object Composite4 {
     * consumers (triangle_count, local_clustering, common_neighbors)
     * use this directly; symmetric-graph consumers go through
     * [[coPurchaseEdges]].
+    *
+    * r18: the built list is a [[DiskMemo]] parquet materialized view
+    * (the GraphBfs/linkpred discipline, guide §2.4 "remove shuffles
+    * outright"): ~18 graph rows consume this one edge list and until
+    * r17 every invocation re-ran the lineitem scan + groupBy +
+    * pair-explode + distinct (two exchanges each). Now the first
+    * caller in the JVM builds + writes it once and every later caller
+    * is a two-long-column parquet scan. The build is timed as its own
+    * bench row (`memo_copurchase_half`), so the suite total still
+    * carries the true cost exactly once. Content is an exact-integer
+    * SET (src, dst longs, distinct), so a memo read-back and a fresh
+    * build are cell-identical — row order is irrelevant to every
+    * consumer (all aggregate or join).
     */
   private[graft] def coPurchaseHalfEdges(s: SparkSession, dir: String): DataFrame =
+    DiskMemo.table(s, dir, "copurchase_half")(
+      coPurchaseHalfEdgesBuild(s, dir))
+
+  /** The actual half-edge build (see [[coPurchaseHalfEdges]]). */
+  private[graft] def coPurchaseHalfEdgesBuild(s: SparkSession, dir: String): DataFrame =
     load(s, dir, "lineitem")
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
@@ -386,21 +404,20 @@ object Composite4 {
       .distinct()
 
   /** Directed-symmetric co-purchase edge list: [[coPurchaseHalfEdges]]
-    * union its map-side swap. The half-edge build (the only shuffle —
-    * groupBy + distinct) is localCheckpoint'd so BOTH union branches
-    * read the materialized blocks. Round 7 relied on ReuseExchange to
-    * share the dedup exchange between the branches instead, and the
-    * driver's bench showed it does NOT fire reliably under AQE
-    * replanning: every symmetric consumer re-ran the whole build per
-    * branch (graph_label_prop 2.45 → 9.81 s, pagerank/cc/kcore/
-    * assortativity all regressed ~+1-2 s). The checkpoint pins the
-    * build to exactly one execution per invocation; the swap branch
-    * is pure map work over the blocks. Shared by pagerank,
-    * degree_dist, label_prop, kcore, connected_components,
-    * assortativity.
+    * union its map-side swap. Through r17 the half build was
+    * localCheckpoint'd here so both union branches read materialized
+    * blocks instead of re-running the build per branch (ReuseExchange
+    * does not fire reliably under AQE replanning — the r7 regression:
+    * graph_label_prop 2.45 → 9.81 s). r18: the half list is a DiskMemo
+    * parquet view, so "materialized once" is already true on disk —
+    * the union branches are two cheap 2-column parquet scans and the
+    * extra checkpoint job here would buy nothing (iterative consumers
+    * that read edges per round checkpoint the UNION themselves).
+    * Shared by pagerank, degree_dist, label_prop, kcore,
+    * connected_components, assortativity.
     */
   private[graft] def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
-    val half = coPurchaseHalfEdges(s, dir).localCheckpoint()
+    val half = coPurchaseHalfEdges(s, dir)
     half.unionAll(half.select(col("dst").as("src"), col("src").as("dst")))
   }
 

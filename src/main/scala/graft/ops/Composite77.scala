@@ -106,8 +106,15 @@ object Composite77 {
 
   // ---- llm_source_novelty --------------------------------------------------
 
-  private[graft] def ngramNoveltyOn(docs: DataFrame): DataFrame = {
-    val g = LlmOps19.grams(docs).localCheckpoint() // owners + totals
+  private[graft] def ngramNoveltyOn(docs: DataFrame): DataFrame =
+    ngramNoveltyOnGrams(LlmOps19.grams(docs), docs)
+
+  private[graft] def ngramNoveltyOnGrams(grams: DataFrame,
+      docs: DataFrame): DataFrame = {
+    // parquet-backed grams (the r18 DiskMemo view) is already
+    // materialized; the checkpoint still pins one in-memory copy for
+    // the two aggregate consumers below (owners + totals).
+    val g = grams.localCheckpoint()
     val owners = g.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
     val novel = owners.groupBy(col("doc_id")).agg(count(lit(1)).as("nv"))
     val totals = g.groupBy(col("doc_id")).agg(count(lit(1)).as("tg"))
@@ -125,7 +132,8 @@ object Composite77 {
   }
 
   private def ngramNovelty(s: SparkSession, dir: String): DataFrame =
-    ngramNoveltyOn(load(s, dir, "documents"))
+    ngramNoveltyOnGrams(LlmOps19.sharedGrams(s, dir),
+      load(s, dir, "documents"))
 
   private val ngramNoveltyOracle =
     """WITH grams AS (

@@ -33,6 +33,15 @@ object DiskMemo {
     * build hide inside an untimed warm pass. */
   private[graft] def reset(): Unit = memo.synchronized { memo.clear() }
 
+  /** Forget ONE memoized table (by tag, any corpus dir) so the next
+    * caller rebuilds it. Bench's per-memo timed rows use this instead
+    * of the full [[reset]]: clearing everything would charge one
+    * memo's timed rebuild with every OTHER table's rebuild too, so
+    * each row would measure the union instead of its own build. */
+  private[graft] def reset(tag: String): Unit = memo.synchronized {
+    memo.filterInPlace((k, _) => !k.endsWith("#" + tag)); ()
+  }
+
   def table(s: SparkSession, dir: String, tag: String)
       (build: => DataFrame): DataFrame = {
     val key = new java.io.File(dir).getCanonicalPath + "#" + tag

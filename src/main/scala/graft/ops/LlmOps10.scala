@@ -46,13 +46,10 @@ object LlmOps10 {
   // corpus the surviving pairs are the small side — so the join is
   // left unhinted for AQE to pick the build side from runtime stats.
   private def containment(s: SparkSession, dir: String): DataFrame = {
-    val grams = load(s, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .filter(size(col("t")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(t) - 3, 1), " +
-          "i -> array_join(slice(t, i + 1, 3), ' '))")).as("h"))
-      .distinct()
+    // r18: the gram relation was an inline copy of LlmOps19.grams —
+    // now read from the shared DiskMemo parquet view (same definition,
+    // built once per JVM, timed as memo_grams3).
+    val grams = LlmOps19.sharedGrams(s, dir)
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     // The inverted index feeds rarePairs AND the hot slice (which is
     // itself read three times below): ReuseExchange dedups only the

@@ -44,7 +44,9 @@ object LlmOps19 {
   private val LshSeeds = 8
   private val LshBands = 4 // bands of 2 rows
 
-  /** Distinct (doc_id, 3-token shingle) — the LlmOps10 gram text. */
+  /** Distinct (doc_id, 3-token shingle) — the LlmOps10 gram text.
+    * Pure seam (planted tests pass their own docs). Corpus-facing
+    * consumers go through [[sharedGrams]]. */
   private[graft] def grams(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 3)
@@ -53,6 +55,18 @@ object LlmOps19 {
           "i -> array_join(slice(t, i + 1, 3), ' '))")).as("h"))
       .distinct()
 
+  /** Corpus-facing distinct trigram relation as a [[DiskMemo]] parquet
+    * materialized view (r18, the coPurchaseHalfEdges discipline):
+    * FOUR rows consume this one relation — `llm_minhash_containment`,
+    * `llm_lsh_bucket_audit`, `llm_shingle_df_spectrum`,
+    * `llm_source_novelty` — and until r17 each re-ran the tokenize +
+    * shingle-explode + DISTINCT pipeline per invocation. Content is an
+    * exact string SET (deterministic; row order irrelevant to every
+    * consumer — all aggregate). The build is timed as its own bench
+    * row (`memo_grams3`). */
+  private[graft] def sharedGrams(s: SparkSession, dir: String): DataFrame =
+    DiskMemo.table(s, dir, "grams3")(grams(load(s, dir, "documents")))
+
   // ---- llm_lsh_bucket_audit -------------------------------------------------
   private val lshFinal: Seq[String] = Seq(
     "band", "nb AS n_buckets", "mx AS max_bucket",
@@ -60,10 +74,13 @@ object LlmOps19 {
     "floor((CAST(mx*(mx - 1) div 2 AS DOUBLE)" +
       " / nullif(CAST(cp AS DOUBLE), 0))*1e6 + 0.5)/1e6 AS hot_share")
 
-  private[graft] def lshBucketAuditOn(docs: DataFrame): DataFrame = {
+  private[graft] def lshBucketAuditOn(docs: DataFrame): DataFrame =
+    lshBucketAuditOnGrams(grams(docs))
+
+  private[graft] def lshBucketAuditOnGrams(g: DataFrame): DataFrame = {
     val mins = (0 until LshSeeds).map(s0 =>
       min(md5(concat(lit(s"$s0|"), col("h")))).as(s"m$s0"))
-    val sig = grams(docs).groupBy(col("doc_id"))
+    val sig = g.groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
     val bandCols = (0 until LshBands).map(b =>
       md5(concat(col(s"m${2 * b}"), col(s"m${2 * b + 1}"))).as(s"b$b"))
@@ -81,7 +98,7 @@ object LlmOps19 {
   }
 
   private def lshBucketAudit(s: SparkSession, dir: String): DataFrame =
-    lshBucketAuditOn(load(s, dir, "documents"))
+    lshBucketAuditOnGrams(sharedGrams(s, dir))
 
   private val lshBucketAuditOracle = {
     val mins = (0 until LshSeeds)
@@ -128,8 +145,11 @@ object LlmOps19 {
     "bucket", "ns AS n_shingles", "np AS n_postings",
     "floor((CAST(ns AS DOUBLE) / total)*1e6 + 0.5)/1e6 AS vocab_share")
 
-  private[graft] def shingleDfSpectrumOn(docs: DataFrame): DataFrame = {
-    val dfRel = grams(docs).groupBy(col("h"))
+  private[graft] def shingleDfSpectrumOn(docs: DataFrame): DataFrame =
+    shingleDfSpectrumOnGrams(grams(docs))
+
+  private[graft] def shingleDfSpectrumOnGrams(g: DataFrame): DataFrame = {
+    val dfRel = g.groupBy(col("h"))
       .agg(count(lit(1)).as("df"))
     val tot = broadcast(dfRel.agg(count(lit(1)).as("total")))
     dfRel.selectExpr(s"$dfBucket AS bucket", "df")
@@ -141,7 +161,7 @@ object LlmOps19 {
   }
 
   private def shingleDfSpectrum(s: SparkSession, dir: String): DataFrame =
-    shingleDfSpectrumOn(load(s, dir, "documents"))
+    shingleDfSpectrumOnGrams(sharedGrams(s, dir))
 
   private val shingleDfSpectrumOracle =
     s"""WITH grams AS (

@@ -85,6 +85,16 @@ object LlmOps2 {
     * LSH banding is the unblocked-recall path, see llm_dedup_near).
     * Shared by `llm_dedup_ngram` (which just adds the presentation
     * orderBy) and `llm_dedup_cluster`'s near-dup edge build. */
+  /** Corpus-facing [[bigramSets]] as a DiskMemo parquet view (r18):
+    * three rows consume it — `llm_dedup_ngram` + `llm_dedup_cluster`
+    * (both via [[ngramDupPairs]]) and `llm_dedup_threshold_sweep`
+    * (Composite24) — each previously re-ran the tokenize + bigram-hash
+    * pipeline per invocation. Content is exact (sorted distinct hashed
+    * longs + integer token counts); row order irrelevant (every
+    * consumer joins/aggregates). Build timed as `memo_bigramsets`. */
+  private[graft] def sharedBigramSets(s: SparkSession, dir: String): DataFrame =
+    DiskMemo.table(s, dir, "bigramsets")(bigramSets(s, dir))
+
   private[graft] def ngramDupPairs(s: SparkSession, dir: String): DataFrame = {
     // g feeds the pair-key scan AND both verify joins — localCheckpoint
     // materializes the tokenize+bigram pipeline once (document-count-
@@ -92,7 +102,7 @@ object LlmOps2 {
     // per consumer. Pair on bare keys first, then attach the bigram
     // sets (same plan discipline as nearDupPairs: never push array
     // payloads through the pair-generating join).
-    val g = bigramSets(s, dir)
+    val g = sharedBigramSets(s, dir)
       .withColumn("bucket", floor(col("n_tok").cast("double") / 8.0))
       .localCheckpoint()
     val keys = g.select(col("doc_id"), col("lang"), col("bucket"))

@@ -32,11 +32,27 @@ import org.apache.spark.sql.functions._
   */
 object DistRank {
 
+  /** Scale-adaptive range-partition count (r18, guide §2 "make
+    * partitioning scale-adaptive"): callers default to `parts = 0`,
+    * which resolves to the session's `spark.sql.shuffle.partitions` —
+    * the knob a cluster deployment already sizes to its data — instead
+    * of a constant 32 tuned for the local bench (where shuffle
+    * partitions == cpus == 32, so local behavior and numbers are
+    * unchanged). Results are partition-count independent by
+    * construction: every primitive here computes exact integer
+    * arithmetic over a unique key axis (offsets are exact sums; the
+    * global row number / successor are total-order properties).
+    * The explicit numPartitions keeps AQE from coalescing the range
+    * exchange back to one partition. */
+  private def resolve(df: DataFrame, parts: Int): Int =
+    if (parts > 0) parts
+    else df.sparkSession.sessionState.conf.numShufflePartitions
+
   /** Append `as` = SQL `ntile(buckets)` over the total order `sort`.
     * No single-partition exchange at any width; determinism requires
     * `sort` to be a total order. */
   def globalNtile(df: DataFrame, as: String, buckets: Int,
-      sort: Seq[Column], parts: Int = 32): DataFrame = {
+      sort: Seq[Column], parts: Int = 0): DataFrame = {
     require(buckets > 0, s"globalNtile: buckets $buckets must be > 0")
     // Scratch-column collision guard (ADVICE r9): the pipeline claims
     // __pid/__off/__n/__rn internally; a caller frame already carrying
@@ -52,7 +68,8 @@ object DistRank {
     // collect, absorbing the range-sampling pass), and the rank pass
     // reads the cached blocks — input consumed at most twice
     // regardless of how many ntiles are chained above each other.
-    val ranged = df.repartitionByRange(parts, sort: _*)
+    val nParts = resolve(df, parts)
+    val ranged = df.repartitionByRange(nParts, sort: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(false)
     val offs = ranged.groupBy(col("__pid"))
@@ -101,7 +118,7 @@ object DistRank {
     * must be UNIQUE per row (a grouped/distinct axis), which is what
     * makes the rowsBetween frame tie-safe. */
   def globalPrefixSum(df: DataFrame, as: String, key: Column,
-      weight: Column, parts: Int = 32): DataFrame =
+      weight: Column, parts: Int = 0): DataFrame =
     globalPrefixSums(df, Seq(as -> weight), key, parts)
 
   /** Append `as` = the NEXT key in the global ascending order of
@@ -113,12 +130,12 @@ object DistRank {
     * axis) — equal keys straddling a range boundary would make the
     * successor nondeterministic. */
   def globalLead(df: DataFrame, as: String, key: Column,
-      parts: Int = 32): DataFrame = {
+      parts: Int = 0): DataFrame = {
     val clash = df.columns.toSet.intersect(Set("__pid", "__nextf", as))
     require(clash.isEmpty,
       s"globalLead: input already has column(s) ${clash.mkString(", ")} " +
         "— rename them (or the target column) before calling")
-    val ranged = df.repartitionByRange(parts, key)
+    val ranged = df.repartitionByRange(resolve(df, parts), key)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(false)
     // Non-empty partitions only appear here; lead over the __pid
@@ -144,7 +161,7 @@ object DistRank {
     * single-partition stage at any input width. Keys must be unique
     * per row, as in the single-weight form. */
   def globalPrefixSums(df: DataFrame, outs: Seq[(String, Column)],
-      key: Column, parts: Int = 32): DataFrame =
+      key: Column, parts: Int = 0): DataFrame =
     prefixSumsCore(df, outs, key, leadAs = None, parts)
 
   /** [[globalPrefixSums]] + [[globalLead]] FUSED: the prefix sums and
@@ -157,7 +174,7 @@ object DistRank {
     * exchange over the full grid — this is the one-pass form for
     * consumers that need both (the Wasserstein EDF-area shape). */
   def globalPrefixSumsWithLead(df: DataFrame, outs: Seq[(String, Column)],
-      key: Column, leadAs: String, parts: Int = 32): DataFrame =
+      key: Column, leadAs: String, parts: Int = 0): DataFrame =
     prefixSumsCore(df, outs, key, leadAs = Some(leadAs), parts)
 
   private def prefixSumsCore(df: DataFrame, outs: Seq[(String, Column)],
@@ -172,7 +189,7 @@ object DistRank {
     require(clash.isEmpty,
       s"globalPrefixSums: input already has column(s) ${clash.mkString(", ")} " +
         "— rename them (or the target columns) before calling")
-    val ranged = df.repartitionByRange(parts, key)
+    val ranged = df.repartitionByRange(resolve(df, parts), key)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(false)
     val sums = outs.map { case (n, w) => sum(w).as(s"__c_$n") } ++

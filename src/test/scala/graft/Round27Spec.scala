@@ -21,14 +21,27 @@ import org.scalatest.funsuite.AnyFunSuite
 class Round27Spec extends AnyFunSuite {
   import TestSpark._
 
-  test("coPurchaseEdges: both union branches read the SAME checkpointed half build") {
+  test("coPurchaseEdges: both union branches read the SAME materialized half build") {
+    // r18: the half build is a DiskMemo parquet view, so "one
+    // materialization, two projections" now means two parquet scan
+    // leaves over the SAME file location — the build subtree
+    // (groupBy + explode + distinct) must not appear in either branch.
     val edges = graft.ops.Composite4.coPurchaseEdges(spark, sf)
     val leaves = edges.queryExecution.optimizedPlan.collectLeaves()
-    val rddIds = leaves.collect { case l: LogicalRDD => l.rdd.id }
-    assert(rddIds.length == 2,
-      s"expected 2 LogicalRDD leaves (checkpointed half, twice), got ${leaves.mkString("; ")}")
-    assert(rddIds.distinct.length == 1,
-      s"union branches scan DIFFERENT materializations: rdd ids $rddIds")
+    val locs = leaves.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.mkString(",")
+          case other => other.toString
+        }
+    }
+    assert(locs.length == 2,
+      s"expected 2 parquet scan leaves (memoized half, twice), got ${leaves.mkString("; ")}")
+    assert(locs.distinct.length == 1,
+      s"union branches scan DIFFERENT materializations: $locs")
+    assert(leaves.collectFirst { case l: LogicalRDD => l }.isEmpty,
+      "no checkpointed RDD leaf expected under the DiskMemo edge view")
   }
 
   test("queries are invariant to the bench's between-queries cleanup") {

@@ -185,6 +185,39 @@ class Round56Spec extends AnyFunSuite {
     assert(before == after)
   }
 
+  test("DiskMemo.reset(tag): scoped reset rebuilds only that table; " +
+      "edge view rebuild is cell-identical") {
+    val edgesBefore = graft.ops.Composite4
+      .coPurchaseHalfEdges(spark, TestSpark.sf).collect().toSet
+    // A fresh-build pass must equal the memoized read (the DiskMemo
+    // determinism contract extended to the r18 edge view).
+    val fresh = graft.ops.Composite4
+      .coPurchaseHalfEdgesBuild(spark, TestSpark.sf).collect().toSet
+    assert(edgesBefore == fresh)
+    // Scoped reset of an UNRELATED tag must leave the edge view
+    // memoized (same parquet LOCATION, no rebuild — compare paths,
+    // not analyzed-plan strings, whose expression ids differ per
+    // analysis).
+    def edgeLoc() = graft.ops.Composite4.coPurchaseHalfEdges(spark, TestSpark.sf)
+      .queryExecution.optimizedPlan.collectLeaves().collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.mkString(",")
+            case other => other.toString
+          }
+      }.mkString
+    val p1 = edgeLoc()
+    graft.ops.DiskMemo.reset("linkpred_cands")
+    val p2 = edgeLoc()
+    assert(p1 == p2, "scoped reset of another tag must not evict the edge view")
+    // Scoped reset of ITS tag rebuilds to cell-identical content.
+    graft.ops.DiskMemo.reset("copurchase_half")
+    val edgesAfter = graft.ops.Composite4
+      .coPurchaseHalfEdges(spark, TestSpark.sf).collect().toSet
+    assert(edgesBefore == edgesAfter)
+  }
+
   test("GraphBfs.reset: levels rebuilt after reset are cell-identical") {
     def sig() = {
       val (seeds, levels) = graft.ops.GraphBfs
