@@ -121,20 +121,31 @@ object Composite33 {
     * per-(order, pair) rows count straight into the multiplicity via
     * one map-side-combining aggregate, then the half edges mirror. */
   private[graft] def coPurchaseWeightedEdges(s: SparkSession, dir: String): DataFrame = {
-    val half = load(s, dir, "lineitem")
-      .groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-      .select(col("ps"), posexplode(col("ps")))
-      .toDF("ps", "i", "src")
-      .select(col("src"),
-        explode(slice(col("ps"), col("i") + lit(2), size(col("ps"))))
-          .as("dst"))
-      .groupBy(col("src"), col("dst"))
-      .agg(count(lit(1)).as("w"))
-      .localCheckpoint()
+    val half = coPurchaseWeightedHalf(s, dir)
     half.unionAll(half.select(col("dst").as("src"), col("src").as("dst"),
       col("w")))
   }
+
+  /** Weighted half edges as the BASE DiskMemo view of the co-purchase
+    * layer (r18): the groupBy(src, dst).count keys are exactly the
+    * distinct unordered pairs, so [[Composite4.coPurchaseHalfEdges]]
+    * is a 2-column projection of THIS view — one co-purchase
+    * aggregation feeds both the weighted and unweighted graph (the
+    * warehouse layered-view shape). Build timed as
+    * `memo_copurchase_weighted`; the unweighted projection's write is
+    * what `memo_copurchase_half` times on top of it. */
+  private[graft] def coPurchaseWeightedHalf(s: SparkSession, dir: String): DataFrame =
+    DiskMemo.table(s, dir, "copurchase_weighted")(
+      load(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .select(col("ps"), posexplode(col("ps")))
+        .toDF("ps", "i", "src")
+        .select(col("src"),
+          explode(slice(col("ps"), col("i") + lit(2), size(col("ps"))))
+            .as("dst"))
+        .groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).as("w")))
 
   /** K weighted Bellman-Ford rounds over a (src, dst, w) edge list;
     * `seed` marks distance-0 nodes. Returns the distance histogram
@@ -177,7 +188,7 @@ object Composite33 {
   }
 
   private def shortestPathWeighted(s: SparkSession, dir: String): DataFrame =
-    shortestPathWeightedOn(coPurchaseWeightedEdges(s, dir).localCheckpoint(),
+    shortestPathWeightedOn(coPurchaseWeightedEdges(s, dir),
       n => n % 100 === 0, k = 3)
 
   private def shortestPathWeightedOracle: String = {

@@ -380,9 +380,15 @@ object Composite4 {
     */
   private[graft] def coPurchaseHalfEdges(s: SparkSession, dir: String): DataFrame =
     DiskMemo.table(s, dir, "copurchase_half")(
-      coPurchaseHalfEdgesBuild(s, dir))
+      // r18 layering: the weighted view's groupBy(src, dst) keys ARE
+      // the distinct pairs, so the unweighted list is a projection of
+      // it — one co-purchase aggregation feeds both views (the
+      // independent definition below stays as the test seam).
+      Composite33.coPurchaseWeightedHalf(s, dir)
+        .select(col("src"), col("dst")))
 
-  /** The actual half-edge build (see [[coPurchaseHalfEdges]]). */
+  /** The from-scratch half-edge build — the definitional seam the
+    * equality tests pin the memoized views against. */
   private[graft] def coPurchaseHalfEdgesBuild(s: SparkSession, dir: String): DataFrame =
     load(s, dir, "lineitem")
       .groupBy(col("l_orderkey"))

@@ -91,12 +91,16 @@ object LlmOps4 {
       val r = df.agg(sum(col("label").cast("decimal(38,0)"))).first()
       if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
     }
-    var prev = labelSum(labels) // materializes the persisted round
-    // One size gate for every per-round hint: the label table's row
-    // count is the node count, invariant across rounds, and labels
-    // is already materialized — the count is a cached-block scan
-    // (graft.util.Hints).
-    val hint = graft.util.Hints.maybeBroadcast(labels.count())
+    // ONE action initializes both loop controls (r18): the label sum
+    // (convergence sentinel) and the node count (the per-round hint
+    // gate) come out of a single aggregate over the persisted round-1
+    // table — the separate labels.count() job is folded away.
+    val init = labels.agg(
+      sum(col("label").cast("decimal(38,0)")).as("s"),
+      count(lit(1)).as("c")).first()
+    var prev = if (init.isNullAt(0)) java.math.BigDecimal.ZERO
+      else init.getDecimal(0)
+    val hint = graft.util.Hints.maybeBroadcast(init.getLong(1))
     var iter = 1
     var converged = false
     while (!converged && iter < maxIter) {
