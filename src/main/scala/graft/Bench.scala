@@ -168,6 +168,10 @@ object Bench {
     // builds read the edge view) measure their own work on top of a
     // materialized edge list, exactly like every other consumer.
     val memoBuilds = Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)](
+      "memo_order_psets" -> ((s, d) => {
+        graft.ops.DiskMemo.reset("order_psets")
+        graft.ops.Composite4.sharedOrderPsets(s, d)
+      }),
       "memo_copurchase_weighted" -> ((s, d) => {
         graft.ops.DiskMemo.reset("copurchase_weighted")
         graft.ops.Composite33.coPurchaseWeightedHalf(s, d)

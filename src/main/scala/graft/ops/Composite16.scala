@@ -32,17 +32,15 @@ object Composite16 {
   // degree table broadcasts; the code path works identically as two
   // shuffle joins when it cannot.
   private def assortativity(s: SparkSession, dir: String): DataFrame = {
-    // edges feeds deg AND the pairing join; deg feeds two broadcasts
-    // — checkpoint both (edge/node-sized) so the co-purchase build
-    // runs once, not three times (Composite20 discipline).
-    val edges = Composite4.coPurchaseEdges(s, dir).localCheckpoint()
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
-      .localCheckpoint()
-    val degHint = graft.util.Hints.maybeBroadcast(deg.count())
+    // r18: edges + degrees read from the shared DiskMemo parquet
+    // views (built once per JVM) instead of per-invocation rebuild +
+    // two checkpoints; parquet statistics drive broadcast-vs-shuffle.
+    val edges = Composite4.coPurchaseEdges(s, dir)
+    val deg = TriCore.sharedDeg(s, dir).withColumnRenamed("n", "src")
+      .withColumnRenamed("deg", "d")
     val paired = edges
-      .join(degHint(deg.select(col("src"), col("d").as("da"))), "src")
-      .join(degHint(deg.select(col("src").as("dst"), col("d").as("db"))),
-        "dst")
+      .join(deg.select(col("src"), col("d").as("da")), "src")
+      .join(deg.select(col("src").as("dst"), col("d").as("db")), "dst")
     val rF =
       """round((sab / m - (sa / m) * (sb / m)) /
         |  (sqrt(sa2 / m - (sa / m) * (sa / m)) *

@@ -183,6 +183,9 @@ object Composite32 {
   }
 
   private def egoSize2Hop(s: SparkSession, dir: String): DataFrame =
+    // The checkpoint stays even on the parquet-backed view (r18 A/B:
+    // dropping it measured ~+0.5 s — the frontier join reads the
+    // blocks twice and in-memory blocks beat re-scanning the union).
     egoSize2HopOn(Composite4.coPurchaseEdges(s, dir).localCheckpoint())
 
   private val egoSize2HopOracle =

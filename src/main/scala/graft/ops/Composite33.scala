@@ -136,9 +136,7 @@ object Composite33 {
     * what `memo_copurchase_half` times on top of it. */
   private[graft] def coPurchaseWeightedHalf(s: SparkSession, dir: String): DataFrame =
     DiskMemo.table(s, dir, "copurchase_weighted")(
-      load(s, dir, "lineitem")
-        .groupBy(col("l_orderkey"))
-        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      Composite4.sharedOrderPsets(s, dir)
         .select(col("ps"), posexplode(col("ps")))
         .toDF("ps", "i", "src")
         .select(col("src"),

@@ -82,11 +82,16 @@ object Composite36 {
     * `graph_adamic_adar_linkpred` (Composite69) are projections +
     * TakeOrdered over this one relation; the corpus-facing queries
     * read it through the [[DiskMemo]] parquet materialization. */
-  private[graft] def linkpredCandidatesOn(half: DataFrame): DataFrame = {
+  private[graft] def linkpredCandidatesOn(half: DataFrame,
+      degOpt: Option[DataFrame] = None): DataFrame = {
     val sym = half.unionAll(
       half.select(col("dst").as("src"), col("src").as("dst")))
-    val deg = sym.groupBy(col("src").as("n")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint() // three consumers: middle weight, deg_src, deg_dst
+    // r18: the corpus path passes the shared TriCore degree view;
+    // planted callers let the seam build it (three consumers: middle
+    // weight, deg_src, deg_dst).
+    val deg = degOpt.getOrElse(
+      sym.groupBy(col("src").as("n")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint())
     val wedges = sym.filter(col("dst") % Slice === 0)
       .groupBy(col("src"))
       .agg(sort_array(collect_set(col("dst"))).as("ps0"))
@@ -117,7 +122,8 @@ object Composite36 {
   private[graft] def sharedLinkpredCandidates(s: SparkSession,
       dir: String): DataFrame =
     DiskMemo.table(s, dir, "linkpred_cands")(linkpredCandidatesOn(
-      Composite4.coPurchaseHalfEdges(s, dir).localCheckpoint()))
+      Composite4.coPurchaseHalfEdges(s, dir),
+      degOpt = Some(TriCore.sharedDeg(s, dir))))
 
   /** Jaccard projection over the shared candidates (planted-graph
     * test seam builds its own candidates, no disk). */

@@ -378,6 +378,18 @@ object Composite4 {
     * build are cell-identical — row order is irrelevant to every
     * consumer (all aggregate or join).
     */
+  /** Per-order sorted distinct part sets — the BASE view of the
+    * co-purchase layer (r18): `agg_basket_lift` consumes it directly
+    * and the weighted edge view explodes its pairs, so the lineitem
+    * groupBy/collect_set runs once per JVM (timed as
+    * `memo_order_psets`). Exact content (sorted distinct bigints per
+    * orderkey). */
+  private[graft] def sharedOrderPsets(s: SparkSession, dir: String): DataFrame =
+    DiskMemo.table(s, dir, "order_psets")(
+      load(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps")))
+
   private[graft] def coPurchaseHalfEdges(s: SparkSession, dir: String): DataFrame =
     DiskMemo.table(s, dir, "copurchase_half")(
       // r18 layering: the weighted view's groupBy(src, dst) keys ARE

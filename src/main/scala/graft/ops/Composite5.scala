@@ -130,8 +130,11 @@ object Composite5 {
   // Reuses the graph_pagerank edge definition; two chained hash
   // aggregates after the orderkey-co-partitioned self-join.
   private def degreeDist(s: SparkSession, dir: String): DataFrame =
-    Composite4.coPurchaseEdges(s, dir)
-      .groupBy("src").agg(count(lit(1)).as("degree"))
+    // r18: per-node degree over the symmetric edge list IS the shared
+    // TriCore degree view (undirected degree from the half edges) —
+    // one bounded-alphabet histogram aggregate over the parquet view.
+    TriCore.sharedDeg(s, dir)
+      .select(col("deg").as("degree"))
       .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
       .orderBy("degree")
 

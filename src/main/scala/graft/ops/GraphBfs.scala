@@ -63,9 +63,13 @@ object GraphBfs {
     * (graft.util.Hints — past the cap the joins re-plan as keyed
     * shuffles instead of hard-failing at the broadcast limit). */
   private[graft] def levelsOn(edges: DataFrame, seeds: Int,
-      k: Int): (DataFrame, IndexedSeq[DataFrame]) = {
-    val deg = edges.groupBy(col("src").as("n")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
+      k: Int, degOpt: Option[DataFrame] = None): (DataFrame, IndexedSeq[DataFrame]) = {
+    // r18: the corpus path passes the shared TriCore degree view
+    // (same relation — symmetric out-degree == undirected degree);
+    // planted callers let the seam build it.
+    val deg = degOpt.getOrElse(
+      edges.groupBy(col("src").as("n")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint())
     // Every per-round build side is ≤ seeds·|nodes| rows.
     val hint = graft.util.Hints.maybeBroadcast(seeds.toLong * deg.count())
     val seedRows = deg.orderBy(col("deg").desc, col("n")).limit(seeds)
@@ -102,7 +106,8 @@ object GraphBfs {
       memo.getOrElseUpdate(key, {
         val base = Scans.tmp(s, dir, s"bfslevels_${seeds}_$k")
         val (seedRows, lv) = levelsOn(
-          Composite4.coPurchaseEdges(s, dir).localCheckpoint(), seeds, k)
+          Composite4.coPurchaseEdges(s, dir).localCheckpoint(), seeds, k,
+          degOpt = Some(TriCore.sharedDeg(s, dir)))
         seedRows.write.mode("overwrite").parquet(s"$base/seeds")
         lv.zipWithIndex.foreach { case (df, d) =>
           df.write.mode("overwrite").parquet(s"$base/level$d") }

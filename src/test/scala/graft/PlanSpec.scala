@@ -158,8 +158,7 @@ class PlanSpec extends AnyFunSuite {
     // whole subtree per consumer (16.95 s -> ~4.7 s on
     // common_neighbors alone). Pin the boundary's presence so a
     // refactor that drops a checkpoint fails here, not in the bench.
-    Seq("graph_assortativity",
-      "llm_dedup_threshold_sweep", "llm_dedup_ngram").foreach { q =>
+    Seq("llm_dedup_threshold_sweep", "llm_dedup_ngram").foreach { q =>
       val plan = executed(q)
       assert(plan.contains("Scan ExistingRDD"),
         s"$q lost its checkpoint boundary:\n${plan.take(1500)}")
@@ -173,13 +172,15 @@ class PlanSpec extends AnyFunSuite {
     // whose lazy checkpoint hides the upstream parquet scans behind an
     // ExistingRDD leaf — the no-lineitem assertion still pins that the
     // edge build is not re-run.
-    Seq("graph_common_neighbors", "graph_triangle_count").foreach { q =>
+    Seq("graph_common_neighbors", "graph_triangle_count",
+      "graph_assortativity", "graph_degree_dist", "agg_basket_lift").foreach { q =>
       val plan = executed(q)
       assert(plan.contains("/tmp/graft_"),
         s"$q no longer reads the DiskMemo parquet views:\n${plan.take(1500)}")
     }
     Seq("graph_common_neighbors", "graph_local_clustering",
-      "graph_triangle_count").foreach { q =>
+      "graph_triangle_count", "graph_assortativity", "graph_degree_dist",
+      "agg_basket_lift").foreach { q =>
       val plan = executed(q)
       assert(!plan.contains("lineitem"),
         s"$q re-runs the edge build instead of reading the memo:\n${plan.take(1500)}")
