@@ -64,12 +64,23 @@ object Composite51 {
     // Distinct-value axis: per value, total count and the count of
     // strictly-smaller rows (distributed exclusive prefix sum), then
     // the exact doubled average rank 2·below + cnt + 1.
+    // r19 (guide §1.2 — fewer passes): the tie term Σ(t³−t) and the
+    // grand total Σt ride the SAME ranged pass as constant `tt`/`nn`
+    // columns (DistRank totals — exact BIGINT sums, bit-identical to
+    // the standalone aggregate they replace), so the consumers'
+    // separate total-aggregate jobs + crossJoin broadcasts are gone;
+    // with the tie/total scalars folded in, each consumer reads
+    // `ranked` exactly once, so the eager checkpoint job bought
+    // nothing and is dropped too.
     val vc = o.groupBy(col("c")).agg(count(lit(1)).as("cnt"))
     val ranked = graft.util.DistRank
-      .globalPrefixSum(vc, "below", col("c"), col("cnt"))
+      .globalPrefixSumsWithTotals(vc, Seq("below" -> col("cnt")), col("c"),
+        totals = Seq(
+          "tt" -> (col("cnt") * col("cnt") * col("cnt") - col("cnt")),
+          "nn" -> col("cnt")))
       .select(col("c"), col("cnt"),
-        (lit(2L) * col("below") + col("cnt") + 1L).as("r2"))
-      .localCheckpoint()
+        (lit(2L) * col("below") + col("cnt") + 1L).as("r2"),
+        col("tt"), col("nn"))
     val gc = o.groupBy(col("g"), col("c")).agg(count(lit(1)).as("gcnt"))
     (ranked, gc)
   }
@@ -77,14 +88,16 @@ object Composite51 {
   private[graft] def kruskalWallisOn(orders: DataFrame): DataFrame = {
     val (ranked, gc) = doubledRanks(orders)
     val joined = gc.join(ranked, "c")
+    // tt is a whole-relation constant on every ranked row, so max()
+    // inside the one group aggregate recovers it — the r18 shape's
+    // second pass over ranked (tie-term aggregate + crossJoin
+    // broadcast) is folded away (r19).
     val aggs =
       KwGroups.zipWithIndex.flatMap { case (p, i) => Seq(
         sum(when(col("g") === p, col("gcnt")).otherwise(0L)).as(s"n$i"),
         sum(when(col("g") === p, col("gcnt") * col("r2")).otherwise(0L))
-          .as(s"r$i")) }
+          .as(s"r$i")) } :+ max(col("tt")).as("tt")
     joined.groupBy().agg(aggs.head, aggs.tail: _*)
-      .crossJoin(broadcast(ranked.agg(
-        sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tt"))))
       .selectExpr(
         s"CAST($kwN AS BIGINT) AS n",
         s"$kwHc AS h_stat",

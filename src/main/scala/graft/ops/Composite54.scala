@@ -58,9 +58,14 @@ object Composite54 {
     * every build side below is a level or delta table, bounded by
     * Σ level rows. */
   private[graft] def betweennessFrom(edges: DataFrame,
-      levels: IndexedSeq[DataFrame]): DataFrame = {
+      levels: IndexedSeq[DataFrame], boundRows: Option[Long] = None): DataFrame = {
     val k = levels.length - 1
-    val hint = graft.util.Hints.maybeBroadcast(levels.map(_.count()).sum)
+    // Gate bound: Σ level rows ≤ seeds·|nodes|. The corpus path passes
+    // the bound from ONE parquet-metadata count of the shared degree
+    // view (r19) instead of counting every level table — same bound,
+    // k+1 fewer gate jobs per invocation.
+    val hint = graft.util.Hints.maybeBroadcast(
+      boundRows.getOrElse(levels.map(_.count()).sum))
     // Backward: δ(depth k) = 0; for d = k−1 .. 1 accumulate over the
     // DAG edges (v at depth d) → (w at depth d+1).
     var delta: DataFrame = null
@@ -76,15 +81,24 @@ object Composite54 {
           down.join(hint(delta), Seq("seed", "node"), "left")
             .select(col("seed"), col("node"), col("sigma"),
               coalesce(col("delta"), lit(0.0)).as("dl"))
-      delta = edges
-        .join(hint(downD.select(col("seed"), col("node").as("dst"),
-          col("sigma").as("sw"), col("dl"))), "dst")
-        .join(hint(cur.select(col("seed"), col("node").as("src"),
-          col("sigma").as("sv"))), Seq("seed", "src"))
-        .groupBy(col("seed"), col("src").as("node"))
-        .agg(expr("round(sum(CAST(sv AS DOUBLE)/sw * (1 + dl)), 12)")
-          .as("delta"))
-        .localCheckpoint()
+      delta = {
+        val agg = edges
+          .join(hint(downD.select(col("seed"), col("node").as("dst"),
+            col("sigma").as("sw"), col("dl"))), "dst")
+          .join(hint(cur.select(col("seed"), col("node").as("src"),
+            col("sigma").as("sv"))), Seq("seed", "src"))
+          .groupBy(col("seed"), col("src").as("node"))
+          .agg(expr("round(sum(CAST(sv AS DOUBLE)/sw * (1 + dl)), 12)")
+            .as("delta"))
+        // r19: the two DEEPEST rounds fuse into one action — δ(k−1)
+        // feeds δ(k−2)'s join and the final union, and its aggregate
+        // exchange is an identical subtree in both, which
+        // ReuseExchange dedups (verified in the after-plan), so the
+        // per-round checkpoint job bought nothing for them. Shallower
+        // rounds (k > 3) still checkpoint: un-pinned, the plan would
+        // double per round (guide §1.2 / VERDICT r18 item 1).
+        if (d > 2) agg.localCheckpoint() else agg
+      }
       deltas += delta
     }
     deltas.reduce(_ unionAll _)
@@ -99,10 +113,16 @@ object Composite54 {
   private def betweennessApprox(s: SparkSession, dir: String): DataFrame = {
     // Shared forward pass (GraphBfs.sharedLevels — parquet memo fed
     // to this row AND graph_harmonic_centrality); only the backward
-    // pass needs the edge list, rebuilt per invocation.
+    // pass needs the edge list. r19: the edge list is two 2-column
+    // scans of the copurchase_half parquet view — re-reading it in
+    // the two backward rounds is cheaper than a checkpoint job that
+    // re-materializes 2E rows into block storage (guide §1.2), and
+    // the gate bound comes from ONE metadata count of the shared
+    // degree view (levels ≤ seeds·|nodes|) instead of 4 level counts.
     val (_, levels) = GraphBfs.sharedLevels(s, dir, seeds = 3, k = 3)
     betweennessFrom(
-      Composite4.coPurchaseEdges(s, dir).localCheckpoint(), levels)
+      Composite4.coPurchaseEdges(s, dir), levels,
+      boundRows = Some(3L * TriCore.sharedDeg(s, dir).count()))
   }
 
   private val betweennessOracle = {

@@ -90,12 +90,15 @@ object Composite57 {
     val o = orders.select(col("o_orderpriority").as("g"),
       (money(col("o_totalprice")) * 100).cast("bigint").as("c"))
     val vc = o.groupBy(col("c")).agg(count(lit(1)).as("cnt"))
-    val tot = vc.agg(sum(col("cnt")).as("n"))
     // lower median: smallest value whose cumulative count reaches
-    // ceil(n/2) — exact integer selection on the distinct-value axis
-    val med = graft.util.DistRank.globalPrefixSum(vc, "below", col("c"),
-        col("cnt"))
-      .crossJoin(broadcast(tot))
+    // ceil(n/2) — exact integer selection on the distinct-value axis.
+    // r19: the grand total n rides the prefix-sum pass as a constant
+    // column (DistRank totals — exact BIGINT, bit-identical to the
+    // separate aggregate), dropping the tot job + crossJoin broadcast
+    // (guide §1.2).
+    val med = graft.util.DistRank.globalPrefixSumsWithTotals(vc,
+        Seq("below" -> col("cnt")), col("c"),
+        totals = Seq("n" -> col("cnt")))
       .filter(col("below") + col("cnt") >= expr("(n + 1) div 2"))
       .agg(min(col("c")).as("median_c"))
     val aggs =

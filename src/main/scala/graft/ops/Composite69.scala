@@ -79,17 +79,23 @@ object Composite69 {
 
   private[graft] def dunnOn(orders: DataFrame): DataFrame = {
     val (ranked, gc) = Composite51.doubledRanks(orders)
+    // r19: nn/tt are whole-relation constants riding every ranked row
+    // (DistRank totals — exact BIGINTs, bit-identical to the separate
+    // aggregate they replace), so the tie/total pass + its crossJoin
+    // broadcast are folded into this one aggregate; the checkpoint
+    // turns LAZY — the final action's self-join materializes gstats
+    // once and reads the blocks twice, without the standalone
+    // checkpoint job (guide §1.2).
     val gstats = gc.join(ranked, "c")
       .groupBy(col("g"))
-      .agg(sum(col("gcnt")).as("n"), sum(col("gcnt") * col("r2")).as("r2s"))
-      .localCheckpoint() // 5 rows, two self-join consumers
-    val tot = ranked.agg(sum(col("cnt")).as("nn"),
-      sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tt"))
+      .agg(sum(col("gcnt")).as("n"), sum(col("gcnt") * col("r2")).as("r2s"),
+        max(col("nn")).as("nn"), max(col("tt")).as("tt"))
+      .localCheckpoint(false) // 5 rows, two self-join consumers
     val pairs = gstats
-      .select(col("g").as("g1"), col("n").as("na"), col("r2s").as("r2a"))
+      .select(col("g").as("g1"), col("n").as("na"), col("r2s").as("r2a"),
+        col("nn"), col("tt"))
       .join(gstats.select(col("g").as("g2"), col("n").as("nb"),
         col("r2s").as("r2b")), col("g1") < col("g2"))
-      .crossJoin(broadcast(tot))
       .selectExpr("g1", "g2", "na", "nb",
         "CAST(r2a AS DOUBLE)/(2*na) AS mra",
         "CAST(r2b AS DOUBLE)/(2*nb) AS mrb",

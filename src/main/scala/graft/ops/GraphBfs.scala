@@ -98,22 +98,59 @@ object GraphBfs {
   /** Disk-memoized corpus levels over [[Composite4.coPurchaseEdges]]:
     * build + parquet-write once per JVM per (dir, seeds, k), read
     * back on every later call (see object doc for why disk, not
-    * memory). */
+    * memory).
+    *
+    * r19 (guide §1.2 — remove passes): the build WRITES each frontier
+    * straight to its final parquet path and reads it back for the
+    * next round, instead of the r18 shape (localCheckpoint every
+    * level, then re-write all of them — two materializations per
+    * level plus a count-gated broadcast hint, ~10 jobs for k=3; now
+    * one write job per level, ~5). The parquet read-backs carry
+    * accurate file statistics, so the planner broadcasts the
+    * frontier/visited sides on its own and plans keyed shuffles once
+    * they outgrow the threshold — the TriCore r18 stats-over-hand-gate
+    * discipline; the deg.count() gate job is dropped with it.
+    * Level content is IDENTICAL to [[levelsOn]]'s (same plan subtree
+    * per level, exact BIGINT σ; [[GraphBfsSpec]] pins the equality). */
   private[graft] def sharedLevels(s: SparkSession, dir: String, seeds: Int,
       k: Int): (DataFrame, IndexedSeq[DataFrame]) = {
     val key = (new java.io.File(dir).getCanonicalPath, seeds, k)
     val h = memo.synchronized {
       memo.getOrElseUpdate(key, {
         val base = Scans.tmp(s, dir, s"bfslevels_${seeds}_$k")
-        val (seedRows, lv) = levelsOn(
-          Composite4.coPurchaseEdges(s, dir).localCheckpoint(), seeds, k,
-          degOpt = Some(TriCore.sharedDeg(s, dir)))
-        seedRows.write.mode("overwrite").parquet(s"$base/seeds")
-        lv.zipWithIndex.foreach { case (df, d) =>
-          df.write.mode("overwrite").parquet(s"$base/level$d") }
-        Handle(s"$base/seeds", (0 to k).map(d => s"$base/level$d"))
+        val edges = Composite4.coPurchaseEdges(s, dir)
+        // Seed table and depth-0 level fused into ONE seeds-wide write
+        // (node == seed, σ == 1 at depth 0 are projections of the seed
+        // rows): one write action instead of two, the Handle reads
+        // project the two shapes back out.
+        TriCore.sharedDeg(s, dir)
+          .orderBy(col("deg").desc, col("n")).limit(seeds)
+          .select(col("n").as("seed"), col("deg").as("seed_degree"),
+            col("n").as("node"), lit(1L).as("sigma"))
+          .write.mode("overwrite").parquet(s"$base/seeds")
+        var levels = List(s.read.parquet(s"$base/seeds")
+          .select(col("seed"), col("node"), col("sigma")))
+        var visited = levels.head.select(col("seed"), col("node"))
+        for (d <- 1 to k) {
+          edges
+            .join(levels.head.select(col("seed"), col("node").as("src"),
+              col("sigma").as("ps")), "src")
+            .groupBy(col("seed"), col("dst").as("node"))
+            .agg(sum(col("ps")).as("sigma"))
+            .join(visited, Seq("seed", "node"), "left_anti")
+            .write.mode("overwrite").parquet(s"$base/level$d")
+          val lv = s.read.parquet(s"$base/level$d")
+          visited = visited.unionAll(lv.select(col("seed"), col("node")))
+          levels = lv :: levels
+        }
+        Handle(s"$base/seeds",
+          s"$base/seeds" +: (1 to k).map(d => s"$base/level$d"))
       })
     }
-    (s.read.parquet(h.seedsPath), h.levelPaths.map(p => s.read.parquet(p)))
+    (s.read.parquet(h.seedsPath).select(col("seed"), col("seed_degree")),
+      h.levelPaths.zipWithIndex.map { case (p, d) =>
+        val df = s.read.parquet(p)
+        if (d == 0) df.select(col("seed"), col("node"), col("sigma")) else df
+      })
   }
 }

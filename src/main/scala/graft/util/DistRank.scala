@@ -177,15 +177,32 @@ object DistRank {
       key: Column, leadAs: String, parts: Int = 0): DataFrame =
     prefixSumsCore(df, outs, key, leadAs = Some(leadAs), parts)
 
+  /** [[globalPrefixSums]] + whole-relation TOTALS appended as constant
+    * columns (one per `(name, expr)` pair), riding the SAME
+    * per-partition offsets aggregate and broadcast — the total is the
+    * unbounded-window sum of the per-partition sums, so consumers
+    * that previously ran a separate global aggregate + crossJoin
+    * broadcast for Σweight-style scalars (rank-family tie terms,
+    * grand totals) get them for free out of the one ranged pass
+    * (r19, guide §1.2/§2.4 — fewer passes). Exact-integer sums, so
+    * the values are bit-identical to the standalone aggregate's. */
+  def globalPrefixSumsWithTotals(df: DataFrame, outs: Seq[(String, Column)],
+      key: Column, totals: Seq[(String, Column)],
+      parts: Int = 0): DataFrame =
+    prefixSumsCore(df, outs, key, leadAs = None, parts, totals)
+
   private def prefixSumsCore(df: DataFrame, outs: Seq[(String, Column)],
-      key: Column, leadAs: Option[String], parts: Int): DataFrame = {
+      key: Column, leadAs: Option[String], parts: Int,
+      totals: Seq[(String, Column)] = Nil): DataFrame = {
     require(outs.nonEmpty, "globalPrefixSums: no output columns requested")
     val names = outs.map(_._1)
-    require(names.distinct == names,
-      s"globalPrefixSums: duplicate output name in ${names.mkString(", ")}")
-    val scratch = Set("__pid", "__nextf") ++ names.map("__off_" + _)
-    val clash = df.columns.toSet
-      .intersect(names.toSet ++ scratch ++ leadAs.toSet)
+    val totNames = totals.map(_._1)
+    val allNames = names ++ totNames ++ leadAs.toSeq
+    require(allNames.distinct == allNames,
+      s"globalPrefixSums: duplicate output name in ${allNames.mkString(", ")}")
+    val scratch = Set("__pid", "__nextf") ++ names.map("__off_" + _) ++
+      totNames.map("__t_" + _)
+    val clash = df.columns.toSet.intersect(allNames.toSet ++ scratch)
     require(clash.isEmpty,
       s"globalPrefixSums: input already has column(s) ${clash.mkString(", ")} " +
         "— rename them (or the target columns) before calling")
@@ -193,14 +210,17 @@ object DistRank {
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(false)
     val sums = outs.map { case (n, w) => sum(w).as(s"__c_$n") } ++
+      totals.map { case (n, w) => sum(w).as(s"__t_$n") } ++
       leadAs.map(_ => min(key).as("__f")).toSeq
     val offWin = Window.orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    val totWin = Window.partitionBy()
     val offs = ranged.groupBy(col("__pid"))
       .agg(sums.head, sums.tail: _*)
       .select(col("__pid") +: (names.map(n =>
         coalesce(sum(col(s"__c_$n")).over(offWin), lit(0L))
           .as(s"__off_$n")) ++
+        totNames.map(n => sum(col(s"__t_$n")).over(totWin).as(n)) ++
         leadAs.map(_ => lead(col("__f"), 1)
           .over(Window.orderBy(col("__pid"))).as("__nextf")).toSeq): _*)
     val partWin = Window.partitionBy(col("__pid")).orderBy(key)
@@ -208,7 +228,7 @@ object DistRank {
     ranged.join(broadcast(offs), "__pid")
       .select(df.columns.toSeq.map(col) ++ outs.map { case (n, w) =>
         (col(s"__off_$n") + coalesce(sum(w).over(cumWin), lit(0L))).as(n)
-      } ++ leadAs.map(a =>
+      } ++ totNames.map(col) ++ leadAs.map(a =>
         coalesce(lead(key, 1).over(partWin), col("__nextf")).as(a)).toSeq: _*)
   }
 }

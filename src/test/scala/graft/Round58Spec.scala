@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round 19 (optimization round 2) — internals changed for
+  * performance must stay value-identical:
+  *
+  *  - GraphBfs.sharedLevels now materializes each frontier straight
+  *    to parquet (one write action per level, seeds fused with the
+  *    depth-0 level) instead of checkpoint-then-write; the levels it
+  *    serves must be cell-identical to the pure levelsOn build.
+  *  - DistRank.globalPrefixSumsWithTotals rides whole-relation totals
+  *    on the offsets broadcast; the totals must equal the standalone
+  *    aggregates they replaced, on every row.
+  */
+class Round58Spec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("sharedLevels == levelsOn: seeds and every level cell-identical") {
+    val (mSeeds, mLevels) = graft.ops.GraphBfs
+      .sharedLevels(spark, TestSpark.sf, seeds = 3, k = 3)
+    val edges = graft.ops.Composite4
+      .coPurchaseEdges(spark, TestSpark.sf).localCheckpoint()
+    val (pSeeds, pLevels) = graft.ops.GraphBfs.levelsOn(edges, 3, 3)
+    assert(mSeeds.collect().toSet == pSeeds.collect().toSet)
+    assert(mSeeds.columns.toSeq == pSeeds.columns.toSeq)
+    assert(mLevels.length == pLevels.length)
+    mLevels.zip(pLevels).zipWithIndex.foreach { case ((m, p), d) =>
+      assert(m.columns.toSeq == p.columns.toSeq, s"level $d columns")
+      assert(m.collect().toSet == p.collect().toSet, s"level $d rows")
+    }
+  }
+
+  test("globalPrefixSumsWithTotals: totals equal standalone aggregates") {
+    val df = Seq((5L, 2L), (1L, 3L), (9L, 1L), (4L, 4L), (7L, 2L))
+      .toDF("k", "w")
+    val out = graft.util.DistRank.globalPrefixSumsWithTotals(
+      df, Seq("below" -> col("w")), col("k"),
+      totals = Seq("tot" -> col("w"), "cube" -> (col("w") * col("w"))),
+      parts = 3).collect()
+    assert(out.length == 5)
+    assert(out.forall(_.getAs[Long]("tot") == 12L))
+    assert(out.forall(_.getAs[Long]("cube") == 4L + 9 + 1 + 16 + 4))
+    // prefix sums unchanged by the totals rider
+    val below = out.map(r => r.getAs[Long]("k") -> r.getAs[Long]("below")).toMap
+    assert(below == Map(1L -> 0L, 4L -> 3L, 5L -> 7L, 7L -> 9L, 9L -> 11L))
+  }
+}
