@@ -184,6 +184,10 @@ object Bench {
         graft.ops.DiskMemo.reset("grams3")
         graft.ops.LlmOps19.sharedGrams(s, d)
       }),
+      "memo_shingle_postings" -> ((s, d) => {
+        graft.ops.DiskMemo.reset("shingle_postings")
+        graft.ops.LlmOps19.sharedPostings(s, d)
+      }),
       "memo_bigramsets" -> ((s, d) => {
         graft.ops.DiskMemo.reset("bigramsets")
         graft.ops.LlmOps2.sharedBigramSets(s, d)

@@ -116,8 +116,13 @@ object Composite77 {
     // the two aggregate consumers below (owners + totals).
     val g = grams.localCheckpoint()
     val owners = g.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
-    val novel = owners.groupBy(col("doc_id")).agg(count(lit(1)).as("nv"))
-    val totals = g.groupBy(col("doc_id")).agg(count(lit(1)).as("tg"))
+    noveltyTail(
+      owners.groupBy(col("doc_id")).agg(count(lit(1)).as("nv")),
+      g.groupBy(col("doc_id")).agg(count(lit(1)).as("tg")), docs)
+  }
+
+  private def noveltyTail(novel: DataFrame, totals: DataFrame,
+      docs: DataFrame): DataFrame = {
     val perDoc = totals.join(novel, Seq("doc_id"), "left")
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
       .selectExpr("source",
@@ -131,8 +136,19 @@ object Composite77 {
       .orderBy("source")
   }
 
+  // r19: the per-shingle owner (min doc_id) is element 1 of the
+  // SORTED posting array, so the corpus path reads the shared
+  // postings view and skips the h-keyed owner aggregate + the grams
+  // checkpoint entirely; per-doc totals still come off the flat gram
+  // view (one doc-keyed exchange — unavoidable). Values identical:
+  // ds is the distinct doc set per h, sorted ascending.
   private def ngramNovelty(s: SparkSession, dir: String): DataFrame =
-    ngramNoveltyOnGrams(LlmOps19.sharedGrams(s, dir),
+    noveltyTail(
+      LlmOps19.sharedPostings(s, dir)
+        .select(element_at(col("ds"), 1).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("nv")),
+      LlmOps19.sharedGrams(s, dir)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("tg")),
       load(s, dir, "documents"))
 
   private val ngramNoveltyOracle =

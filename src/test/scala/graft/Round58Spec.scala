@@ -33,6 +33,18 @@ class Round58Spec extends AnyFunSuite {
     }
   }
 
+  test("sharedPostings == sorted collect_set over sharedGrams") {
+    val view = graft.ops.LlmOps19.sharedPostings(spark, TestSpark.sf)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toList).toMap
+    val fresh = graft.ops.LlmOps19.sharedGrams(spark, TestSpark.sf)
+      .groupBy(col("h")).agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toList).toMap
+    assert(view == fresh)
+    // sortedness is the contract consumers rely on (pair transform,
+    // min-owner element_at)
+    assert(view.values.forall(ds => ds == ds.sorted && ds.distinct == ds))
+  }
+
   test("globalPrefixSumsWithTotals: totals equal standalone aggregates") {
     val df = Seq((5L, 2L), (1L, 3L), (9L, 1L), (4L, 4L), (7L, 2L))
       .toDF("k", "w")
