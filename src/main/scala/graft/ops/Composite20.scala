@@ -44,7 +44,18 @@ object Composite20 {
   // to the oracle's 6 unrolled CTE rounds whether or not the graph
   // has converged (fixed-iteration semantics, pagerank discipline).
   private def connectedComponents(s: SparkSession, dir: String): DataFrame = {
-    val edges = Composite4.coPurchaseEdges(s, dir).localCheckpoint()
+    // r19: self-loops are appended to the checkpointed edge table, so
+    // a round's neighbourhood-min over CLOSED neighbourhoods is ONE
+    // join + one map-side-combining aggregate — the second per-round
+    // broadcast join (re-attaching the node's own label) is gone, and
+    // with it one broadcast-build job per round (guide §2.4; the
+    // LlmOps4 CC self-loop discipline). least(l, min-over-nbrs) ==
+    // min-over-closed-nbhd, so labels are value-identical per round.
+    val base = Composite4.coPurchaseEdges(s, dir)
+    val edges = base.unionAll(
+        base.select(col("src")).distinct()
+          .select(col("src"), col("src").as("dst")))
+      .localCheckpoint()
     // Round 1 specialized: l0 is the identity labelling, so the
     // neighbourhood-min of labels is just min(dst) — ONE map-side-
     // combining aggregate replaces that round's two broadcast joins.
@@ -76,14 +87,14 @@ object Composite20 {
       // table is eagerly localCheckpoint'd below and every round
       // cache is dropped there, so a library caller invoking this op
       // repeatedly accumulates nothing (ADVICE r8).
-      val nbrMin = edges
+      // Self-loops put the node's own label into the aggregate, so
+      // the closed-neighbourhood min IS the next labelling — no
+      // re-attach join (r19).
+      lbl = edges
         .join(hint(lbl.select(col("node").as("dst"), col("l").as("pl"))),
           "dst")
         .groupBy(col("src").as("node"))
-        .agg(min(col("pl")).as("nl"))
-      lbl = lbl.join(hint(nbrMin), Seq("node"), "left")
-        .select(col("node"),
-          least(col("l"), coalesce(col("nl"), col("l"))).as("l"))
+        .agg(min(col("pl")).as("l"))
         .persist()
       rounds += lbl
     }
@@ -113,6 +124,9 @@ object Composite20 {
   // (both directions + self-loops), so the pre-symmetrized list would
   // just be unioned into itself.
   private def connectedComponentsConv(s: SparkSession, dir: String): DataFrame =
+    // (r19 A/B: skipping CC's internal edge checkpoint for the
+    // parquet-view input measured slower — the und union re-scans the
+    // view per branch and per round-1 subtree — so the default stays.)
     LlmOps4.connectedComponents(
         Composite4.coPurchaseHalfEdges(s, dir).toDF("a", "b"), maxIter = 30)
       .groupBy(col("cluster_id").as("component"))

@@ -99,7 +99,10 @@ object LlmOps2 {
     // g feeds the pair-key scan AND both verify joins — localCheckpoint
     // materializes the tokenize+bigram pipeline once (document-count-
     // sized rows of hashed-bigram arrays) instead of re-executing it
-    // per consumer. Pair on bare keys first, then attach the bigram
+    // per consumer. (r19 A/B-tested dropping this in favor of pruned
+    // re-reads of the parquet view: llm_dedup_cluster measured ~1 s
+    // SLOWER — the block copy pays for itself across the three
+    // consumers.) Pair on bare keys first, then attach the bigram
     // sets (same plan discipline as nearDupPairs: never push array
     // payloads through the pair-generating join).
     val g = sharedBigramSets(s, dir)

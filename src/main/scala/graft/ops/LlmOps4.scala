@@ -62,6 +62,11 @@ object LlmOps4 {
     // round 1 (measured: llm_dedup_cluster 6.0 s → 3.4 s at sf0.1).
     // Cost at scale: one extra E-sized materialization next to the
     // 2E+N-sized und cache — O(E) storage either way.
+    // (r19 re-tested skipping this for already-materialized inputs
+    // — parquet views, cached-block probes: consistently SLOWER, the
+    // union re-runs the edge subtree per branch and broadcast reuse
+    // does not survive the persist boundary. The eager checkpoint
+    // stays for every caller.)
     val e = edges.select(col(cols(0)).as("a"), col(cols(1)).as("b"))
       .localCheckpoint()
     // Both directions PLUS self-loops: with (x, x) present, min over a
@@ -153,7 +158,10 @@ object LlmOps4 {
   /** Exact-duplicate edges: every doc links to the min doc_id sharing
     * its md5(text). The survivor aggregate is THE canonical
     * [[LlmOps.exactSurvivorsByHash]] definition — `llm_dedup_exact`,
-    * the facade, and these edges cannot drift apart. */
+    * the facade, and these edges cannot drift apart. (A one-scan
+    * collect_set formulation was considered in r19 and rejected: the
+    * per-hash id array is unbounded in the duplicate-group size,
+    * exactly the column this operator exists to shrink.) */
   private def exactDupEdges(docs: DataFrame): DataFrame = {
     val mins = LlmOps.exactSurvivorsByHash(docs, col("doc_id"), col("text"))
       .withColumnRenamed("survivor_key", "a")
@@ -306,10 +314,18 @@ object LlmOps4 {
       // the gate the hint skips AQE's estimate round-trip, above it
       // the joins run un-hinted and AQE still broadcasts at runtime
       // if the actual bytes allow — now genuinely graceful.
-      val repHint = graft.util.Hints.maybeBroadcast(exact.count())
+      // ONE action sizes both gates (r19): the counts of the two
+      // checkpointed tables ride a single union aggregate over their
+      // cached blocks instead of two count jobs.
+      val cRow = exact.select(lit(1L).as("t"))
+        .unionAll(near.select(lit(0L).as("t")))
+        .agg(coalesce(sum(col("t")), lit(0L)), count(lit(1))).first()
+      val exactCnt = cRow.getLong(0)
+      val repHint = graft.util.Hints.maybeBroadcast(exactCnt)
       // cc's node set is bounded by the contracted edge endpoints,
       // i.e. by 2x the near-pair count — gate its hint on that bound.
-      val ccHint = graft.util.Hints.maybeBroadcast(2L * near.count())
+      val ccHint = graft.util.Hints.maybeBroadcast(
+        2L * (cRow.getLong(1) - exactCnt))
       val contracted = near
         .join(repHint(rep.select(col("doc").as("a"), col("rep").as("ra"))),
           Seq("a"), "left")
@@ -321,6 +337,12 @@ object LlmOps4 {
         // duplicate contracted edges are harmless to min-label
         // propagation — a distinct here would buy nothing but a shuffle
         .select(col("x").as("a"), col("y").as("b"))
+      // contracted is two broadcast probes over checkpointed near
+      // blocks, but skipping CC's internal edge checkpoint for it
+      // measured SLOWER (r19 A/B: 3.3 → 4.3+ s at sf0.1 — the und
+      // union re-runs the probe subtree per branch and the broadcast
+      // reuse does not survive the persist boundary), so the default
+      // eager checkpoint stays.
       val cc = connectedComponents(contracted)
       // Output rows = every node of the ORIGINAL exact ∪ near edge
       // union (identical set to the un-seeded plan), labelled through
