@@ -48,18 +48,36 @@ object Composite31 {
   // NULL (→ NULL in both engines) and two non-NULLs otherwise —
   // engine-agnostic by construction.
   private def shortestPath(s: SparkSession, dir: String): DataFrame =
-    shortestPathOn(Composite4.coPurchaseEdges(s, dir).localCheckpoint(),
+    shortestPathOn(Composite4.coPurchaseEdges(s, dir),
       n => n % 100 === 0, k = 3)
 
   /** K Bellman-Ford rounds over a symmetric (src, dst) edge list;
     * `seed` marks distance-0 nodes. Returns the distance histogram
-    * (unreached = -1). Factored for the planted spec. */
+    * (unreached = -1). Factored for the planted spec.
+    *
+    * r19 (guide §2.4, the Composite20 self-loop fusion): unreached is
+    * a LARGE SENTINEL distance instead of NULL, and zero-cost
+    * self-loops join the (unit-cost) edge table, so each round's
+    * relaxation min(d(v), min over nbrs d+1) is ONE closed-
+    * neighbourhood min — one join + one map-side-combining aggregate,
+    * no per-round left-join to re-attach unreached nodes. Sentinel
+    * algebra: every node's self-loop contributes exactly d(v), an
+    * unreached neighbour contributes ≥ SENTINEL+1 > SENTINEL, so
+    * unreached stays exactly SENTINEL and reached minima (≤ k, far
+    * below SENTINEL) are untouched — the surfaced histogram is
+    * value-identical to the NULL form (PropertiesSpec's brute-force
+    * law gates it). */
   private[graft] def shortestPathOn(edges: DataFrame, seed: Column => Column,
       k: Int): DataFrame = {
-    // Symmetric edge list ⇒ every node appears as src.
-    var dist = edges.select(col("src").as("node")).distinct()
-      .select(col("node"),
-        when(seed(col("node")), lit(0L)).as("d"))
+    // Symmetric edge list ⇒ every node appears as src. Self-loops at
+    // weight 0 ride the ONE edge checkpoint (unit edges carry w = 1).
+    val e = edges.select(col("src"), col("dst"), lit(1L).as("w"))
+      .unionAll(edges.select(col("src")).distinct()
+        .select(col("src"), col("src").as("dst"), lit(0L).as("w")))
+      .localCheckpoint()
+    var dist = e.filter(col("w") === 0L)
+      .select(col("src").as("node"),
+        when(seed(col("src")), lit(0L)).otherwise(lit(Unreached)).as("d"))
       .persist()
     // The rounds buffer keeps every round's persisted distance table
     // alive until the final localCheckpoint — correct (each round's
@@ -80,25 +98,28 @@ object Composite31 {
       // persist-not-checkpoint per round for the same reason as
       // connectedComponents: each round's broadcast collect
       // materializes the previous cache.
-      val nbr = edges
-        .join(hint(dist.filter(col("d").isNotNull)
-          .select(col("node").as("dst"), col("d").as("pd"))),
+      dist = e
+        .join(hint(dist.select(col("node").as("dst"), col("d").as("pd"))),
           "dst")
         .groupBy(col("src").as("node"))
-        .agg(min(col("pd") + lit(1L)).as("nd"))
-      dist = dist.join(hint(nbr), Seq("node"), "left")
-        .select(col("node"),
-          least(coalesce(col("d"), col("nd")),
-            coalesce(col("nd"), col("d"))).as("d"))
+        .agg(min(col("pd") + col("w")).as("d"))
         .persist()
       rounds += dist
     }
     val finalDist = dist.localCheckpoint()
     rounds.foreach(_.unpersist(false))
-    finalDist.groupBy(coalesce(col("d"), lit(-1L)).as("distance"))
+    finalDist.groupBy(
+        when(col("d") >= Unreached, lit(-1L)).otherwise(col("d"))
+          .as("distance"))
       .agg(count(lit(1)).as("n_nodes"))
       .orderBy("distance")
   }
+
+  /** Unreached-distance sentinel: far above any k-round reachable
+    * distance (k·max-weight), far below overflow when a round adds a
+    * weight on top of it. Requires NON-NEGATIVE weights (all callers:
+    * unit hops or co-purchase multiplicities). */
+  private[graft] val Unreached: Long = Long.MaxValue / 4
 
   private def shortestPathOracle: String = {
     val rounds = (1 to 3).map { i =>

@@ -154,10 +154,26 @@ object Composite33 {
     * k-round relaxation. */
   private[graft] def shortestPathWeightedOn(edges: DataFrame,
       seed: Column => Column, k: Int): DataFrame = {
-    var dist = edges.select(col("src").as("node"))
-      .unionAll(edges.select(col("dst").as("node"))).distinct()
+    // r19: sentinel-distance + zero-weight self-loop fusion (see
+    // Composite31.shortestPathOn — identical algebra, non-negative
+    // weights required and given: co-purchase multiplicities ≥ 1).
+    // One join + one map-side-combining min per round; the per-round
+    // unreached re-attach left-join is gone. The node universe is
+    // src ∪ dst, so directed lists keep their sink-only nodes.
+    val e = edges.select(col("src"), col("dst"), col("w"))
+      .unionAll(edges.select(col("src").as("node"))
+        .unionAll(edges.select(col("dst").as("node"))).distinct()
+        .select(col("node").as("src"), col("node").as("dst"),
+          lit(0L).as("w")))
+      .localCheckpoint()
+    // Node universe from the checkpointed table (every node appears
+    // as src once self-loops are in) — NOT from filter(w = 0), which
+    // would double-count nodes if a caller ever passed genuine
+    // zero-weight edges.
+    var dist = e.select(col("src").as("node")).distinct()
       .select(col("node"),
-        when(seed(col("node")), lit(0L)).as("d"))
+        when(seed(col("node")), lit(0L))
+          .otherwise(lit(Composite31.Unreached)).as("d"))
       .persist()
     // Hints size-gated once on the round-invariant node count; over
     // the cap the joins run un-hinted (node-keyed shuffles) instead
@@ -165,22 +181,19 @@ object Composite33 {
     val hint = graft.util.Hints.maybeBroadcast(dist.count())
     val rounds = scala.collection.mutable.ListBuffer(dist)
     for (_ <- 1 to k) {
-      val nbr = edges
-        .join(hint(dist.filter(col("d").isNotNull)
-          .select(col("node").as("dst"), col("d").as("pd"))),
+      dist = e
+        .join(hint(dist.select(col("node").as("dst"), col("d").as("pd"))),
           "dst")
         .groupBy(col("src").as("node"))
-        .agg(min(col("pd") + col("w")).as("nd"))
-      dist = dist.join(hint(nbr), Seq("node"), "left")
-        .select(col("node"),
-          least(coalesce(col("d"), col("nd")),
-            coalesce(col("nd"), col("d"))).as("d"))
+        .agg(min(col("pd") + col("w")).as("d"))
         .persist()
       rounds += dist
     }
     val finalDist = dist.localCheckpoint()
     rounds.foreach(_.unpersist(false))
-    finalDist.groupBy(coalesce(col("d"), lit(-1L)).as("distance"))
+    finalDist.groupBy(
+        when(col("d") >= Composite31.Unreached, lit(-1L))
+          .otherwise(col("d")).as("distance"))
       .agg(count(lit(1)).as("n_nodes"))
       .orderBy("distance")
   }

@@ -46,17 +46,40 @@ object Composite73 {
 
   // ---- graph_katz_centrality -----------------------------------------------
 
-  private[graft] def katzOn(edgeList: DataFrame): DataFrame = {
+  private[graft] def katzOn(edgeList: DataFrame,
+      degOpt: Option[DataFrame] = None): DataFrame = {
     val edges = edgeList.localCheckpoint()
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node")))
-      .distinct().localCheckpoint()
-    val hint = graft.util.Hints.maybeBroadcast(nodes.count())
-    // walks_k(v) = Σ_{(u,v) ∈ E} walks_{k−1}(u); w₀ ≡ 1 so w₁ is the
-    // in-degree. Sparse by construction (nodes with no in-walks are
-    // absent until the final left joins coalesce them to 0).
-    var walks = nodes.select(col("node"), lit(1L).as("w"))
-    val levels = (1 to 3).map { _ =>
+    // r19: on the corpus path the node universe AND walks₁ both come
+    // from the shared degree view — the symmetric edge list makes
+    // in-degree == degree, so w₁ IS TriCore.sharedDeg and the first
+    // walk round (edge scan + aggregate + checkpoint) plus the node
+    // distinct + checkpoint + count gate all collapse into parquet
+    // reads of the view (guide §2.4). Planted callers keep the
+    // self-contained build.
+    val (nodes, w1, hint) = degOpt match {
+      case Some(deg) =>
+        (deg.select(col("n").as("node")),
+          deg.select(col("n").as("node"), col("deg").as("w")),
+          graft.util.Hints.maybeBroadcast(deg.count()))
+      case None =>
+        val n = edges.select(col("src").as("node"))
+          .union(edges.select(col("dst").as("node")))
+          .distinct().localCheckpoint()
+        val hint = graft.util.Hints.maybeBroadcast(n.count())
+        // walks_k(v) = Σ_{(u,v) ∈ E} walks_{k−1}(u); w₀ ≡ 1 so w₁ is
+        // the in-degree. Sparse by construction (nodes with no
+        // in-walks are absent until the final left joins coalesce
+        // them to 0).
+        val w1 = edges
+          .join(hint(n.select(col("node").as("src"), lit(1L).as("pw"))),
+            "src")
+          .groupBy(col("dst").as("node"))
+          .agg(sum(col("pw")).as("w"))
+          .localCheckpoint()
+        (n, w1, hint)
+    }
+    var walks = w1
+    val levels = w1 +: (2 to 3).map { _ =>
       walks = edges
         .join(hint(walks.select(col("node").as("src"), col("w").as("pw"))),
           "src")
@@ -84,7 +107,8 @@ object Composite73 {
   }
 
   private def katzCentrality(s: SparkSession, dir: String): DataFrame =
-    katzOn(Composite4.coPurchaseEdges(s, dir))
+    katzOn(Composite4.coPurchaseEdges(s, dir),
+      degOpt = Some(TriCore.sharedDeg(s, dir)))
 
   private val katzOracle =
     """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),

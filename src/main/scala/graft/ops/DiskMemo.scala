@@ -24,34 +24,39 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object DiskMemo {
 
-  private val memo = scala.collection.mutable.HashMap.empty[String, String]
+  // ConcurrentHashMap (r19, VERDICT r18 item 3): computeIfAbsent
+  // serializes concurrent first callers of the SAME table (they block
+  // on its bin, never race two writes to one path) while DIFFERENT
+  // tables build concurrently — the r18 global lock made every
+  // concurrent first-build queue behind whichever Spark write
+  // happened to hold it (test suites share one JVM; a long edge-view
+  // build blocked an unrelated shingle-view build).
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Forget every memoized table so the next caller rebuilds (the
     * parquet paths are overwrite-mode, so no cleanup is needed).
     * Bench uses this to time a TRUE materialized-view build as its
     * own entry (VERDICT r16 item 2) instead of letting the one-time
     * build hide inside an untimed warm pass. */
-  private[graft] def reset(): Unit = memo.synchronized { memo.clear() }
+  private[graft] def reset(): Unit = memo.clear()
 
   /** Forget ONE memoized table (by tag, any corpus dir) so the next
     * caller rebuilds it. Bench's per-memo timed rows use this instead
     * of the full [[reset]]: clearing everything would charge one
     * memo's timed rebuild with every OTHER table's rebuild too, so
     * each row would measure the union instead of its own build. */
-  private[graft] def reset(tag: String): Unit = memo.synchronized {
-    memo.filterInPlace((k, _) => !k.endsWith("#" + tag)); ()
-  }
+  private[graft] def reset(tag: String): Unit =
+    memo.keySet.removeIf(_.endsWith("#" + tag))
 
   def table(s: SparkSession, dir: String, tag: String)
       (build: => DataFrame): DataFrame = {
     val key = new java.io.File(dir).getCanonicalPath + "#" + tag
-    val path = memo.synchronized {
-      memo.getOrElseUpdate(key, {
-        val p = Scans.tmp(s, dir, tag) + "/t"
-        build.write.mode("overwrite").parquet(p)
-        p
-      })
-    }
+    val path = memo.computeIfAbsent(key, _ => {
+      val p = Scans.tmp(s, dir, tag) + "/t"
+      build.write.mode("overwrite").parquet(p)
+      p
+    })
     s.read.parquet(path)
   }
 }

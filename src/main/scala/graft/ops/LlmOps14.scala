@@ -88,24 +88,63 @@ object LlmOps14 {
     knnClassifyExact(load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), col("label")))
 
-  /** Exact LOO 5-NN vote with symmetric halving: join on
-    * vec_id < nid, round once, mirror the scalar rows. */
+  /** Exact LOO 5-NN vote with symmetric halving: every unordered pair
+    * scored exactly once, then mirrored. Two size-gated pair plans
+    * (r19, VERDICT r18 item 7), identical output:
+    *
+    *  - Under [[graft.util.Hints.broadcastRowCap]]: the r18 broadcast
+    *    half-join (vec_id < nid over a broadcast copy) — fastest at
+    *    bench SF (the block join measured 1.4-1.5 s vs 0.9 s solo).
+    *  - Past the cap: TRIANGULAR-BLOCK pair partitioning — the corpus
+    *    is never broadcast. Rows land in B deterministic blocks
+    *    (pmod of the id); block pair (i ≤ j) is one equi-join key,
+    *    each row exploded into the block pairs its block joins (side
+    *    A covers j ≥ own block, side B covers i ≤ own block), so
+    *    every unordered pair meets in EXACTLY one key — the diagonal
+    *    deduplicated by id order. Shuffle volume is (B+1)·N rows,
+    *    bounded and skew-free (pmod spreads uniformly; B ≈ √(32·parts)
+    *    gives ~16·parts keys — guide §2.5's many-more-keys-than-
+    *    partitions rule); per-task state is one block pair's N/B
+    *    build rows. The repartition counts are EXPLICIT because the
+    *    pre-expansion shuffles are small and AQE would coalesce them
+    *    to one task, blind to the ×(N/B) join fan-out.
+    *
+    * Pair orientation differs between the plans; the mirror union
+    * erases it, so the voted output is identical (Round58Spec pins
+    * block == broadcast on a real corpus). */
   private[graft] def knnClassifyExact(emb0: DataFrame): DataFrame = {
     val emb = emb0.select(col("vec_id"), col("embedding"), col("label"))
-    val right = emb.select(col("vec_id").as("nid"),
-      col("embedding").as("nvec"), col("label").as("nlabel"))
-    // The streamed side arrives as ONE parquet split (the corpus is a
-    // single small file), and the nested-loop join + cosine + the
-    // local top-5 sort all inherit that partitioning — measured 3.2 s
-    // single-task for the sort alone. Spread the streamed side across
-    // the full shuffle-partition count first; the count must be
-    // EXPLICIT because AQE sees only the tiny pre-join shuffle
-    // (N rows) and would coalesce it back to one partition, blind to
-    // the ×N fan-out on the other side of the nested-loop join.
-    val scored = emb.repartition(
-        emb.sparkSession.sessionState.conf.numShufflePartitions,
-        col("vec_id"))
-      .join(broadcast(right), col("vec_id") < col("nid"))
+    val scored = (
+      if (emb.count() <= graft.util.Hints.broadcastRowCap) {
+        val right = emb.select(col("vec_id").as("nid"),
+          col("embedding").as("nvec"), col("label").as("nlabel"))
+        // The streamed side arrives as ONE parquet split; spread it
+        // across the full shuffle-partition count first (EXPLICIT —
+        // AQE sees only the tiny pre-join shuffle and would coalesce
+        // it back to one partition, blind to the ×N fan-out).
+        emb.repartition(
+            emb.sparkSession.sessionState.conf.numShufflePartitions,
+            col("vec_id"))
+          .join(broadcast(right), col("vec_id") < col("nid"))
+      } else {
+        val parts = emb.sparkSession.sessionState.conf.numShufflePartitions
+        val nBlk = math.max(2L, math.ceil(math.sqrt(32.0 * parts)).toLong)
+        val aSide = emb
+          .withColumn("ba", pmod(col("vec_id"), lit(nBlk)))
+          .select(col("vec_id"), col("embedding"), col("label"), col("ba"),
+            explode(expr(s"sequence(ba, ${nBlk - 1}L)")).as("bb"))
+          .repartition(parts, col("ba"), col("bb"))
+        val bSide = emb
+          .select(col("vec_id").as("nid"), col("embedding").as("nvec"),
+            col("label").as("nlabel"),
+            pmod(col("vec_id"), lit(nBlk)).as("bj"))
+          .select(col("nid"), col("nvec"), col("nlabel"), col("bj"),
+            explode(expr("sequence(CAST(0 AS BIGINT), bj)")).as("bi"))
+          .repartition(parts, col("bi"), col("bj"))
+        aSide.join(bSide.hint("shuffle_hash"),
+          col("ba") === col("bi") && col("bb") === col("bj") &&
+            (col("ba") =!= col("bj") || col("vec_id") < col("nid")))
+      })
       .select(col("vec_id"), col("label"), col("nid"), col("nlabel"),
         round(graft.functions.CosineSim(col("embedding"), col("nvec")), 6)
           .as("cos"))

@@ -35,8 +35,20 @@ object Scans {
     val canon = new java.io.File(dir).getCanonicalPath
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(canon.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    val p = s"/tmp/graft_${s.sparkContext.applicationId}_${tag}_${new java.io.File(dir).getName}_$digest"
-    if (cleanupRegistered.add(p)) {
+    // Scratch base dir (r19, VERDICT r18 item 3): node-local /tmp is
+    // only correct in local mode — on a cluster whose defaultFS is
+    // file://, a multi-executor parquet write to one node's /tmp
+    // yields a view no other node can read. `spark.graft.scratch.dir`
+    // points the materialized views at shared storage (HDFS/S3/NFS);
+    // the fallback keeps local behavior identical.
+    val base = s.conf.getOption("spark.graft.scratch.dir")
+      .map(_.stripSuffix("/")).getOrElse("/tmp")
+    val p = s"$base/graft_${s.sparkContext.applicationId}_${tag}_${new java.io.File(dir).getName}_$digest"
+    // Shutdown cleanup only for LOCAL paths (no scheme / file:):
+    // java.io.File cannot delete remote URIs, and a shared scratch
+    // dir's lifecycle belongs to its owner, not each driver.
+    val local = !p.contains("://")
+    if (local && cleanupRegistered.add(p)) {
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
         deleteRecursively(new java.io.File(p))))
     }

@@ -45,6 +45,43 @@ class Round58Spec extends AnyFunSuite {
     assert(view.values.forall(ds => ds == ds.sorted && ds.distinct == ds))
   }
 
+  test("knn block join == broadcast plan on the smoke corpus") {
+    val emb = graft.util.Tables.load(spark, TestSpark.sf, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val viaBroadcast = graft.ops.LlmOps14.knnClassifyExact(emb)
+      .orderBy("label").collect().toSeq
+    val viaBlocks = TestSpark.globalConfLock.synchronized {
+      sys.props("graft.broadcast.rowCap") = "0" // force the block path
+      try graft.ops.LlmOps14.knnClassifyExact(emb)
+        .orderBy("label").collect().toSeq
+      finally sys.props.remove("graft.broadcast.rowCap")
+    }
+    assert(viaBlocks == viaBroadcast)
+  }
+
+  test("scratch dir honors spark.graft.scratch.dir; memo builds land there") {
+    TestSpark.globalConfLock.synchronized {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_scratch_test").toString
+      spark.conf.set("spark.graft.scratch.dir", base + "/") // suffix-stripped
+      try {
+        val p = graft.ops.Scans.tmp(spark, TestSpark.sf, "conf_probe")
+        assert(p.startsWith(base + "/graft_"), p)
+        graft.ops.DiskMemo.reset("conf_probe_t")
+        val df = graft.ops.DiskMemo.table(spark, TestSpark.sf, "conf_probe_t") {
+          Seq((1L, 2L)).toDF("a", "b")
+        }
+        assert(df.collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+          == Seq((1L, 2L)))
+        assert(new java.io.File(base).listFiles().exists(
+          _.getName.contains("conf_probe_t")))
+      } finally {
+        spark.conf.unset("spark.graft.scratch.dir")
+        graft.ops.DiskMemo.reset("conf_probe_t")
+      }
+    }
+  }
+
   test("globalPrefixSumsWithTotals: totals equal standalone aggregates") {
     val df = Seq((5L, 2L), (1L, 3L), (9L, 1L), (4L, 4L), (7L, 2L))
       .toDF("k", "w")
