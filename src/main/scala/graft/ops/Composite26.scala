@@ -31,7 +31,10 @@ object Composite26 {
       .groupBy(col("l_partkey"))
       .agg(sum(money(col("l_extendedprice"))).cast("decimal(18,2)").as("r"))
       .localCheckpoint(false) // feeds the grid AND the per-part join
-    val total = rev.agg(sum(col("r")).cast("decimal(18,2)").as("tot"))
+    // r19: the revenue total is the sum of the grid's mass column, so
+    // it rides the prefix-sum pass as a constant column (DistRank
+    // totals — exact decimal addition, value-identical to the
+    // standalone aggregate + crossJoin broadcast it replaces).
     // r18 retrofit: the cumulative-revenue window ran the whole part
     // alphabet through ONE task. Grid form instead: distinct revenue
     // values carry their mass (r·count, exact decimal) through one
@@ -44,11 +47,12 @@ object Composite26 {
     val grid = rev.groupBy(col("r").as("rv"))
       .agg(sum(col("r")).cast("decimal(38,2)").as("mass"))
     val pre = graft.util.DistRank
-      .globalPrefixSum(grid, "sb", col("rv").desc, col("mass"))
-      .select(col("rv"), col("sb"))
+      .globalPrefixSumsWithTotals(grid, Seq("sb" -> col("mass")),
+        col("rv").desc, totals = Seq("tot0" -> col("mass")))
+      .select(col("rv"), col("sb"),
+        col("tot0").cast("decimal(18,2)").as("tot"))
     val tieW = Window.partitionBy(col("r")).orderBy(col("l_partkey"))
     rev.join(pre, col("r") === col("rv"))
-      .crossJoin(broadcast(total))
       .withColumn("j", row_number().over(tieW).cast("long"))
       .withColumn("crun",
         (col("sb") + col("j") * col("r")).cast("decimal(18,2)"))

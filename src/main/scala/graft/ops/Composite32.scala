@@ -64,6 +64,13 @@ object Composite32 {
   // cumulative sums are the escalation path — not needed while
   // |distinct prices| per flag is window-sortable on one core.
   private[graft] def weightedMedianOn(li: DataFrame): DataFrame = {
+    // (r19 tried two variants and kept NEITHER: folding the per-flag
+    // total into a whole-partition window pass measured flat and
+    // violates the r11 plan contract PlanSpec pins — an unbounded
+    // frame buffers the entire distinct-price partition, while the
+    // running cumulative frame streams with constant state; lazily
+    // checkpointing `grouped` for its two consumers measured ~0.3 s
+    // SLOWER solo than recomputing the cheap aggregate.)
     val grouped = li
       .groupBy(col("l_returnflag"), col("l_extendedprice"))
       .agg(sum(col("l_quantity").cast("long")).as("w"))

@@ -55,6 +55,11 @@ object Composite35 {
         (money(col("l_extendedprice")) * 100).cast("long").as("cents"))
       .groupBy(col("l_returnflag"), col("cents"))
       .agg(count(lit(1)).as("cnt"))
+    // (r19: a whole-partition-window total variant and a lazy
+    // checkpoint of `grouped` were both tried and reverted — the
+    // window form violates the r11 plan contract PlanSpec pins for
+    // this shape, and the checkpoint measured slower than recomputing
+    // the cheap aggregate per consumer.)
     val tot = grouped.groupBy(col("l_returnflag"))
       .agg(sum(col("cnt")).as("n"))
     val wc = Window.partitionBy(col("l_returnflag")).orderBy(col("cents"))

@@ -29,14 +29,17 @@ object Composite80 {
     // spend: (id, cents BIGINT ≥ 0)
     val v = spend.groupBy(col("cents").as("xc"))
       .agg(count(lit(1)).as("cnt"))
-    val tot = v.agg(sum(col("cnt")).cast("bigint").as("n"),
-      sum(expr("CAST(xc AS DECIMAL(38,0)) * cnt")).as("tv"))
-    val pre = graft.util.DistRank.globalPrefixSums(v,
+    // r19: the grand totals (n, tv) ride the prefix-sum pass as
+    // constant columns (DistRank totals — exact BIGINT/DECIMAL sums,
+    // bit-identical to the standalone aggregate they replace), so the
+    // tot job + crossJoin broadcast are gone (guide §1.2).
+    val pre = graft.util.DistRank.globalPrefixSumsWithTotals(v,
         Seq("bc" -> col("cnt"),
-          "bv" -> expr("CAST(xc AS DECIMAL(38,0)) * cnt")), col("xc"))
+          "bv" -> expr("CAST(xc AS DECIMAL(38,0)) * cnt")), col("xc"),
+        totals = Seq("n" -> col("cnt"),
+          "tv" -> expr("CAST(xc AS DECIMAL(38,0)) * cnt")))
       .select(col("xc"), col("bc"), col("bv"),
-        (col("bc") + col("cnt")).as("c"))
-      .crossJoin(broadcast(tot))
+        (col("bc") + col("cnt")).as("c"), col("n"), col("tv"))
       .localCheckpoint() // rank pick + the boundary-row fetch
     val ks = spend.sparkSession.range(1, 11).select(col("id").as("k"))
     val picked = pre.crossJoin(broadcast(ks))
