@@ -24,15 +24,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object DiskMemo {
 
-  // ConcurrentHashMap (r19, VERDICT r18 item 3): computeIfAbsent
-  // serializes concurrent first callers of the SAME table (they block
-  // on its bin, never race two writes to one path) while DIFFERENT
+  // Future-per-key registry (r19, VERDICT r18 item 3: "build outside
+  // the lock, publish under it"): putIfAbsent publishes a cheap
+  // CompletableFuture and the WINNING caller runs the Spark build
+  // entirely OUTSIDE any map operation, completing the future when
+  // the write lands. Concurrent first callers of the SAME table block
+  // on its future (never race two writes to one path) while DIFFERENT
   // tables build concurrently — the r18 global lock made every
   // concurrent first-build queue behind whichever Spark write
   // happened to hold it (test suites share one JVM; a long edge-view
   // build blocked an unrelated shingle-view build).
-  private val memo =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // NOT computeIfAbsent(build): layered builders nest table() calls
+  // (linkpred → half-edges → weighted view), and a nested insert from
+  // inside a mapping function throws ConcurrentHashMap's
+  // IllegalStateException("Recursive update") whenever the two keys
+  // share a bin — caught by Round58Spec's reset/rebuild test.
+  private val memo = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CompletableFuture[String]]()
 
   /** Forget every memoized table so the next caller rebuilds (the
     * parquet paths are overwrite-mode, so no cleanup is needed).
@@ -52,11 +60,25 @@ object DiskMemo {
   def table(s: SparkSession, dir: String, tag: String)
       (build: => DataFrame): DataFrame = {
     val key = new java.io.File(dir).getCanonicalPath + "#" + tag
-    val path = memo.computeIfAbsent(key, _ => {
-      val p = Scans.tmp(s, dir, tag) + "/t"
-      build.write.mode("overwrite").parquet(p)
-      p
-    })
-    s.read.parquet(path)
+    val fresh = new java.util.concurrent.CompletableFuture[String]()
+    val prior = memo.putIfAbsent(key, fresh)
+    val fut = if (prior != null) prior
+    else {
+      // This caller won the key: build + write with NO map lock held
+      // (nested table() calls from layered builders are plain
+      // re-entries here, not recursive bin updates). A failed build
+      // unpublishes the key so a later caller can retry, and the
+      // exception propagates to every waiter of THIS attempt.
+      try {
+        val p = Scans.tmp(s, dir, tag) + "/t"
+        build.write.mode("overwrite").parquet(p)
+        fresh.complete(p)
+      } catch {
+        case t: Throwable =>
+          memo.remove(key, fresh); fresh.completeExceptionally(t); throw t
+      }
+      fresh
+    }
+    s.read.parquet(fut.join())
   }
 }
