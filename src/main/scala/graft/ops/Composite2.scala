@@ -129,13 +129,28 @@ object Composite2 {
   // supplier) AND NOT EXISTS(other late supplier) — three scans of
   // lineitem. Here: one (order,supplier) aggregate + one window over
   // orders = a single lineitem shuffle.
+  //
+  // r19 (§2.4 share the exchange): keyed by (l_orderkey, l_suppkey)
+  // the aggregate's exchange could NOT serve the window's l_orderkey
+  // partitioning — the plan carried TWO exchanges of the same
+  // relation back-to-back. Repartitioning by l_orderkey BEFORE the
+  // aggregate satisfies both: hash(l_orderkey) co-locates every
+  // (l_orderkey, l_suppkey) group AND is exactly the window's
+  // required distribution, so the window runs in the same stage as
+  // the aggregate with no second shuffle (plan: 2 Exchange → 1; no
+  // explicit partition count — AQE still sizes/coalesces it).
   private def tpchQ21(s: SparkSession, dir: String): DataFrame = {
     val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS")
     val perOS = load(s, dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
       .join(load(s, dir, "orders").select("o_orderkey", "o_orderdate"),
         col("l_orderkey") === col("o_orderkey"))
+      // project the flag BEFORE the exchange (§2.3): the shuffle
+      // carries (key, suppkey, int) instead of two timestamps
+      .select(col("l_orderkey"), col("l_suppkey"),
+        when(late, 1).otherwise(0).as("late_flag"))
+      .repartition(col("l_orderkey"))
       .groupBy("l_orderkey", "l_suppkey")
-      .agg(max(when(late, 1).otherwise(0)).as("is_late"))
+      .agg(max(col("late_flag")).as("is_late"))
     val byOrder = Window.partitionBy("l_orderkey")
     val waiting = perOS
       .withColumn("n_supp", count(lit(1)).over(byOrder))
