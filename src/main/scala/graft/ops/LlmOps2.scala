@@ -245,9 +245,18 @@ object LlmOps2 {
 
   /** Band + Hamming stage over any (doc_id, sim) signature relation —
     * shared by the xxhash64 row and its md5-based verified twin so the
-    * banding pipeline under oracle check IS the production one. */
-  private[graft] def simhashPairsFromSims(sims: DataFrame,
+    * banding pipeline under oracle check IS the production one.
+    *
+    * r19 (§8 compute the proxy once): the band self-join plans the
+    * signature subtree TWICE (one per side; the broadcast side is not
+    * a reused exchange), so the per-token hashing — ~90 md5/xxhash
+    * calls per doc — ran twice per row. localCheckpoint materializes
+    * the (doc_id, sim) proxy once — N 16-byte rows, exactly the
+    * "decide on small rows" shape — and both sides re-band from the
+    * cached blocks. Value-identical: checkpointing changes no cell. */
+  private[graft] def simhashPairsFromSims(sims0: DataFrame,
       maxHamming: Int): DataFrame = {
+    val sims = sims0.localCheckpoint()
     val banded = sims.select(col("doc_id"), col("sim"),
       posexplode(expr(
         "transform(sequence(0, 3), b -> (sim >> (b * 16)) & 65535)")))
