@@ -244,7 +244,10 @@ object Composite31 {
     // Per-doc DISTINCT 3-word shingles, one md5 each (the token array
     // materializes before the HOF lambda — interpreted lambdas must
     // not re-split per element).
-    val sh = d.select(col("doc_id"), split(col("text"), " ").as("w"))
+    // r19: checkpointed — it feeds the lanes aggregate AND both sides
+    // of the intersection self-join below (a BroadcastHashJoin, so no
+    // ReuseExchange: the explode + per-shingle md5 ran three times).
+    val sh0 = d.select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), explode(expr(
         """array_distinct(transform(sequence(0, size(w) - 3),
@@ -253,6 +256,7 @@ object Composite31 {
           |    element_at(w, i + 2),
           |    element_at(w, i + 3))))""".stripMargin)).as("shs"))
       .select(col("doc_id"), md5(col("shs")).as("h"))
+    val sh = sh0.localCheckpoint()
     // 8 MinHash lanes = per-lane min of the 16-bit md5 slices, plus
     // the exact shingle cardinality — ONE map-side-combining
     // aggregate. Checkpointed: lanes feed the band join, the match
