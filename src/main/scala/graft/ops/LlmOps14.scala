@@ -92,10 +92,10 @@ object LlmOps14 {
     * scored exactly once, then mirrored. Two size-gated pair plans
     * (r19, VERDICT r18 item 7), identical output:
     *
-    *  - Under [[graft.util.Hints.broadcastRowCap]]: the r18 broadcast
-    *    half-join (vec_id < nid over a broadcast copy) — fastest at
-    *    bench SF (the block join measured 1.4-1.5 s vs 0.9 s solo).
-    *  - Past the cap: TRIANGULAR-BLOCK pair partitioning — the corpus
+    *  - Small regime: the r18 broadcast half-join (vec_id < nid over
+    *    a broadcast copy) — fastest at bench SF (the block join
+    *    measured 1.4-1.5 s vs 0.9 s solo).
+    *  - Big regime: TRIANGULAR-BLOCK pair partitioning — the corpus
     *    is never broadcast. Rows land in B deterministic blocks
     *    (pmod of the id); block pair (i ≤ j) is one equi-join key,
     *    each row exploded into the block pairs its block joins (side
@@ -109,13 +109,31 @@ object LlmOps14 {
     *    pre-expansion shuffles are small and AQE would coalesce them
     *    to one task, blind to the ×(N/B) join fan-out.
     *
+    * The regime gate is the PAIR count, not broadcastability (r19
+    * session 2, found by the sf1 spot-check): at 10x the bench corpus
+    * the build side still broadcast comfortably (20k rows), but the
+    * N²/2 = 200M scored rows localCheckpointed as deserialized heap
+    * blocks exhausted execution memory at 32 concurrent tasks
+    * (SparkOutOfMemoryError UNABLE_TO_ACQUIRE_MEMORY). The broadcast
+    * half-join + eager checkpoint is only sane while the MATERIALIZED
+    * PAIR TABLE is small, so the gate is n²/2 ≤ broadcastRowCap
+    * (n ≤ ~2.8k; bench SF n=2k stays on the measured-faster small
+    * plan), and the big regime persists the scored pairs DISK_ONLY —
+    * compressed columnar batches, no heap pinning, both mirror
+    * branches stream them back (§5: the driver/executor holds keys
+    * and metadata, never an O(N²) relation on the heap).
+    *
     * Pair orientation differs between the plans; the mirror union
     * erases it, so the voted output is identical (Round58Spec pins
     * block == broadcast on a real corpus). */
   private[graft] def knnClassifyExact(emb0: DataFrame): DataFrame = {
     val emb = emb0.select(col("vec_id"), col("embedding"), col("label"))
-    val scored = (
-      if (emb.count() <= graft.util.Hints.broadcastRowCap) {
+    val n = emb.count()
+    // n²/2 ≤ cap without n·n overflow: n ≤ √(2·cap)
+    val smallPairs =
+      n <= math.sqrt(2.0 * graft.util.Hints.broadcastRowCap).toLong
+    val scored0 = (
+      if (smallPairs) {
         val right = emb.select(col("vec_id").as("nid"),
           col("embedding").as("nvec"), col("label").as("nlabel"))
         // The streamed side arrives as ONE parquet split; spread it
@@ -148,12 +166,16 @@ object LlmOps14 {
       .select(col("vec_id"), col("label"), col("nid"), col("nlabel"),
         round(graft.functions.CosineSim(col("embedding"), col("nvec")), 6)
           .as("cos"))
-      // consumed twice (identity + mirror) — checkpointed as bare
-      // scalars so the N²/2 array join runs once. (An explode-based
-      // single-pass mirror measured ~1.6x SLOWER: the generate node
-      // splits the codegen stage feeding the window's partial
-      // top-k.)
-      .localCheckpoint()
+    // consumed twice (identity + mirror) — materialized as bare
+    // scalars so the N²/2 array join runs once. (An explode-based
+    // single-pass mirror measured ~1.6x SLOWER: the generate node
+    // splits the codegen stage feeding the window's partial top-k.)
+    // Small regime: eager localCheckpoint (row blocks, fastest at
+    // bench SF). Big regime: DISK_ONLY columnar persist — the pair
+    // table must never pin the heap (see scaladoc).
+    val scored =
+      if (smallPairs) scored0.localCheckpoint()
+      else scored0.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val sym = scored.unionAll(scored.select(
       col("nid").as("vec_id"), col("nlabel").as("label"),
       col("vec_id").as("nid"), col("label").as("nlabel"), col("cos")))
